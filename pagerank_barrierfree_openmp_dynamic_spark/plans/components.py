@@ -1,0 +1,54 @@
+"""Connected components over the undirected view of the edge table.
+
+Not present in the reference repo (BASELINE.json adds it as a standard
+kernel over the same edge table). Algorithm: iterative minimum-label
+propagation to a fixed point — every vertex's component id converges to the
+smallest vertex id in its (weakly) connected component, so labels are
+canonical and exactly comparable to a union-find oracle.
+
+Each superstep is the same join+groupBy shuffle shape as the PageRank
+scatter (and reuses the persisted edge partitioning); iterations are
+O(component diameter). Lineage is truncated per superstep with eager
+localCheckpoint, and the loop stops when no label changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.graph import LinkGraph
+
+
+def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFrame:
+    """Returns (id, comp) with comp = min vertex id of the component."""
+    und = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    und = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = und.dropDuplicates(["src", "dst"]).repartition(graph.partitions, "src")
+    und = und.persist()
+    und.count()
+
+    labels = graph.vertices.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nmin = (
+            und.join(labels, und.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        nxt = (
+            labels.join(nmin, labels.id == nmin.dst, "left")
+            .select(
+                labels.id,
+                F.least(labels.comp, F.coalesce("ncomp", labels.comp)).alias("comp"),
+                (F.coalesce("ncomp", labels.comp) < labels.comp).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(F.col("chg")).count()
+        labels = nxt.select("id", "comp").localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels

@@ -1,0 +1,379 @@
+"""Damped PageRank: static, naive-dynamic, and Dynamic Frontier modes.
+
+Semantics are lifted from the reference and re-expressed as BSP supersteps:
+
+- recurrence (``pagerankCalculateRank``, ``/root/reference/src/pagerank.hxx:203-213``)::
+
+      a[v] = C0 + d * sum_{u in in(v)} r[u] / outdeg(u)
+
+  with ``C0 = (1-d)/N`` because self-loops on every vertex eliminate dead
+  ends (README.md:8-9; dead-end teleport ``pagerankTeleport`` is also
+  implemented for graphs built without self-loops).
+- loop (``pagerankBasicOmpLoop``, ``src/pagerankBasic.hxx:53-67``): sweep,
+  error = norm(new, old) (L1/L2/L∞, ``src/_vector.hxx:250-461``), stop at
+  ``err < tolerance`` or ``max_iterations``. Defaults match
+  ``PagerankOptions`` (``src/pagerank.hxx:50``): d=0.85, tol=1e-10 L∞, 500.
+- static vs naive-dynamic differ ONLY in the initial vector — 1/N vs the
+  previous ranks (``src/pagerank.hxx:443-444, 488-489``).
+- Dynamic Frontier (``src/pagerankBasic.hxx:174-201``): recompute only the
+  affected set; a vertex whose rank moved by more than ``D = 0.001·tol``
+  marks its out-neighbors affected; error is L∞ over the affected deltas
+  (unaffected vertices contribute zero — in the reference they keep
+  ``a[v]==r[v]``). The affected set only grows (the contracting variant is
+  available behind ``contracting=True``; the reference found it slightly
+  slower, README.md "Dynamic Contracting Frontier").
+- barrier-free equivalence: the async OpenMP execution converges to the
+  same fixed point as with-barrier (README.md:61-63) — and so does a BSP
+  run whose convergence check happens every ``check_every`` supersteps
+  (threads "running ahead" of the check is exactly what barrier-free
+  permits). Per-vertex convergence flags
+  (``src/pagerankBarrierfree.hxx:68-122``) correspond to the
+  ``contracting`` active-set bookkeeping here. Match criterion is converged
+  ranks at L∞ ≤ 1e-6, which all of these satisfy.
+
+Physical plan per superstep: one join of the persisted, src-partitioned
+``adj`` table with the rank state (broadcast when ranks are small, else
+co-partitioned sort-merge — ``adj`` never re-shuffles), one
+``groupBy(dst)`` shuffle with map-side partial aggregation (the transpose
+direction is realized by the shuffle itself, replacing
+``transposeWithDegree``), then a rank-state update join. Supersteps between
+convergence checks are chained lazily (persisted, one action per check);
+lineage is truncated at every check via eager ``localCheckpoint`` (plus
+durable parquet/Iceberg checkpoints for resume).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..checkpoint import METRICS_SCHEMA, CheckpointStore
+from ..operators.batch import batch_endpoints_frontier
+from ..operators.graph import LinkGraph
+
+_NORM_AGG = {
+    "L1": lambda c: F.sum(F.abs(c)),
+    "L2": lambda c: F.sum(c * c),
+    "Li": lambda c: F.max(F.abs(c)),
+}
+
+
+@dataclass
+class PageRankOptions:
+    """Defaults mirror ``/root/reference/src/pagerank.hxx:34-52``."""
+
+    damping: float = 0.85
+    tolerance: float = 1e-10
+    tolerance_norm: str = "Li"  # L1 | L2 | Li
+    max_iterations: int = 500
+    frontier_tolerance_factor: float = 0.001  # D = factor * tolerance
+    dead_end_teleport: bool = False  # DEAD=true variant (pagerank.hxx:158-184)
+    contracting: bool = False  # skip converged vertices (approach-cfrontier)
+    salt_buckets: int = 0  # >0: salt rank⋈adj join against hub sources
+    check_every: int = 1  # supersteps between convergence checks (barrier-free spirit)
+    # Broadcast the rank state into the scatter/update joins when the vertex
+    # count is at most this (the persisted, src-partitioned edge table then
+    # never shuffles). Above it, joins stay co-partitioned sort-merge. The
+    # engine knows N exactly — better than Catalyst's unknown-stats guess
+    # for checkpointed iterative state.
+    broadcast_vertices: int = 2_000_000
+    checkpoint_dir: str | None = None  # durable resume checkpoints
+    checkpoint_every: int = 1  # in units of checks
+    metrics_level: str = "iteration"  # none | iteration | partition
+    run_id: str | None = None
+
+
+@dataclass
+class PageRankResult:
+    """Analogue of ``PagerankResult`` (``src/pagerank.hxx:60-76``)."""
+
+    ranks: DataFrame
+    iterations: int
+    err: float
+    time_s: float
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _init_ranks(graph: LinkGraph, init: DataFrame | None) -> DataFrame:
+    n = graph.num_vertices
+    if init is None:
+        return graph.vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    # Align previous ranks to the current vertex set; vertices unseen in the
+    # previous run start at 1/N (new pages after a batch).
+    return graph.vertices.join(init, "id", "left").select(
+        "id", F.coalesce("rank", F.lit(1.0 / n)).alias("rank")
+    )
+
+
+def _teleport_c0(graph: LinkGraph, ranks: DataFrame, dead: DataFrame, d: float) -> float:
+    """Dead-end handling ``pagerankTeleport`` (``src/pagerank.hxx:158-184``):
+    C0 = (1-d)/N + d * sum_{outdeg(u)=0} r[u] / N. ``dead`` (id,) is the
+    graph-static dead-end vertex set, computed once per graph."""
+    n = graph.num_vertices
+    s = (
+        ranks.join(F.broadcast(dead), "id", "left_semi")
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+        or 0.0
+    )
+    return (1.0 - d) / n + d * s / n
+
+
+def _scatter(
+    graph: LinkGraph,
+    ranks: DataFrame,
+    dst_filter: DataFrame | None,
+    salt_buckets: int,
+    small: bool = False,
+) -> DataFrame:
+    """Contribution gather: SUM over in-edges of rank/outdeg, grouped by dst.
+
+    Returns (dst, s). ``dst_filter`` (id,) restricts output to an affected
+    set by semi-joining the edge table before the shuffle (frontier mode —
+    the frontier side is broadcast). ``salt_buckets > 0`` replicates each
+    rank row across R salt keys so one hub source's out-edges spread over R
+    join tasks; the ``groupBy(dst)`` partial aggregation recombines them.
+    """
+    adj = graph.adj
+    if dst_filter is not None:
+        adj = adj.join(F.broadcast(dst_filter), adj.dst == dst_filter.id, "left_semi")
+    r = ranks.select(F.col("id").alias("_rid"), F.col("rank").alias("_r"))
+    if salt_buckets > 0:
+        adj = adj.withColumn(
+            "_salt", F.pmod(F.xxhash64("src", "dst"), F.lit(salt_buckets))
+        )
+        r = r.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+        )
+        if small:
+            r = F.broadcast(r)
+        joined = adj.join(r, (adj.src == r._rid) & (adj._salt == r._salt))
+    else:
+        if small:
+            r = F.broadcast(r)
+        joined = adj.join(r, adj.src == F.col("_rid"))
+    return joined.groupBy("dst").agg(F.sum(F.col("_r") * F.col("w")).alias("s"))
+
+
+def pagerank(
+    graph: LinkGraph,
+    opts: PageRankOptions | None = None,
+    init: DataFrame | None = None,
+) -> PageRankResult:
+    """Static (init=None) or naive-dynamic (init=previous ranks) PageRank —
+    ``pagerankBasicOmp`` (``src/pagerankBasic.hxx:97-107``). Full sweeps,
+    global-norm stop."""
+    o = opts or PageRankOptions()
+    mode = "static" if init is None else "naive-dynamic"
+    return _loop(graph, _init_ranks(graph, init), None, o, mode)
+
+
+def pagerank_dynamic_frontier(
+    graph_old: LinkGraph,
+    graph_new: LinkGraph,
+    batch: DataFrame,
+    prev_ranks: DataFrame,
+    opts: PageRankOptions | None = None,
+) -> PageRankResult:
+    """Dynamic Frontier re-rank after an edge batch —
+    ``pagerankBasicDynamicFrontierOmp`` / barrier-free variant
+    (``src/pagerankBasic.hxx:174-201``, ``src/pagerankBarrierfree.hxx:319-330``).
+    """
+    o = opts or PageRankOptions()
+    frontier = batch_endpoints_frontier(graph_old, graph_new, batch)
+    return _loop(
+        graph_new, _init_ranks(graph_new, prev_ranks), frontier, o, "dynamic-frontier"
+    )
+
+
+def resume(graph: LinkGraph, opts: PageRankOptions) -> PageRankResult:
+    """Continue a checkpointed run from its latest committed superstep
+    (north rule: runs resume mid-convergence)."""
+    if not opts.checkpoint_dir:
+        raise ValueError("resume requires opts.checkpoint_dir")
+    store = CheckpointStore(opts.checkpoint_dir)
+    it = store.latest()
+    if it is None:
+        raise FileNotFoundError(f"no committed iteration under {opts.checkpoint_dir}")
+    spark = graph.edges.sparkSession
+    ranks = store.load_ranks(spark, it)
+    frontier = store.load_frontier(spark, it)
+    info = store.commit_info(it)
+    return _loop(
+        graph,
+        ranks,
+        frontier,
+        replace(opts, run_id=info.get("run_id")),
+        info.get("mode", "resumed"),
+        start_iteration=it,
+    )
+
+
+def _loop(
+    graph: LinkGraph,
+    ranks0: DataFrame,
+    frontier0: DataFrame | None,
+    o: PageRankOptions,
+    mode: str,
+    start_iteration: int = 0,
+) -> PageRankResult:
+    spark = graph.edges.sparkSession
+    n, d = graph.num_vertices, o.damping
+    tol = o.tolerance
+    D = o.frontier_tolerance_factor * tol
+    norm_agg = _NORM_AGG[o.tolerance_norm]
+    run_id = o.run_id or uuid.uuid4().hex[:12]
+    store = CheckpointStore(o.checkpoint_dir) if o.checkpoint_dir else None
+    dead_mode = o.dead_end_teleport and not graph.self_loops
+    check_every = 1 if dead_mode else max(1, o.check_every)
+    small = n <= o.broadcast_vertices
+    dead = None
+    if dead_mode:
+        dead = (
+            graph.vertices.join(
+                graph.adj.select(F.col("src").alias("id")), "id", "left_anti"
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    ranks = ranks0.localCheckpoint(eager=True)
+    frontier = (
+        frontier0.distinct().localCheckpoint(eager=True) if frontier0 is not None else None
+    )
+    # Contracting mode: the live active set starts as the frontier and loses
+    # vertices whose delta drops below tol (they re-enter on neighbor push).
+    active = frontier if o.contracting else None
+
+    metrics: list[dict] = []
+    err = float("inf")
+    it = start_iteration
+    checks = 0
+    t0 = time.monotonic()
+    pending: list[DataFrame] = []  # persisted intermediates since last check
+
+    while it < o.max_iterations:
+        t_it = time.monotonic()
+        c0 = _teleport_c0(graph, ranks, dead, d) if dead_mode else (1.0 - d) / n
+        scope = active if o.contracting else frontier  # None => full sweep
+        sums = _scatter(graph, ranks, scope, o.salt_buckets, small)
+        if small:
+            sums = F.broadcast(sums)
+        new_rank = F.lit(c0) + F.lit(d) * F.coalesce("s", F.lit(0.0))
+
+        if scope is None:
+            state = ranks.join(sums, ranks.id == sums.dst, "left").select(
+                ranks.id,
+                new_rank.alias("rank"),
+                F.abs(new_rank - ranks.rank).alias("delta"),
+            )
+            state.persist()
+            pending.append(state)
+            ranks_next = state.select("id", "rank")
+        else:
+            upd = (
+                (F.broadcast(scope) if small else scope).join(ranks, "id")
+                .join(sums, F.col("id") == sums.dst, "left")
+                .select(
+                    F.col("id"),
+                    new_rank.alias("new_rank"),
+                    F.abs(new_rank - F.col("rank")).alias("delta"),
+                )
+            )
+            upd.persist()
+            pending.append(upd)
+            state = upd.select("id", F.col("new_rank").alias("rank"), "delta")
+            upd_small = upd.select("id", "new_rank")
+            if small:
+                upd_small = F.broadcast(upd_small)
+            ranks_next = ranks.join(upd_small, "id", "left").select(
+                "id", F.coalesce("new_rank", "rank").alias("rank")
+            )
+            ranks_next.persist()
+            pending.append(ranks_next)
+        it += 1
+
+        # Frontier expansion (fr): out-neighbors of vertices that moved > D.
+        if frontier is not None:
+            movers = state.filter(F.col("delta") > D).select("id")
+            expand = graph.edges.join(
+                F.broadcast(movers), graph.edges.src == movers.id, "left_semi"
+            ).select(F.col("dst").alias("id"))
+            frontier = frontier.unionByName(expand).distinct()
+            if o.contracting:
+                still = state.filter(F.col("delta") > tol).select("id")
+                active = still.unionByName(expand).distinct()
+
+        at_check = (it - start_iteration) % check_every == 0 or it >= o.max_iterations
+        if not at_check:
+            ranks = ranks_next
+            continue
+
+        # ---- convergence check: one action materializes the chained
+        # supersteps, then lineage is truncated. ----
+        checks += 1
+        row = state.agg(
+            norm_agg(F.col("delta")).alias("err"),
+            F.max(F.abs("delta")).alias("linf"),
+            F.count("*").alias("rows"),
+        ).collect()[0]
+        err = float(row["err"] or 0.0)
+        linf = float(row["linf"] or 0.0)
+        rows = int(row["rows"])
+
+        ranks = ranks_next.localCheckpoint(eager=True)
+        if frontier is not None:
+            frontier = frontier.localCheckpoint(eager=True)
+            if o.contracting:
+                active = active.localCheckpoint(eager=True)
+        for df in pending:
+            df.unpersist()
+        pending = []
+
+        ms = (time.monotonic() - t_it) * 1000.0
+        if o.metrics_level != "none":
+            metrics.append(
+                dict(run_id=run_id, mode=mode, iteration=it, partition_id=-1,
+                     rows_processed=rows, edges_processed=graph.num_edges,
+                     delta_linf=linf, elapsed_ms=ms)
+            )
+            if o.metrics_level == "partition":
+                per = (
+                    state.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(F.count("*").alias("cnt"), F.max(F.abs("delta")).alias("dmax"))
+                    .collect()
+                )
+                metrics.extend(
+                    dict(run_id=run_id, mode=mode, iteration=it,
+                         partition_id=int(r2["pid"]), rows_processed=int(r2["cnt"]),
+                         edges_processed=-1, delta_linf=float(r2["dmax"] or 0.0),
+                         elapsed_ms=-1.0)
+                    for r2 in per
+                )
+
+        if store and (checks % o.checkpoint_every == 0):
+            mdf = (
+                spark.createDataFrame(
+                    [tuple(m[f.name] for f in METRICS_SCHEMA.fields) for m in metrics],
+                    METRICS_SCHEMA,
+                )
+                if o.metrics_level != "none"
+                else None
+            )
+            store.save(it, ranks, frontier, mdf,
+                       extra={"run_id": run_id, "mode": mode, "err": err})
+
+        if err < tol:
+            break
+        if o.contracting and rows == 0:
+            break
+
+    return PageRankResult(
+        ranks=ranks,
+        iterations=it - start_iteration,
+        err=err,
+        time_s=time.monotonic() - t0,
+        metrics=metrics,
+    )

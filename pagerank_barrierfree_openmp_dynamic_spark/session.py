@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the link-graph engine.
+
+Local-mode defaults mirror what a 1000-executor cluster deployment would set
+per-executor: AQE on (skew-join + partition coalescing), Arrow enabled for
+every Python<->JVM exchange, shuffle partitions sized to cores (not the
+200 default), UTC session time so DuckDB-oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "linkgraph-engine",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cpus`` controls ``local[N]`` parallelism — the sandbox stand-in for
+    executor count; the two-cluster-size scaling benchmark runs the same job
+    at ``local[8]`` and ``local[32]``.
+    """
+    n = cpus or DEFAULT_CPUS
+    sp = shuffle_partitions or n
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Iterative jobs: keep broadcast refs from piling up.
+        .config("spark.cleaner.referenceTracking.blocking", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,53 @@
+"""Link extraction: pages -> edges, byte-identical text passthrough."""
+
+import pandas as pd
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark import datagen
+from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import (
+    extracted_text,
+    pages_to_edges,
+    url_dictionary,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pages(spark):
+    return datagen.pages_df(spark, "tiny").cache()
+
+
+def test_dictionary_dense_ids(spark, tiny_pages):
+    d = url_dictionary(tiny_pages).toPandas()
+    assert sorted(d["id"]) == list(range(10))
+    assert d["url"].is_unique
+
+
+def test_extracted_edges_match_ground_truth(spark, tiny_pages):
+    edges, d = pages_to_edges(tiny_pages)
+    dmap = dict(url_dictionary(tiny_pages).toPandas()[["url", "id"]].values)
+    truth = {
+        (dmap[datagen.url_of(s)], dmap[datagen.url_of(t)])
+        for s, t in datagen.tiny_edges()
+    }
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == truth
+
+
+def test_text_byte_identical_per_url(spark, tiny_pages):
+    out = extracted_text(tiny_pages).toPandas().set_index("url")["text"]
+    src = tiny_pages.select("url", "text").toPandas().set_index("url")["text"]
+    for url, t in src.items():
+        assert out[url].encode("utf-8") == t.encode("utf-8")
+
+
+def test_small_scale_extraction_roundtrip(spark):
+    pages = datagen.pages_df(spark, "small")
+    edges, d = pages_to_edges(pages)
+    truth_pdf = datagen.synth_edges(1000, seed=42)
+    dmap = dict(d.toPandas()[["url", "id"]].values)
+    truth = {
+        (dmap[datagen.url_of(int(s))], dmap[datagen.url_of(int(t))])
+        for s, t in truth_pdf.itertuples(index=False)
+    }
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == truth
