@@ -1,0 +1,77 @@
+"""Checkpoint/resume + metrics (north rule: every superstep checkpoints
+rank/frontier state and per-partition lineage + iteration metrics so runs
+resume mid-convergence)."""
+
+import numpy as np
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark import datagen
+from pagerank_barrierfree_openmp_dynamic_spark.checkpoint import CheckpointStore
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+    PageRankOptions,
+    pagerank,
+    resume,
+)
+
+from oracle import pagerank_oracle
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(spark):
+    g = build_graph(datagen.edges_df(spark, "tiny"),
+                    vertices=spark.range(10).select("id"))
+    yield g
+    g.unpersist()
+
+
+def _ranks_array(res, n):
+    pdf = res.ranks.toPandas().sort_values("id")
+    return pdf["rank"].to_numpy()
+
+
+def test_resume_equals_uninterrupted(spark, tiny_graph, tmp_path):
+    """Run 4 supersteps with checkpointing, then resume to convergence; the
+    result must equal an uninterrupted run and the golden oracle."""
+    ckpt = str(tmp_path / "ckpt")
+    golden, _ = pagerank_oracle(10, datagen.tiny_edges(), tol=1e-14)
+
+    partial = pagerank(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-9, max_iterations=4, checkpoint_dir=ckpt),
+    )
+    assert partial.iterations == 4
+    store = CheckpointStore(ckpt)
+    assert store.latest() == 4
+
+    resumed = resume(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-9, max_iterations=500, checkpoint_dir=ckpt),
+    )
+    got = _ranks_array(resumed, 10)
+    assert np.allclose(got, golden, atol=1e-6)
+
+    full = pagerank(tiny_graph, PageRankOptions(tolerance=1e-9, metrics_level="none"))
+    assert np.allclose(got, _ranks_array(full, 10), atol=1e-12)
+    # resumed run did only the remaining supersteps
+    assert 4 + resumed.iterations - full.iterations in (0, 1)
+
+
+def test_metrics_written(spark, tiny_graph, tmp_path):
+    ckpt = str(tmp_path / "ckpt_m")
+    res = pagerank(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-7, checkpoint_dir=ckpt,
+                        metrics_level="partition"),
+    )
+    store = CheckpointStore(ckpt)
+    mdf = store.load_metrics(spark).toPandas()
+    # whole-iteration rows (partition_id = -1) for every superstep
+    whole = mdf[mdf["partition_id"] == -1]
+    assert set(whole["iteration"]) == set(range(1, res.iterations + 1))
+    assert (whole["edges_processed"] == tiny_graph.num_edges).all()
+    # per-partition lineage rows exist
+    assert (mdf["partition_id"] >= 0).any()
+    # iteration metrics carry the converging delta
+    last = whole.sort_values("iteration")["delta_linf"].to_numpy()
+    assert last[-1] < 1e-7 <= last[0]

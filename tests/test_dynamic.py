@@ -1,0 +1,119 @@
+"""Dynamic-batch property tests (reference protocol, README.md:49-58 /
+main.cxx:181-229): after a random delete+reinsert batch, naive-dynamic and
+Dynamic Frontier re-ranks must match golden static ranks on the *updated*
+graph within L-inf 1e-6."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark import datagen
+from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import apply_batch
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph
+from pagerank_barrierfree_openmp_dynamic_spark.operators.norms import li_norm
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+    PageRankOptions,
+    pagerank,
+    pagerank_dynamic_frontier,
+)
+
+from oracle import pagerank_oracle
+
+BATCH_SCHEMA = "src long, dst long, op string"
+
+
+def _updated_edges(edges_pdf: pd.DataFrame, batch_pdf: pd.DataFrame) -> list:
+    es = set(map(tuple, edges_pdf[["src", "dst"]].itertuples(index=False)))
+    dels = batch_pdf[batch_pdf["op"] == "del"]
+    ins = batch_pdf[batch_pdf["op"] == "ins"]
+    es -= set(map(tuple, dels[["src", "dst"]].itertuples(index=False)))
+    es |= set(map(tuple, ins[["src", "dst"]].itertuples(index=False)))
+    return sorted(es)
+
+
+@pytest.fixture(scope="module")
+def setting(spark):
+    n = 200
+    edges_pdf = datagen.synth_edges(n, seed=11)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    # batch: delete a random 5% and insert a few brand-new edges
+    rng = np.random.default_rng(3)
+    k = max(1, len(edges_pdf) // 20)
+    idx = rng.choice(len(edges_pdf), size=k, replace=False)
+    dels = edges_pdf.iloc[idx][["src", "dst"]].copy()
+    dels["op"] = "del"
+    new_src = rng.integers(0, n, k)
+    new_dst = (new_src + 1 + rng.integers(0, n - 1, k)) % n
+    ins = pd.DataFrame({"src": new_src, "dst": new_dst, "op": "ins"})
+    batch_pdf = pd.concat([dels, ins], ignore_index=True)
+    batch = spark.createDataFrame(batch_pdf, schema=BATCH_SCHEMA)
+    g2 = apply_batch(g, batch)
+    golden_new, _ = pagerank_oracle(n, _updated_edges(edges_pdf, batch_pdf), tol=1e-14)
+    yield dict(n=n, g=g, g2=g2, batch=batch, edges_pdf=edges_pdf,
+               batch_pdf=batch_pdf, golden_new=golden_new)
+    g.unpersist()
+    g2.unpersist()
+
+
+def _ranks_array(res, n):
+    pdf = res.ranks.toPandas().sort_values("id")
+    assert list(pdf["id"]) == list(range(n))
+    return pdf["rank"].to_numpy()
+
+
+def test_apply_batch_edge_set(spark, setting):
+    """apply_batch = anti-join + union + dedup + self-loop re-assert
+    (update.hxx:70-99 semantics)."""
+    want = set(_updated_edges(setting["edges_pdf"], setting["batch_pdf"]))
+    want |= {(i, i) for i in range(setting["n"])}  # normalization self-loops
+    got = {(r["src"], r["dst"]) for r in setting["g2"].edges.collect()}
+    assert got == want
+
+
+def test_naive_dynamic_matches_golden(spark, setting):
+    prev = pagerank(setting["g"], PageRankOptions(tolerance=1e-7, metrics_level="none"))
+    res = pagerank(
+        setting["g2"],
+        PageRankOptions(tolerance=1e-9, metrics_level="none"),
+        init=prev.ranks,
+    )
+    got = _ranks_array(res, setting["n"])
+    assert np.allclose(got, setting["golden_new"], atol=1e-6)
+
+
+def test_dynamic_frontier_matches_golden(spark, setting):
+    prev = pagerank(setting["g"], PageRankOptions(tolerance=1e-9, metrics_level="none"))
+    res = pagerank_dynamic_frontier(
+        setting["g"], setting["g2"], setting["batch"], prev.ranks,
+        PageRankOptions(tolerance=1e-9, metrics_level="none"),
+    )
+    got = _ranks_array(res, setting["n"])
+    assert np.allclose(got, setting["golden_new"], atol=1e-6)
+    # frontier mode should do less work than a full static run at equal tol:
+    # unaffected vertices are never recomputed (rows_processed check is in
+    # the metrics test; here we check it converged and stayed correct).
+    assert res.err < 1e-9
+
+
+def test_dynamic_frontier_contracting_matches_golden(spark, setting):
+    prev = pagerank(setting["g"], PageRankOptions(tolerance=1e-9, metrics_level="none"))
+    res = pagerank_dynamic_frontier(
+        setting["g"], setting["g2"], setting["batch"], prev.ranks,
+        PageRankOptions(tolerance=1e-9, contracting=True, metrics_level="none"),
+    )
+    got = _ranks_array(res, setting["n"])
+    assert np.allclose(got, setting["golden_new"], atol=1e-6)
+
+
+def test_li_norm_static_vs_dynamic(spark, setting):
+    """li_norm is the rank-comparison metric (main.cxx:198)."""
+    static_new = pagerank(setting["g2"], PageRankOptions(tolerance=1e-9, metrics_level="none"))
+    prev = pagerank(setting["g"], PageRankOptions(tolerance=1e-9, metrics_level="none"))
+    dyn = pagerank(
+        setting["g2"], PageRankOptions(tolerance=1e-9, metrics_level="none"),
+        init=prev.ranks,
+    )
+    assert li_norm(static_new.ranks, dyn.ranks) < 1e-6
