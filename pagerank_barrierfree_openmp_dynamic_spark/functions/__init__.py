@@ -1,0 +1,30 @@
+from .text import (  # noqa: F401
+    token_count,
+    quality_score,
+    lang_id,
+    fingerprint,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from .dedup import (  # noqa: F401
+    exact_duplicates,
+    dedup_exact,
+    shingles,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    jaccard_verify,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+)
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    lsh_topk,
+    add_lsh_bucket,
+    embedding_near_dup_pairs,
+)
+from .multimodal import (  # noqa: F401
+    extract_features,
+    sample_frames,
+    resize_images,
+    media_metadata_stats,
+)

@@ -1,0 +1,144 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (100 TB design notes):
+
+- exact: one hash-shuffle on ``md5(text)`` — map-side partial agg makes the
+  shuffle carry one row per distinct hash per partition.
+- MinHash/LSH: shingle -> per-(doc, band) min-hash -> equi-join on
+  (band, signature) buckets. No cross join anywhere; candidate volume is
+  bounded by bucket sizes, and verification (exact Jaccard) touches only
+  candidates. Hash family is md5-based so an ANSI-SQL oracle reproduces it.
+- embedding near-dup: see functions/similarity.py (bucketed LSH variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: (md5, representative id = min, n_dups).
+    Only groups with >1 member are duplicates; all groups are returned so
+    the representative set is the dedup output."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("md5"))
+        .groupBy("md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated document set (keep the min-id representative)."""
+    keep = exact_duplicates(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct n-gram (word-shingle) sets per document: (id, shingle).
+    Shingle = n consecutive whitespace tokens joined by a single space —
+    reproducible in SQL with window functions."""
+    toks = tokens(F.col(text_col))
+    k = F.size(toks) - (n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, bands: int = 8) -> DataFrame:
+    """Per-(doc, band) MinHash: ``min(md5(band || '|' || shingle))``.
+
+    One row per (id, band); the md5-keyed hash family is order-independent
+    and ANSI-SQL reproducible. ``bands`` independent 1-row signatures give
+    LSH bands of width 1 (candidate iff any band collides) — the standard
+    banding trade-off with r=1, b=bands.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return (
+        sh.select("id", "shingle", b)
+        .groupBy("id", "band")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("band"), F.col("shingle")))).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Docs sharing any (band, sig) bucket: (a, b) with a < b, distinct.
+    Equi-join on the bucket key — shuffle by (band, sig), no cross join."""
+    left = sig.select(F.col("id").alias("a"), "band", "sig")
+    right = sig.select(F.col("id").alias("b"), "band", "sig")
+    return (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs; keep >= threshold.
+
+    |A ∩ B| via the shingle equi-join restricted to candidates; |A ∪ B| =
+    |A| + |B| − |∩|. Returns (a, b, jaccard) rounded to 6 places.
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.select(F.col("id").alias("a"), "shingle")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .join(pairs, ["a", "b"], "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3, bands: int = 8,
+                           threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> band-minhash ->
+    bucket join -> exact-Jaccard verify. Returns (a, b, jaccard)."""
+    sh = shingles(df, text_col, id_col, n).persist()
+    try:
+        sig = minhash_signatures(sh, bands)
+        cand = lsh_candidate_pairs(sig)
+        return jaccard_verify(sh, cand, threshold)
+    finally:
+        # lazily unpersisted by caller's action; persist() here only spans
+        # the two consumers above within one job when the plan is reused.
+        pass
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold WITHOUT LSH pruning (the exact
+    baseline; quadratic in colliding shingles — small scales / validation).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    pairs = (
+        sh.select(F.col("id").alias("a"), "shingle")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_verify(sh, pairs, threshold)

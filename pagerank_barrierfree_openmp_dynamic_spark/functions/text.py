@@ -1,0 +1,165 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Every operator is deterministic and
+has an ANSI-SQL equivalent (DuckDB oracle in ``__spark_entry__.py``).
+
+Token model: whitespace split (``F.split(text, ' +')`` with empties
+removed) — matches ``string_split`` + filter in the SQL oracles exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small multilingual stopword/marker table for the n-gram-heuristic language
+# identifier. Public knowledge (most-frequent function words per language).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "des", "est", "un", "une", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "por", "con"),
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ("a", "an", "on", "with", "as", "at", "by")
+
+# BPE-ish subword pattern: words, numbers, or single non-space symbols —
+# a public regex shape (GPT-2-style pretokenizer simplified to ASCII classes).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties removed (JVM-side)."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword token count per document."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(t)).alias("n_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0)).alias("n_subtokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, token stats, punctuation ratio,
+    English-stopword ratio, and a composite score in [0, 1].
+
+    All ratios are computed in double and rounded to 6 places so the Spark
+    and DuckDB oracles agree bit-for-bit after rounding.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    avg_tok_len = (n_chars - (n_tok - F.lit(1))) / n_tok  # chars net of separators
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram-heuristic language ID: count marker-word hits per language,
+    pick the argmax (ties broken by language code order); 'und' when no
+    marker matches. Pure JVM expressions; exactly mirrored in SQL."""
+    toks = tokens(F.lower(F.col(text_col)))
+    scores = [
+        F.size(F.filter(toks, lambda x: F.array_contains(
+            F.array(*[F.lit(m) for m in marks]), x))).alias(f"score_{lang}")
+        for lang, marks in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier lang wins ties -> apply last
+        pred = F.when((F.col(f"score_{lg}") == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("lang_pred"),
+                         best.cast("int").alias("marker_hits"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: full-text md5 plus a min-token-hash (the
+    1-permutation MinHash — a rolling content fingerprint stable under
+    token reordering). Both reproducible in ANSI SQL."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(t).alias("md5"),
+        F.array_min(F.transform(tokens(t), lambda x: F.md5(x))).alias("min_token_hash"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash over distinct whitespace tokens.
+
+    Bit j of a token's hash is ``ascii(md5(token)[j]) % 2`` (parity of the
+    j-th hex character) — a deterministic 16/32-bit hash family expressible
+    identically in Spark and ANSI SQL. The signature bit j is the sign of
+    ``sum_tokens (2*bit_j - 1)``; ties (sum == 0) resolve to 0.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    h = lambda x: F.md5(x)  # noqa: E731
+    terms = []
+    for j in range(bits):
+        bit = F.ascii(F.substring(h(F.col("_tok")), j + 1, 1)) % 2
+        terms.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    sums = exploded.groupBy(id_col).agg(*terms)
+    sig = sum(
+        (F.when(F.col(f"s{j}") > 0, F.lit(1)).otherwise(F.lit(0)) * (1 << j))
+        for j in range(bits)
+    )
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(sig: DataFrame, id_col: str = "doc_id",
+                           max_hamming: int = 2, bits: int = 16) -> DataFrame:
+    """Near-duplicate candidate pairs by SimHash Hamming distance.
+
+    Block by signature halves (a pair within Hamming ``max_hamming<=bits/2``
+    of each other must agree on at least one half — pigeonhole), then verify
+    the exact Hamming distance with ``bit_count(xor)``. Avoids the full
+    cross join; the blocking join is an equi-join Spark shuffles by key.
+    """
+    half = bits // 2
+    lo = (F.col("simhash") % (1 << half)).alias("blk_lo")
+    hi = (F.col("simhash") / (1 << half)).cast("long").alias("blk_hi")
+    s = sig.select(F.col(id_col).alias("id"), "simhash", lo, hi)
+    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"),
+                 "blk_lo", "blk_hi")
+    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"),
+                 F.col("blk_lo").alias("blk_lo_b"), F.col("blk_hi").alias("blk_hi_b"))
+    cand = (
+        a.join(b, (F.col("blk_lo") == F.col("blk_lo_b")) & (F.col("a") < F.col("b")))
+        .select("a", "b", "sig_a", "sig_b")
+        .unionByName(
+            a.join(b, (F.col("blk_hi") == F.col("blk_hi_b")) & (F.col("a") < F.col("b")))
+            .select("a", "b", "sig_a", "sig_b")
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,257 @@
+"""Training-data pipeline operators vs pure-Python/NumPy oracles, run on the
+driver-provided documents/embeddings parquet (sf0.001)."""
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+    brute_force_topk,
+    dedup_exact,
+    exact_duplicates,
+    extract_features,
+    fingerprint,
+    lang_id,
+    lsh_topk,
+    media_metadata_stats,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    jaccard_verify,
+    ngram_jaccard_pairs,
+    quality_score,
+    resize_images,
+    sample_frames,
+    shingles,
+    simhash,
+    simhash_near_dup_pairs,
+    token_count,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import MEDIA_SCHEMA
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _toks(s):
+    return [t for t in s.split(" ") if t]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_token_count(docs, docs_pdf):
+    got = token_count(docs).toPandas().set_index("doc_id").sort_index()
+    for _, r in docs_pdf.iterrows():
+        assert got.loc[r.doc_id, "n_tokens"] == len(_toks(r.text))
+        assert got.loc[r.doc_id, "n_subtokens"] == len(
+            re.findall(BPE_ISH_PATTERN, r.text)
+        )
+
+
+def test_quality_score(docs, docs_pdf):
+    got = quality_score(docs).toPandas().set_index("doc_id").sort_index()
+    for _, r in docs_pdf.head(50).iterrows():
+        toks = _toks(r.text)
+        n_chars = len(r.text)
+        n_punct = n_chars - len(re.sub(r"[^\w\s]", "", r.text))
+        n_stop = sum(1 for t in toks if t.lower() in STOPWORDS_EN)
+        assert got.loc[r.doc_id, "n_chars"] == n_chars
+        assert got.loc[r.doc_id, "n_tokens"] == len(toks)
+        assert got.loc[r.doc_id, "punct_ratio"] == round(n_punct / max(n_chars, 1), 6)
+        assert got.loc[r.doc_id, "stopword_ratio"] == round(n_stop / max(len(toks), 1), 6)
+
+
+def test_lang_id(docs, docs_pdf):
+    got = lang_id(docs).toPandas().set_index("doc_id").sort_index()
+    for _, r in docs_pdf.head(50).iterrows():
+        toks = [t for t in _toks(r.text.lower())]
+        scores = {lg: sum(1 for t in toks if t in m) for lg, m in LANG_MARKERS.items()}
+        best = max(scores.values())
+        want = "und" if best == 0 else min(lg for lg, s in scores.items() if s == best)
+        assert got.loc[r.doc_id, "lang_pred"] == want
+
+
+def test_fingerprint(docs, docs_pdf):
+    got = fingerprint(docs).toPandas().set_index("doc_id").sort_index()
+    for _, r in docs_pdf.head(30).iterrows():
+        assert got.loc[r.doc_id, "md5"] == hashlib.md5(r.text.encode()).hexdigest()
+        want_min = min(hashlib.md5(t.encode()).hexdigest() for t in _toks(r.text))
+        assert got.loc[r.doc_id, "min_token_hash"] == want_min
+
+
+def test_exact_dedup(spark, docs, docs_pdf):
+    # plant exact duplicates
+    dup = docs.limit(5).withColumn("doc_id", docs.doc_id + 100000)
+    both = docs.unionByName(dup)
+    groups = exact_duplicates(both).toPandas()
+    assert (groups["n_docs"] >= 2).sum() == 5
+    kept = dedup_exact(both).toPandas()
+    assert len(kept) == len(docs_pdf)
+    assert set(kept["doc_id"]) == set(docs_pdf["doc_id"])  # min-id reps kept
+
+
+def _shingle_set(text, n=3):
+    t = _toks(text)
+    return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+
+def test_shingles_and_jaccard(spark, docs, docs_pdf):
+    sub = docs.filter(docs.doc_id < 60)
+    sh = shingles(sub)
+    got = sh.toPandas().groupby("id")["shingle"].apply(set).to_dict()
+    for _, r in docs_pdf[docs_pdf.doc_id < 60].iterrows():
+        want = _shingle_set(r.text)
+        if want:
+            assert got[r.doc_id] == want
+    # plant a near-duplicate: doc 0's text with one word changed
+    t0 = docs_pdf.loc[docs_pdf.doc_id == 0, "text"].iloc[0]
+    toks = _toks(t0)
+    toks[len(toks) // 2] = "CHANGED"
+    near = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [90000], "text": [" ".join(toks)]}))
+    both = sub.select("doc_id", "text").unionByName(near)
+    pairs = ngram_jaccard_pairs(both, threshold=0.3).toPandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 90000)).any()
+    row = pairs[(pairs.a == 0) & (pairs.b == 90000)].iloc[0]
+    a, b = _shingle_set(t0), _shingle_set(" ".join(toks))
+    assert row["jaccard"] == round(len(a & b) / len(a | b), 6)
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs, docs_pdf):
+    t0 = docs_pdf.loc[docs_pdf.doc_id == 1, "text"].iloc[0]
+    toks = _toks(t0)
+    toks[0] = "ALTERED"
+    near = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [90001], "text": [" ".join(toks)]}))
+    both = docs.filter(docs.doc_id < 60).select("doc_id", "text").unionByName(near)
+    sh = shingles(both)
+    sig = minhash_signatures(sh, bands=8)
+    # signature oracle: min md5("band|shingle")
+    sig_pdf = sig.toPandas()
+    want = min(
+        hashlib.md5(f"3|{s}".encode()).hexdigest() for s in _shingle_set(t0)
+    )
+    got = sig_pdf[(sig_pdf.id == 1) & (sig_pdf.band == 3)]["sig"].iloc[0]
+    assert got == want
+    cand = lsh_candidate_pairs(sig)
+    verified = jaccard_verify(sh, cand, threshold=0.3).toPandas()
+    assert ((verified["a"] == 1) & (verified["b"] == 90001)).any()
+
+
+def test_simhash_and_near_dup(spark, docs, docs_pdf):
+    sig = simhash(docs).toPandas().set_index("doc_id").sort_index()
+
+    def oracle(text, bits=16):
+        sums = [0] * bits
+        for tok in set(_toks(text)):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for j in range(bits):
+                sums[j] += 1 if ord(h[j]) % 2 == 1 else -1
+        return sum((1 << j) for j in range(bits) if sums[j] > 0)
+
+    for _, r in docs_pdf.head(30).iterrows():
+        assert sig.loc[r.doc_id, "simhash"] == oracle(r.text)
+
+    # identical docs -> hamming 0 pair found
+    dup = docs.limit(3).withColumn("doc_id", docs.doc_id + 70000)
+    both = docs.unionByName(dup)
+    pairs = simhash_near_dup_pairs(simhash(both), max_hamming=0).toPandas()
+    for i in range(3):
+        assert ((pairs.a == i) & (pairs.b == i + 70000) & (pairs.hamming == 0)).any()
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    pdf = emb.toPandas()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    queries = emb.filter(emb.vec_id < 3)
+    got = brute_force_topk(emb, queries, k=5).toPandas()
+    for q in range(3):
+        qi = np.where(ids == q)[0][0]
+        s = sims[qi].copy()
+        s[qi] = -np.inf
+        order = sorted(range(len(ids)), key=lambda j: (-round(s[j], 6), ids[j]))[:5]
+        want = [ids[j] for j in order]
+        g = got[got.q_id == q].sort_values("rank")
+        assert list(g["n_id"]) == want
+        assert np.allclose(g["sim"].to_numpy(),
+                           [round(s[j], 6) for j in order], atol=2e-6)
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.filter(emb.vec_id < 10)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    approx = lsh_topk(emb, queries, dim=64, k=5, n_planes=4, multiprobe=2).toPandas()
+    # sims of returned candidates must equal exact cosine (re-rank is exact)
+    merged = approx.merge(exact, on=["q_id", "n_id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["sim_a"], merged["sim_e"], atol=2e-6)
+    # recall@5 over 10 queries; random gaussian corpus is the hard case for
+    # cosine LSH (neighbors are near-orthogonal), so the bar is modest —
+    # probing to hamming<=2 of 4 planes covers 11/16 buckets.
+    recall = len(merged) / len(exact)
+    assert recall > 0.5
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", b"img-bytes-0", "image/png", 640, 480, None),
+        (1, "image", b"img-bytes-1", "image/png", 320, 200, None),
+        (2, "video", b"vid-bytes-2", "video/mp4", 1280, 720, 3500),
+        (3, "audio", b"aud-bytes-3", "audio/wav", None, None, 2000),
+        (4, "image", None, "image/png", 1, 1, None),
+    ]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA).cache()
+
+
+def test_multimodal_features(media):
+    f = extract_features(media, dim=8).toPandas()
+    assert set(f["media_id"]) == {0, 1, 2, 3}  # null payload skipped
+    assert all(len(v) == 8 for v in f["feature"])
+    # deterministic: same payload -> same feature
+    f2 = extract_features(media, dim=8).toPandas()
+    a = f.sort_values("media_id")["feature"].tolist()
+    b = f2.sort_values("media_id")["feature"].tolist()
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_multimodal_frames_and_resize(media):
+    fr = sample_frames(media, every_ms=1000).toPandas()
+    assert set(fr["media_id"]) == {2}
+    assert len(fr) == 3  # 3500ms // 1000
+    rz = resize_images(media, width=8, height=8).toPandas()
+    imgs = rz[(rz.kind == "image") & rz.payload.notna()]
+    assert all(len(p) == 64 for p in imgs["payload"])
+    assert (imgs["width"] == 8).all()
+    stats = media_metadata_stats(media).toPandas().set_index("kind")
+    assert stats.loc["image", "n"] == 3
+    assert stats.loc["video", "avg_duration_ms"] == 3500
+
+
+def test_multimodal_real_decode_is_stubbed(media):
+    with pytest.raises(Exception) as ei:
+        extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
