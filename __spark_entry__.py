@@ -1,38 +1,540 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship link-graph query on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+
+Shared derivation used by the graph queries (both sides, identically):
+``edges = SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst FROM
+lineitem`` — a deterministic dense digraph (~100 vertices) derived from the
+driver's parquet tables, standing in for the crawl-extracted edge table.
+
+Determinism notes:
+- every double output is ROUND(x, k) on both sides; both engines round
+  half-away-from-zero for positives, and the ~1e-16 FP noise between
+  differently-ordered parallel sums sits far below the rounding step;
+- top-k/window queries always order by (value, id) so tie-breaks are total;
+- iterative queries (converged PageRank, dynamic frontier) have no SQL
+  equivalent and intentionally omit the oracle entry (driver records the
+  weaker rows-only check).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+    brute_force_topk,
+    exact_duplicates,
+    fingerprint,
+    lang_id,
+    lsh_candidate_pairs,
+    lsh_topk,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    shingles,
+    simhash,
+    simhash_near_dup_pairs,
+    token_count,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import apply_batch
+from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
+    in_degrees,
+    out_degrees,
+    top_k,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+    build_graph,
+    self_loop_count,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+    connected_components,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.labelprop import label_propagation
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+    PageRankOptions,
+    pagerank,
+    pagerank_dynamic_frontier,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import triangles
+
+DAMPING = 0.85
+
+# ---------------------------------------------------------------------------
+# shared inputs
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("l_partkey") % 100).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _graph(spark: SparkSession, sf_dir: str, self_loops: bool = True):
+    return build_graph(_edges(spark, sf_dir), add_self_loops=self_loops)
+
+
+def _batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    dels = e.filter((F.col("src") + F.col("dst")) % 5 == 0)
+    return dels.withColumn("op", F.lit("del")).unionByName(
+        dels.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.lit("ins").alias("op"),
+        )
+    )
+
+
+EDGES_SQL = "SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst FROM lineitem"
+V_SQL = "SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0"
+# common CTE prefix for graph oracles
+G_CTES = f"e0 AS ({EDGES_SQL}), v AS ({V_SQL})"
+TOKS_SQL = (
+    "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks "
+    "FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: lineitem-derived link graph -> converged PageRank -> top-20."""
+    g = _graph(spark, "/root/testdata/sf0.001")
+    res = pagerank(g, PageRankOptions(tolerance=1e-8, check_every=4,
+                                      metrics_level="none"))
+    return top_k(
+        res.ranks.select("id", F.round("rank", 9).alias("rank")), "rank", 20
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- scans / set ops / degrees (S2, M2-M8, T1, T5) --
+    q["edge_table"] = lambda spark, sf: _edges(spark, sf)
+    q["edge_table_symmetric"] = lambda spark, sf: (
+        lambda e: e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )(_edges(spark, sf))
+    q["out_degrees"] = lambda spark, sf: out_degrees(_edges(spark, sf))
+    q["in_degrees"] = lambda spark, sf: in_degrees(_edges(spark, sf))
+    q["top_degree_vertices"] = lambda spark, sf: top_k(
+        out_degrees(_edges(spark, sf)), "deg", 20, key="src"
+    )
+
+    def graph_normalize(spark, sf):
+        g = _graph(spark, sf)
+        return spark.createDataFrame(
+            [(g.num_vertices, g.num_edges, self_loop_count(g.edges))],
+            "n_vertices long, n_edges long, n_self_loops long",
+        )
+
+    q["graph_normalize"] = graph_normalize
+
+    def apply_batch_q(spark, sf):
+        g = _graph(spark, sf, self_loops=False)
+        return apply_batch(g, _batch(spark, sf)).edges
+
+    q["apply_batch"] = apply_batch_q
+
+    # -- PageRank (P1-P7) --
+    def pagerank_3iter(spark, sf):
+        g = _graph(spark, sf)
+        res = pagerank(g, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                          metrics_level="none"))
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_3iter"] = pagerank_3iter
+
+    def pagerank_converged(spark, sf):
+        g = _graph(spark, sf)
+        res = pagerank(g, PageRankOptions(tolerance=1e-6, check_every=4,
+                                          metrics_level="none"))
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+    q["pagerank_converged"] = pagerank_converged  # no SQL oracle (iterative)
+
+    def dynamic_frontier(spark, sf):
+        g = _graph(spark, sf)
+        prev = pagerank(g, PageRankOptions(tolerance=1e-6, check_every=4,
+                                           metrics_level="none"))
+        batch = _batch(spark, sf)
+        g2 = apply_batch(g, batch)
+        res = pagerank_dynamic_frontier(
+            g, g2, batch, prev.ranks,
+            PageRankOptions(tolerance=1e-6, metrics_level="none"),
+        )
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+    q["dynamic_frontier"] = dynamic_frontier  # no SQL oracle (iterative)
+
+    # -- other kernels --
+    q["connected_components"] = lambda spark, sf: connected_components(
+        _graph(spark, sf)
+    )
+    q["label_propagation_2iter"] = lambda spark, sf: label_propagation(
+        _graph(spark, sf), iterations=2
+    )
+    q["triangle_count"] = lambda spark, sf: triangles(_graph(spark, sf)).agg(
+        F.count("*").alias("n_triangles")
+    )
+
+    # -- norms (V4-V6): degree-share distribution vs uniform --
+    def rank_norms(spark, sf):
+        e = _edges(spark, sf)
+        g = _graph(spark, sf, self_loops=False)
+        deg = out_degrees(e)
+        tot = deg.agg(F.sum("deg")).collect()[0][0]
+        n = g.num_vertices
+        d = (
+            g.vertices.join(deg, g.vertices.id == deg.src, "left")
+            .select(
+                (F.coalesce(F.col("deg"), F.lit(0)) / F.lit(float(tot))
+                 - F.lit(1.0 / n)).alias("d")
+            )
+        )
+        return d.agg(
+            F.round(F.sum(F.abs("d")), 9).alias("l1"),
+            F.round(F.sum(F.col("d") * F.col("d")), 9).alias("l2"),
+            F.round(F.max(F.abs("d")), 9).alias("li"),
+        )
+
+    q["rank_norms"] = rank_norms
+
+    # -- time-windowed aggregation over the events stream table --
+    def events_hourly(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"),
+                              "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+        )
+
+    q["events_hourly"] = events_hourly
+
+    # -- training-data pipeline: dedup / text / similarity --
+    q["dedup_exact"] = lambda spark, sf: exact_duplicates(_docs(spark, sf))
+    q["token_stats"] = lambda spark, sf: token_count(_docs(spark, sf))
+    q["quality_scores"] = lambda spark, sf: quality_score(_docs(spark, sf))
+    q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf))
+    q["fingerprints"] = lambda spark, sf: fingerprint(_docs(spark, sf))
+    q["simhash"] = lambda spark, sf: simhash(_docs(spark, sf))
+    q["simhash_near_dup"] = lambda spark, sf: simhash_near_dup_pairs(
+        simhash(_docs(spark, sf)), max_hamming=2
+    )
+    q["minhash_signatures"] = lambda spark, sf: minhash_signatures(
+        shingles(_docs(spark, sf)), bands=8
+    )
+    q["lsh_candidates"] = lambda spark, sf: lsh_candidate_pairs(
+        minhash_signatures(shingles(_docs(spark, sf)), bands=8)
+    )
+    q["ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
+        _docs(spark, sf), threshold=0.5
+    )
+
+    def embedding_topk(spark, sf):
+        emb = _emb(spark, sf)
+        return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+    q["embedding_topk"] = embedding_topk
+
+    def lsh_ann_topk(spark, sf):
+        emb = _emb(spark, sf)
+        return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10,
+                        n_planes=4, multiprobe=1)
+
+    q["lsh_ann_topk"] = lsh_ann_topk  # no SQL oracle (plane literals)
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+def _pagerank_3iter_sql() -> str:
+    iters = []
+    for i in range(1, 4):
+        iters.append(
+            f"r{i} AS (SELECT v.id, (1.0 - {DAMPING}) / nn.n + {DAMPING} * "
+            f"COALESCE(s.s, 0.0) AS rank FROM v CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst, SUM(r{i-1}.rank * deg.w) AS s FROM e "
+            f"JOIN r{i-1} ON e.src = r{i-1}.id JOIN deg ON e.src = deg.src "
+            f"GROUP BY e.dst) s ON s.dst = v.id)"
+        )
+    joined = ",\n".join(iters)
+    return f"""
+WITH {G_CTES},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
+deg AS (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
+{joined}
+SELECT id, ROUND(rank, 9) AS rank FROM r3"""
+
+
+def _lpa_sql(iterations: int = 2) -> str:
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"w{i} AS (SELECT und.dst AS id, l{i-1}.label, COUNT(*) AS cnt "
+            f"FROM und JOIN l{i-1} ON und.src = l{i-1}.id GROUP BY und.dst, l{i-1}.label),\n"
+            f"p{i} AS (SELECT id, label AS new_label FROM (SELECT id, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM w{i}) WHERE rn = 1),\n"
+            f"l{i} AS (SELECT l{i-1}.id, COALESCE(p{i}.new_label, l{i-1}.label) AS label "
+            f"FROM l{i-1} LEFT JOIN p{i} ON l{i-1}.id = p{i}.id)"
+        )
+    joined = ",\n".join(steps)
+    return f"""
+WITH {G_CTES},
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
+l0 AS (SELECT id, id AS label FROM v),
+{joined}
+SELECT id, label FROM l{iterations}"""
+
+
+def _simhash_expr(bits: int = 16, table: str = "tok") -> tuple[str, str]:
+    """(sum-terms select list, signature expression from s0..s{bits-1})."""
+    terms = ", ".join(
+        f"SUM(CASE WHEN ascii(substring(md5({table}), {j + 1}, 1)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return terms, sig
+
+
+def _simhash_ctes() -> str:
+    terms, sig = _simhash_expr()
+    return f"""toks AS ({TOKS_SQL}),
+tok1 AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM toks),
+sums AS (SELECT doc_id, {terms} FROM tok1 GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums)"""
+
+
+SHINGLES_CTES = f"""toks AS ({TOKS_SQL}),
+sh AS (SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i+2], ' ') AS shingle
+       FROM toks, UNNEST(range(1, len(toks) - 1)) AS r(i))"""
+
+MINHASH_CTES = (
+    SHINGLES_CTES
+    + """,
+sig AS (SELECT id, CAST(b.band AS INTEGER) AS band,
+               MIN(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS sig
+        FROM sh, UNNEST(range(0, 8)) AS b(band)
+        GROUP BY id, b.band)"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["edge_table"] = EDGES_SQL
+    o["edge_table_symmetric"] = f"""
+WITH e0 AS ({EDGES_SQL})
+SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)"""
+    o["out_degrees"] = f"WITH e0 AS ({EDGES_SQL}) SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src"
+    o["in_degrees"] = f"WITH e0 AS ({EDGES_SQL}) SELECT dst, COUNT(*) AS deg FROM e0 GROUP BY dst"
+    o["top_degree_vertices"] = f"""
+WITH e0 AS ({EDGES_SQL})
+SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src
+ORDER BY deg DESC, src ASC LIMIT 20"""
+    o["graph_normalize"] = f"""
+WITH {G_CTES},
+e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v)
+SELECT (SELECT COUNT(*) FROM v) AS n_vertices,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM e WHERE src = dst) AS n_self_loops"""
+    o["apply_batch"] = f"""
+WITH e0 AS ({EDGES_SQL}),
+dels AS (SELECT src, dst FROM e0 WHERE (src + dst) % 5 = 0),
+kept AS (SELECT src, dst FROM e0 EXCEPT SELECT src, dst FROM dels)
+SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM kept UNION ALL SELECT dst AS src, src AS dst FROM dels)"""
+
+    o["pagerank_3iter"] = _pagerank_3iter_sql()
+    o["connected_components"] = f"""
+WITH RECURSIVE {G_CTES},
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
+reach(id, via) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT und.dst, reach.via FROM reach JOIN und ON und.src = reach.id)
+SELECT id, MIN(via) AS comp FROM reach GROUP BY id"""
+    o["label_propagation_2iter"] = _lpa_sql(2)
+    o["triangle_count"] = f"""
+WITH e0 AS ({EDGES_SQL}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM e0 WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+  SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) GROUP BY id),
+o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.u ELSE und.v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.v ELSE und.u END AS b
+      FROM und JOIN deg du ON und.u = du.id JOIN deg dv ON und.v = dv.id),
+w AS (SELECT o1.a AS x, o1.b AS y, o2.b AS z FROM o o1 JOIN o o2 ON o1.b = o2.a)
+SELECT COUNT(*) AS n_triangles FROM w
+WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.z)"""
+
+    o["rank_norms"] = f"""
+WITH {G_CTES},
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM e0 GROUP BY src),
+tot AS (SELECT CAST(SUM(deg) AS DOUBLE) AS t FROM deg),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+d AS (SELECT COALESCE(deg.deg, 0) / tot.t - 1.0 / nn.n AS d
+      FROM v CROSS JOIN tot CROSS JOIN nn LEFT JOIN deg ON v.id = deg.id)
+SELECT ROUND(SUM(ABS(d)), 9) AS l1, ROUND(SUM(d * d), 9) AS l2,
+       ROUND(MAX(ABS(d)), 9) AS li FROM d"""
+
+    o["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    o["dedup_exact"] = """
+SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1"""
+    o["token_stats"] = r"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS INTEGER) AS n_subtokens
+FROM documents"""
+    stop_list = ", ".join(
+        f"'{s}'" for s in
+        ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+         "a", "an", "on", "with", "as", "at", "by")
+    )
+    o["quality_scores"] = f"""
+WITH base AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+f AS (SELECT doc_id, n_chars, CAST(len(toks) AS INTEGER) AS n_tokens,
+             (n_chars - (len(toks) - 1)) / len(toks) AS avg_token_len,
+             n_punct / GREATEST(n_chars, 1) AS punct_ratio,
+             len(list_filter(toks, x -> lower(x) IN ({stop_list}))) /
+               GREATEST(len(toks), 1) AS stop_ratio
+      FROM base)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(avg_token_len, 6) AS avg_token_len,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
+             + LEAST(stop_ratio * 4.0, 1.0) * 0.3, 6) AS quality
+FROM f"""
+    lang_scores = ", ".join(
+        "CAST(len(list_filter(toks, x -> x IN ({}))) AS INTEGER) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in marks), lang
+        )
+        for lang, marks in [
+            ("en", ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was")),
+            ("de", ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu")),
+            ("es", ("el", "la", "los", "las", "es", "un", "una", "que", "por", "con")),
+            ("fr", ("le", "la", "les", "et", "des", "est", "un", "une", "que", "pour")),
+        ]
+    )
+    o["lang_id"] = f"""
+WITH toks AS (SELECT doc_id,
+  list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+s AS (SELECT doc_id, {lang_scores} FROM toks),
+b AS (SELECT *, GREATEST(score_en, score_de, score_fr, score_es) AS best FROM s)
+SELECT doc_id,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN score_en = best THEN 'en'
+       WHEN score_de = best THEN 'de'
+       WHEN score_es = best THEN 'es'
+       WHEN score_fr = best THEN 'fr'
+       ELSE 'und' END AS lang_pred,
+  best AS marker_hits
+FROM b"""
+    o["fingerprints"] = """
+SELECT doc_id, md5(text) AS md5,
+       list_aggregate(list_transform(
+         list_filter(string_split(text, ' '), x -> x <> ''),
+         x -> md5(x)), 'min') AS min_token_hash,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents"""
+    o["simhash"] = f"WITH {_simhash_ctes()} SELECT doc_id, simhash FROM sig"
+    o["simhash_near_dup"] = f"""
+WITH {_simhash_ctes()},
+s AS (SELECT doc_id AS id, simhash, simhash % 256 AS blk_lo,
+             CAST(simhash // 256 AS BIGINT) AS blk_hi FROM sig),
+cand AS (
+  SELECT DISTINCT a.id AS a, b.id AS b, a.simhash AS sa, b.simhash AS sb
+  FROM s a JOIN s b ON a.id < b.id
+   AND (a.blk_lo = b.blk_lo OR a.blk_hi = b.blk_hi))
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 2"""
+    o["minhash_signatures"] = f"WITH {MINHASH_CTES} SELECT id, band, sig FROM sig"
+    o["lsh_candidates"] = f"""
+WITH {MINHASH_CTES}
+SELECT DISTINCT a.id AS a, b.id AS b
+FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id"""
+    o["ngram_jaccard"] = f"""
+WITH {SHINGLES_CTES},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS a, b.id AS b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id),
+j AS (SELECT inter.a, inter.b,
+             ROUND(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+      FROM inter JOIN sizes sa ON inter.a = sa.id
+                 JOIN sizes sb ON inter.b = sb.id)
+SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5"""
+    o["embedding_topk"] = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT q.q_id, c.n_id,
+             ROUND(list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM q CROSS JOIN c WHERE q.q_id <> c.n_id)
+SELECT q_id, n_id, sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM s)
+WHERE rank <= 10"""
+
+    return o
