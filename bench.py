@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., ...extras}
+
+Headline numbers (BASELINE.md targets):
+  - pagerank_arrow: converged static PageRank on the lineitem-derived graph
+    (tol 1e-6 L-inf) via the Arrow dense kernel — reports iterations and
+    edges-processed/sec per superstep
+  - dynamic_frontier: incremental re-rank after a 1e-3·|E| batch
+  - pagerank_joinagg: 5 supersteps of the sharded join-agg path (the
+    >1e9-vertex scale path)
+  - extract: synthetic pages -> href extraction -> edge table
+  - cc / triangles / minhash_dedup / embedding_topk: other kernels
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from pagerank_barrierfree_openmp_dynamic_spark.session import get_spark  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark import datagen  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (  # noqa: E402
+    apply_batch,
+    batch_endpoints_frontier,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (  # noqa: E402
+    connected_components,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (  # noqa: E402
+    PageRankOptions,
+    pagerank,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (  # noqa: E402
+    DenseGraph,
+    pagerank_arrow,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import triangle_count  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import pages_to_edges  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark.functions import (  # noqa: E402
+    brute_force_topk,
+    minhash_near_dup_pairs,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+
+def lineitem_edges(spark, sf_dir):
+    """Deterministic web-scale-shaped digraph from the lineitem table:
+    ~|lineitem| edges over a 100k-vertex id space (has cycles/triangles)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") % 100000).cast("long").alias("src"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 100000).cast("long").alias("dst"),
+    ).distinct()
+
+
+def main():
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t = time.monotonic()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.monotonic() - self.t, 3)
+
+        return _T()
+
+    spark = get_spark(app_name="bench", cpus=CPUS)
+    t_total = time.monotonic()
+
+    # -- extraction front-end on synthetic pages --
+    with timed("extract"):
+        pages = spark.createDataFrame(
+            datagen.render_pages_pdf(
+                N_PAGES, datagen.synth_edges(N_PAGES, seed=42, avg_deg=6.0)
+            ),
+            schema=datagen.PAGES_SCHEMA,
+        )
+        edges_x, _d = pages_to_edges(pages)
+        extras["extract_edges"] = edges_x.count()
+
+    # -- graph build --
+    with timed("build_graph"):
+        g = build_graph(lineitem_edges(spark, SF_DIR))
+    extras["n_vertices"] = g.num_vertices
+    extras["n_edges"] = g.num_edges
+
+    with timed("dense_build"):
+        dense = DenseGraph(g)
+
+    # -- headline: converged PageRank, Arrow dense kernel --
+    with timed("pagerank_arrow"):
+        res = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-6, metrics_level="none"), dense=dense
+        )
+        res.ranks.count()
+    extras["pagerank"] = {
+        "iterations": res.iterations,
+        "err_linf": res.err,
+        "edges_per_sec_per_superstep": round(
+            g.num_edges * res.iterations / timings["pagerank_arrow"], 1
+        ),
+    }
+
+    # -- dynamic frontier after a 1e-4|E| batch (the reference's headline
+    # batch size, README.md:144-152) --
+    with timed("dynamic_frontier"):
+        edges_pdf = g.edges.filter(F.col("src") != F.col("dst")).limit(
+            max(10, int(g.num_edges * 1e-4))
+        ).toPandas()
+        import pandas as pd
+
+        dels = edges_pdf.copy()
+        dels["op"] = "del"
+        ins = dels.iloc[: len(dels) // 2].copy()
+        ins["op"] = "ins"
+        batch = spark.createDataFrame(
+            pd.concat([dels, ins]), schema="src long, dst long, op string"
+        )
+        g2 = apply_batch(g, batch)
+        dense2 = DenseGraph(g2)
+        frontier = batch_endpoints_frontier(g, g2, batch)
+        res_dyn = pagerank_arrow(
+            g2, PageRankOptions(tolerance=1e-6, metrics_level="none"),
+            init=res.ranks, frontier=frontier, dense=dense2,
+        )
+        res_dyn.ranks.count()
+    extras["dynamic_frontier_iterations"] = res_dyn.iterations
+
+    # -- join-agg scale path, 5 supersteps --
+    with timed("pagerank_joinagg"):
+        res_j = pagerank(
+            g, PageRankOptions(tolerance=0.0, max_iterations=5, check_every=5,
+                               metrics_level="none")
+        )
+        res_j.ranks.count()
+    extras["joinagg_sec_per_superstep"] = round(timings["pagerank_joinagg"] / 5, 3)
+    # cross-check: both paths at 5 supersteps must agree to FP precision
+    res_a5 = pagerank_arrow(
+        g, PageRankOptions(tolerance=0.0, max_iterations=5, metrics_level="none"),
+        dense=dense,
+    )
+    both = res_a5.ranks.withColumnRenamed("rank", "ra").join(res_j.ranks, "id")
+    extras["arrow_vs_joinagg_linf_5it"] = float(
+        both.agg(F.max(F.abs(F.col("ra") - F.col("rank")))).collect()[0][0]
+    )
+
+    # -- other kernels --
+    with timed("cc"):
+        cc = connected_components(g)
+        extras["n_components"] = cc.select("comp").distinct().count()
+
+    with timed("triangles"):
+        extras["n_triangles"] = triangle_count(g)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with timed("minhash_dedup"):
+        extras["near_dup_pairs"] = minhash_near_dup_pairs(
+            docs, threshold=0.5
+        ).count()
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with timed("embedding_topk"):
+        extras["topk_rows"] = brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 100), k=10
+        ).count()
+
+    g.unpersist()
+    g2.unpersist()
+    dense.unpersist()
+    dense2.unpersist()
+
+    total = round(time.monotonic() - t_total, 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "linkgraph-suite-seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

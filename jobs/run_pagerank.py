@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: pages -> link extraction -> graph -> PageRank.
+
+Cluster launch (north rule):
+
+    zip -r engine.zip pagerank_barrierfree_openmp_dynamic_spark
+    spark-submit --py-files engine.zip jobs/run_pagerank.py \
+        --pages <iceberg-table-or-parquet-path> \
+        --output /path/ranks --checkpoint /path/ckpt [--mode arrow|joinagg] \
+        [--tolerance 1e-10] [--max-iterations 500] [--resume]
+
+On a real cluster the session comes from spark-submit's conf (executors,
+memory, AQE) — ``SparkSession.builder.getOrCreate()`` here inherits it; the
+``local[N]`` factory in ``session.py`` is only the sandbox stand-in.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (  # noqa: E402
+    PageRankOptions,
+    pagerank,
+    resume as resume_run,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (  # noqa: E402
+    pagerank_arrow,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import pages_to_edges  # noqa: E402
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="pages table path (parquet dir or iceberg table)")
+    ap.add_argument("--edges", help="pre-extracted (src,dst) parquet path")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--mode", default="joinagg", choices=["joinagg", "arrow"])
+    ap.add_argument("--tolerance", type=float, default=1e-10)
+    ap.add_argument("--max-iterations", type=int, default=500)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("linkgraph-pagerank").getOrCreate()
+
+    if args.edges:
+        edges = spark.read.format(args.format).load(args.edges)
+        vertices = None
+    elif args.pages:
+        pages = spark.read.format(args.format).load(args.pages)
+        edges, d = pages_to_edges(pages)
+        vertices = d.select("id")
+    else:
+        ap.error("one of --pages / --edges is required")
+
+    g = build_graph(edges, vertices=vertices)
+    opts = PageRankOptions(
+        tolerance=args.tolerance,
+        max_iterations=args.max_iterations,
+        checkpoint_dir=args.checkpoint,
+        metrics_level="partition" if args.checkpoint else "iteration",
+    )
+    if args.resume:
+        if not args.checkpoint:
+            ap.error("--resume requires --checkpoint")
+        res = resume_run(g, opts)
+    elif args.mode == "arrow":
+        res = pagerank_arrow(g, opts)
+    else:
+        res = pagerank(g, opts)
+
+    res.ranks.write.mode("overwrite").format(args.format).save(args.output)
+    print(json.dumps({
+        "iterations": res.iterations, "err": res.err,
+        "seconds": round(res.time_s, 3),
+        "n_vertices": g.num_vertices, "n_edges": g.num_edges,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,4 @@ __version__ = "0.1.0"
 from .session import get_spark  # noqa: F401
 from .operators.graph import LinkGraph, build_graph  # noqa: F401
 from .plans.pagerank import PageRankOptions, pagerank  # noqa: F401
+from .plans.pagerank_arrow import DenseGraph, pagerank_arrow  # noqa: F401

@@ -4,6 +4,7 @@ from .pagerank import (  # noqa: F401
     pagerank,
     pagerank_dynamic_frontier,
 )
+from .pagerank_arrow import DenseGraph, pagerank_arrow  # noqa: F401
 from .components import connected_components  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401

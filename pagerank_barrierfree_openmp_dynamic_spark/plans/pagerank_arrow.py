@@ -1,0 +1,288 @@
+"""Arrow-vectorized dense-vector PageRank kernel (the fast path).
+
+The north-star physical design: edges live as hash-partitioned, CSR-shaped
+per-partition blocks; each superstep broadcasts the rank vector, every
+partition gather-scatters its edge block with NumPy (``np.bincount`` —
+the vectorized equivalent of the reference's per-vertex gather,
+``/root/reference/src/pagerank.hxx:203-213``), and emits ONE dense partial
+accumulator as a binary cell; the driver tree-sums the partials and applies
+the rank update + convergence/frontier logic in NumPy.
+
+Why this matches Spark's execution model at scale: the per-superstep work
+is a single narrow stage over persisted partitions (no shuffle at all —
+the ``groupBy(dst)`` shuffle of the join-agg path is replaced by the
+partial-vector reduction), and the broadcast is O(N) doubles. The mode is
+applicable while the rank vector fits in executor memory — N ≈ 1e8-1e9
+vertices (0.8-8 GB), which covers every web graph the reference runs
+(up to webbase-2001's 118M vertices). Beyond that, ``plans.pagerank``
+(join-agg, fully sharded state) is the path; both produce identical ranks
+(same recurrence, same stop rule) and share ``PageRankOptions`` /
+``PageRankResult`` / checkpoint format.
+
+Per-partition CSR blocks are cached in the (reused) Python worker
+processes keyed by (graph epoch, partition id) — built once from the Arrow
+batches on first touch, reused across supersteps; the reference's
+"build CSR once, iterate many" (``src/csr.hxx:19-51``).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..checkpoint import CheckpointStore
+from ..operators.graph import LinkGraph
+from .pagerank import PageRankOptions, PageRankResult
+
+# worker-process cache: (epoch, partition_id) -> (src_idx, dst_idx, w)
+_BLOCK_CACHE: dict = {}
+_BLOCK_CACHE_MAX = 64
+
+
+class DenseGraph:
+    """Dense-indexed view of a LinkGraph, ready for the Arrow kernel.
+
+    - ``idx_of``: DataFrame (id, idx) — dense ids [0, N) assigned by sorted
+      vertex id via zipWithIndex (distributed; no single-partition window).
+    - ``blocks``: (src_idx, dst_idx, w) int32/int32/float64, hash-partitioned
+      by src_idx, persisted — the CSR-shaped edge blocks.
+    - ``ids``: np.ndarray mapping idx -> original id (driver-side, O(N)).
+    """
+
+    def __init__(self, graph: LinkGraph):
+        spark = graph.edges.sparkSession
+        self.graph = graph
+        self.epoch = uuid.uuid4().hex
+        n = graph.num_vertices
+        idx_rdd = (
+            graph.vertices.orderBy("id").rdd.map(lambda r: r[0]).zipWithIndex()
+        )
+        self.idx_of = spark.createDataFrame(idx_rdd, ["id", "idx"]).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        src_m = self.idx_of.select(F.col("id").alias("src"), F.col("idx").alias("src_idx"))
+        dst_m = self.idx_of.select(F.col("id").alias("dst"), F.col("idx").alias("dst_idx"))
+        self.blocks = (
+            graph.adj.join(src_m, "src")
+            .join(dst_m, "dst")
+            .select(
+                F.col("src_idx").cast("int").alias("src_idx"),
+                F.col("dst_idx").cast("int").alias("dst_idx"),
+                F.col("w").cast("double").alias("w"),
+            )
+            .repartition(graph.partitions, "src_idx")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self.blocks.count()
+        ids_pdf = self.idx_of.orderBy("idx").toPandas()
+        self.ids = ids_pdf["id"].to_numpy()
+        assert len(self.ids) == n
+        self.n = n
+        # dense out-degree==0 detection happens via w (adj has no dead rows);
+        # dead-end set = vertices never appearing as src in edges
+        self._dead_mask: np.ndarray | None = None
+
+    def dead_mask(self) -> np.ndarray:
+        if self._dead_mask is None:
+            src_idx = (
+                self.blocks.select("src_idx").distinct().toPandas()["src_idx"].to_numpy()
+            )
+            m = np.ones(self.n, dtype=bool)
+            m[src_idx] = False
+            self._dead_mask = m
+        return self._dead_mask
+
+    def unpersist(self) -> None:
+        self.idx_of.unpersist()
+        self.blocks.unpersist()
+
+
+def _scatter_fn(epoch: str, n: int, ranks_bc, mask_bc):
+    """Build the mapInPandas closure for one superstep. Emits one binary
+    cell per partition: the dense float64 partial accumulator."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        key = (epoch, pid)
+        block = _BLOCK_CACHE.get(key)
+        if block is None:
+            srcs, dsts, ws = [], [], []
+            for pdf in batches:
+                srcs.append(pdf["src_idx"].to_numpy(np.int32))
+                dsts.append(pdf["dst_idx"].to_numpy(np.int32))
+                ws.append(pdf["w"].to_numpy(np.float64))
+            if srcs:
+                block = (
+                    np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ws)
+                )
+            else:
+                block = (np.empty(0, np.int32), np.empty(0, np.int32),
+                         np.empty(0, np.float64))
+            if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+                _BLOCK_CACHE.clear()
+            _BLOCK_CACHE[key] = block
+        else:
+            for _ in batches:  # drain the Arrow stream
+                pass
+        src_idx, dst_idx, w = block
+        r = ranks_bc.value
+        if mask_bc is not None:
+            keep = mask_bc.value[dst_idx]
+            src_idx, dst_idx, w = src_idx[keep], dst_idx[keep], w[keep]
+        acc = np.bincount(dst_idx, weights=r[src_idx] * w, minlength=n)
+        yield pd.DataFrame({"acc": [acc.astype(np.float64).tobytes()]})
+
+    return fn
+
+
+def _norm(delta: np.ndarray, kind: str) -> float:
+    if kind == "L1":
+        return float(np.sum(np.abs(delta)))
+    if kind == "L2":
+        return float(np.sum(delta * delta))
+    return float(np.max(np.abs(delta))) if delta.size else 0.0
+
+
+def pagerank_arrow(
+    graph: LinkGraph,
+    opts: PageRankOptions | None = None,
+    init: DataFrame | None = None,
+    dense: DenseGraph | None = None,
+    frontier: DataFrame | None = None,
+) -> PageRankResult:
+    """Dense Arrow-kernel PageRank: static (init=None), naive-dynamic
+    (init=prev ranks), or dynamic-frontier (frontier=(id,) seed set).
+
+    Same semantics/defaults as :func:`..pagerank.pagerank`; ranks match the
+    join-agg path and the NumPy oracle to FP precision.
+    """
+    o = opts or PageRankOptions()
+    d, tol = o.damping, o.tolerance
+    D = o.frontier_tolerance_factor * tol
+    dg = dense or DenseGraph(graph)
+    own_dense = dense is None
+    spark = graph.edges.sparkSession
+    sc = spark.sparkContext
+    n = dg.n
+    run_id = o.run_id or uuid.uuid4().hex[:12]
+    store = CheckpointStore(o.checkpoint_dir) if o.checkpoint_dir else None
+    mode = "static" if init is None and frontier is None else (
+        "dynamic-frontier" if frontier is not None else "naive-dynamic")
+
+    # init rank vector (driver-side dense)
+    # dg.ids is sorted -> vectorized id->idx via searchsorted
+    def _to_idx(ids: np.ndarray) -> np.ndarray:
+        i = np.searchsorted(dg.ids, ids)
+        ok = (i < n) & (dg.ids[np.minimum(i, n - 1)] == ids)
+        return i[ok]
+
+    if init is None:
+        r = np.full(n, 1.0 / n)
+    else:
+        pdf = init.toPandas()
+        r = np.full(n, 1.0 / n)
+        ids_arr = pdf["id"].to_numpy()
+        i = np.searchsorted(dg.ids, ids_arr)
+        ok = (i < n) & (dg.ids[np.minimum(i, n - 1)] == ids_arr)
+        r[i[ok]] = pdf["rank"].to_numpy()[ok]
+
+    affected: np.ndarray | None = None
+    if frontier is not None:
+        affected = np.zeros(n, dtype=bool)
+        affected[_to_idx(frontier.toPandas()["id"].to_numpy())] = True
+
+    dead_mode = o.dead_end_teleport and not graph.self_loops
+    dead = dg.dead_mask() if dead_mode else None
+
+    metrics: list[dict] = []
+    err = float("inf")
+    it = 0
+    t0 = time.monotonic()
+    while it < o.max_iterations:
+        t_it = time.monotonic()
+        c0 = (1.0 - d) / n
+        if dead_mode:
+            c0 += d * float(r[dead].sum()) / n
+        ranks_bc = sc.broadcast(r)
+        mask_bc = sc.broadcast(affected) if affected is not None else None
+        parts = dg.blocks.mapInPandas(
+            _scatter_fn(dg.epoch, n, ranks_bc, mask_bc), "acc binary"
+        ).collect()
+        acc = np.zeros(n)
+        for row in parts:
+            acc += np.frombuffer(row["acc"], dtype=np.float64)
+        new_r = c0 + d * acc
+        if affected is not None:
+            # frontier semantics: only affected vertices update
+            # (pagerankCalculateRanks fa filter, src/pagerank.hxx:229-256)
+            new_full = r.copy()
+            new_full[affected] = new_r[affected]
+            delta = np.abs(new_full - r)
+            rows = int(affected.sum())
+            new_r = new_full
+        else:
+            delta = np.abs(new_r - r)
+            rows = n
+        it += 1
+        err = _norm(delta[affected] if affected is not None else delta,
+                    o.tolerance_norm)
+        linf = float(np.max(delta)) if delta.size else 0.0
+
+        if affected is not None:
+            movers_mask = delta > D
+            if movers_mask.any():
+                # frontier expansion (fr): out-neighbors of movers, via a
+                # distributed masked scan of the cached edge blocks
+                movers_bc = sc.broadcast(movers_mask)
+
+                def expand_fn(batches: Iterator[pd.DataFrame],
+                              _mb=movers_bc) -> Iterator[pd.DataFrame]:
+                    m = _mb.value
+                    for pdf in batches:
+                        s = pdf["src_idx"].to_numpy()
+                        t = pdf["dst_idx"].to_numpy()
+                        yield pd.DataFrame({"dst_idx": np.unique(t[m[s]])})
+
+                exp = (
+                    dg.blocks.mapInPandas(expand_fn, "dst_idx int")
+                    .distinct()
+                    .toPandas()["dst_idx"]
+                    .to_numpy()
+                )
+                affected[exp] = True
+                movers_bc.destroy()
+        r = new_r
+        ranks_bc.destroy()
+        if mask_bc is not None:
+            mask_bc.destroy()
+
+        ms = (time.monotonic() - t_it) * 1000.0
+        if o.metrics_level != "none":
+            metrics.append(
+                dict(run_id=run_id, mode=f"arrow-{mode}", iteration=it,
+                     partition_id=-1, rows_processed=rows,
+                     edges_processed=graph.num_edges, delta_linf=linf,
+                     elapsed_ms=ms)
+            )
+        if store and (it % o.checkpoint_every == 0):
+            rdf = spark.createDataFrame(
+                pd.DataFrame({"id": dg.ids, "rank": r}))
+            store.save(it, rdf, None, None,
+                       extra={"run_id": run_id, "mode": f"arrow-{mode}",
+                              "err": err})
+        if err < tol:
+            break
+
+    ranks_df = spark.createDataFrame(pd.DataFrame({"id": dg.ids, "rank": r}))
+    if own_dense:
+        dg.unpersist()
+    return PageRankResult(ranks=ranks_df, iterations=it, err=err,
+                          time_s=time.monotonic() - t0, metrics=metrics)

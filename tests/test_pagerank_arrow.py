@@ -1,0 +1,136 @@
+"""Arrow dense-kernel PageRank vs the NumPy oracle and vs the join-agg
+path: identical recurrence, identical results (static / naive-dynamic /
+dynamic-frontier)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark import datagen
+from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+    apply_batch,
+    batch_endpoints_frontier,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import PageRankOptions
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+    DenseGraph,
+    pagerank_arrow,
+)
+
+from oracle import pagerank_oracle
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(spark):
+    g = build_graph(datagen.edges_df(spark, "tiny"),
+                    vertices=spark.range(10).select("id"))
+    yield g
+    g.unpersist()
+
+
+def _ranks_array(res, n):
+    pdf = res.ranks.toPandas().sort_values("id")
+    assert list(pdf["id"]) == list(range(n))
+    return pdf["rank"].to_numpy()
+
+
+def test_arrow_fixed_iters_exact(spark, tiny_graph):
+    golden, _ = pagerank_oracle(10, datagen.tiny_edges(), tol=0.0, max_iter=5)
+    res = pagerank_arrow(
+        tiny_graph,
+        PageRankOptions(tolerance=0.0, max_iterations=5, metrics_level="none"),
+    )
+    assert res.iterations == 5
+    assert np.allclose(_ranks_array(res, 10), golden, atol=1e-12)
+
+
+def test_arrow_converged_small(spark):
+    n = 300
+    edges_pdf = datagen.synth_edges(n, seed=3)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    try:
+        golden, _ = pagerank_oracle(
+            n, list(edges_pdf.itertuples(index=False)), tol=1e-14)
+        res = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-9, metrics_level="none"))
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-6)
+        assert res.err < 1e-9
+    finally:
+        g.unpersist()
+
+
+def test_arrow_dense_reuse_and_naive_dynamic(spark, tiny_graph):
+    dense = DenseGraph(tiny_graph)
+    try:
+        res1 = pagerank_arrow(
+            tiny_graph, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+            dense=dense)
+        # naive-dynamic: warm-start from previous ranks, same fixed point
+        res2 = pagerank_arrow(
+            tiny_graph, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+            init=res1.ranks, dense=dense)
+        assert res2.iterations <= res1.iterations
+        assert np.allclose(_ranks_array(res1, 10), _ranks_array(res2, 10),
+                           atol=1e-9)
+    finally:
+        dense.unpersist()
+
+
+def test_arrow_dynamic_frontier_matches_golden(spark):
+    n = 200
+    edges_pdf = datagen.synth_edges(n, seed=11)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    batch_pdf = datagen.random_batch(edges_pdf, 0.05, seed=9)
+    # make it a real change: drop the reinsert of half the batch
+    dels = batch_pdf[batch_pdf.op == "del"]
+    ins = batch_pdf[batch_pdf.op == "ins"].iloc[: len(dels) // 2]
+    batch_pdf = pd.concat([dels, ins])
+    batch = spark.createDataFrame(batch_pdf, schema="src long, dst long, op string")
+    g2 = apply_batch(g, batch)
+    try:
+        es = set(map(tuple, edges_pdf[["src", "dst"]].itertuples(index=False)))
+        es -= set(map(tuple, dels[["src", "dst"]].itertuples(index=False)))
+        es |= set(map(tuple, ins[["src", "dst"]].itertuples(index=False)))
+        golden_new, _ = pagerank_oracle(n, sorted(es), tol=1e-14)
+
+        prev = pagerank_arrow(g, PageRankOptions(tolerance=1e-9, metrics_level="none"))
+        frontier = batch_endpoints_frontier(g, g2, batch)
+        res = pagerank_arrow(
+            g2, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+            init=prev.ranks, frontier=frontier)
+        assert np.allclose(_ranks_array(res, n), golden_new, atol=1e-6)
+    finally:
+        g.unpersist()
+        g2.unpersist()
+
+
+def test_arrow_dead_end_teleport(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    n, iters, d = 4, 10, 0.85
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]),
+                               schema=datagen.EDGES_SCHEMA)
+    g = build_graph(df, vertices=spark.range(n).select("id"), add_self_loops=False)
+    try:
+        r = np.full(n, 1.0 / n)
+        deg = np.zeros(n)
+        for a, _ in edges:
+            deg[a] += 1
+        for _ in range(iters):
+            c0 = (1 - d) / n + d * r[deg == 0].sum() / n
+            acc = np.zeros(n)
+            for a, b in edges:
+                acc[b] += r[a] / deg[a]
+            r = c0 + d * acc
+        res = pagerank_arrow(
+            g, PageRankOptions(tolerance=0.0, max_iterations=iters,
+                               dead_end_teleport=True, metrics_level="none"))
+        assert np.allclose(_ranks_array(res, n), r, atol=1e-12)
+    finally:
+        g.unpersist()
