@@ -168,6 +168,72 @@ def edges_df(spark: SparkSession, scale: str = "tiny", seed: int = 42) -> DataFr
     return spark.createDataFrame(pdf, schema=EDGES_SCHEMA)
 
 
+def links_of(vid: int, n: int, avg_deg: int = 8) -> list[int]:
+    """Deterministic out-links of page ``vid`` in the distributed corpus —
+    a pure function, so pages AND ground-truth edges generate
+    partition-locally with no driver materialization. Skewed: every page
+    also links into a small hub set (ids < n/100), giving the hub
+    in-degree skew of real crawls."""
+    h = (vid * 2654435761 + 97) & 0xFFFFFFFF
+    deg = 1 + h % (2 * avg_deg)
+    out = {(vid * 31 + (k + 1) * 1000003 + (h >> (k % 13))) % n for k in range(deg)}
+    out.add(h % max(1, n // 100))  # hub link (skew)
+    out.discard(vid)
+    return sorted(out)
+
+
+def pages_df_dist(spark: SparkSession, n: int, n_sites: int = 64,
+                  partitions: int | None = None) -> DataFrame:
+    """Distributed synthetic pages table: html/text rendered inside
+    mapInPandas from :func:`links_of` — scales to millions of pages."""
+    base = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for vid in pdf["id"].to_numpy():
+                vid = int(vid)
+                links = "".join(
+                    f'<a href="{url_of(d, n_sites)}">l{d}</a>'
+                    for d in links_of(vid, n)
+                )
+                txt = text_of(vid)
+                html = (f"<html><head><title>p{vid}</title></head>"
+                        f"<body><p>{txt}</p>{links}</body></html>")
+                rows.append(
+                    (url_of(vid, n_sites),
+                     base + _dt.timedelta(seconds=vid * 37 % 86400, days=vid % 30),
+                     html.encode("utf-8"), txt, lang_of(vid))
+                )
+            yield _pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    p = partitions or spark.sparkContext.defaultParallelism
+    return spark.range(0, n, 1, p).mapInPandas(gen, PAGES_SCHEMA)
+
+
+def edges_df_dist(spark: SparkSession, n: int,
+                  partitions: int | None = None) -> DataFrame:
+    """Ground-truth edge list matching :func:`pages_df_dist` (same
+    :func:`links_of`), generated distributively."""
+
+    def gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            srcs, dsts = [], []
+            for vid in pdf["id"].to_numpy():
+                for d in links_of(int(vid), n):
+                    srcs.append(int(vid))
+                    dsts.append(d)
+            yield _pd.DataFrame({"src": srcs, "dst": dsts})
+
+    p = partitions or spark.sparkContext.defaultParallelism
+    return spark.range(0, n, 1, p).mapInPandas(gen, EDGES_SCHEMA)
+
+
 def random_batch(
     edges: pd.DataFrame, frac: float, seed: int = 7
 ) -> pd.DataFrame:

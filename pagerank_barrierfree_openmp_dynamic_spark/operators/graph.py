@@ -20,8 +20,49 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
+
+
+def dense_ids(df: DataFrame, col: str, partitions: int,
+              out_col: str = "idx") -> DataFrame:
+    """Distributed dense rank ``0..N-1`` of ``df`` rows by sorted ``col``.
+
+    Pure-DataFrame zipWithIndex: range-repartition by the key, per-partition
+    ``row_number`` (JVM window, parallel), plus a per-partition offset
+    cascade from one small ``collect``. No single-partition window, no
+    Python row serialization — the id-assignment path stays JVM-side at any
+    scale (the reference's span-index assignment,
+    ``/root/reference/src/Graph.hxx:472``, done distributively).
+    """
+    # Eager snapshot: repartitionByRange SAMPLES its boundaries, so two
+    # evaluations of the same plan can partition differently — the offset
+    # cascade must see the exact partitioning the final plan uses.
+    sorted_df = (
+        df.repartitionByRange(partitions, F.col(col))
+        .sortWithinPartitions(col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    return (
+        sorted_df.withColumn(
+            out_col,
+            (F.row_number().over(w).cast("long") - 1 + omap[F.col("_pid")]),
+        )
+        .drop("_pid")
+    )
 
 
 @dataclass
@@ -73,16 +114,21 @@ def build_graph(
     spark = edges_raw.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges_raw.select(
+    raw = edges_raw.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     )
     if symmetric:
-        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        raw = raw.unionByName(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    # Persist the raw edge source once: vertices and edges both derive from
+    # it (the source may be an expensive extraction pipeline).
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
 
     if vertices is None:
         v = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
+            raw.select(F.col("src").alias("id"))
+            .unionByName(raw.select(F.col("dst").alias("id")))
             .distinct()
         )
     else:
@@ -90,26 +136,30 @@ def build_graph(
     v = v.repartition(p, "id").persist(StorageLevel.MEMORY_AND_DISK)
     n = v.count()
 
+    e = raw
     if add_self_loops:
         loops = v.select(F.col("id").alias("src"), F.col("id").alias("dst"))
         e = e.unionByName(loops)
 
+    # One shuffle total: hash-partition by src FIRST; the (src,dst) dedup's
+    # ClusteredDistribution is satisfied by the src partitioning (all
+    # duplicates colocated), so no second exchange is planned.
     e = (
-        e.dropDuplicates(["src", "dst"])
-        .repartition(p, "src")
+        e.repartition(p, "src")
+        .dropDuplicates(["src", "dst"])
         .sortWithinPartitions("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m = e.count()
+    raw.unpersist()
 
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # Same partitioning as edges (both keyed by src, same partition count):
-    # Catalyst reuses the child partitioning — no extra exchange in the join.
+    # e is already hash-partitioned by src and the aggregate reuses that
+    # partitioning, so the join needs no new exchange of the edge side and
+    # the output keeps e's partitioning — no repartition/sort here.
     adj = (
         e.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .repartition(p, "src")
-        .sortWithinPartitions("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     adj.count()

@@ -53,21 +53,32 @@ class DenseGraph:
     - ``blocks``: (src_idx, dst_idx, w) int32/int32/float64, hash-partitioned
       by src_idx, persisted — the CSR-shaped edge blocks.
     - ``ids``: np.ndarray mapping idx -> original id (driver-side, O(N)).
+    - ``materialize()``: additionally writes the blocks as slice-partitioned
+      parquet so supersteps can run *resident*: each task reads its slice
+      once (pyarrow, OS-page-cached), keeps the NumPy arrays in the reused
+      worker process, and later supersteps ship NO edge bytes through the
+      JVM<->Python Arrow channel at all. On a cluster the same layout lives
+      on HDFS/object storage with executor-local caching — the distributed
+      analogue of the reference's shared-memory CSR residency.
     """
 
+    # broadcast the id->idx map into the remap joins below this vertex count
+    BROADCAST_MAP_MAX = 5_000_000
+
     def __init__(self, graph: LinkGraph):
-        spark = graph.edges.sparkSession
+        from ..operators.graph import dense_ids
+
         self.graph = graph
         self.epoch = uuid.uuid4().hex
         n = graph.num_vertices
-        idx_rdd = (
-            graph.vertices.orderBy("id").rdd.map(lambda r: r[0]).zipWithIndex()
-        )
-        self.idx_of = spark.createDataFrame(idx_rdd, ["id", "idx"]).persist(
-            StorageLevel.MEMORY_AND_DISK
+        self.idx_of = (
+            dense_ids(graph.vertices, "id", graph.partitions)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         src_m = self.idx_of.select(F.col("id").alias("src"), F.col("idx").alias("src_idx"))
         dst_m = self.idx_of.select(F.col("id").alias("dst"), F.col("idx").alias("dst_idx"))
+        if n <= self.BROADCAST_MAP_MAX:
+            src_m, dst_m = F.broadcast(src_m), F.broadcast(dst_m)
         self.blocks = (
             graph.adj.join(src_m, "src")
             .join(dst_m, "dst")
@@ -76,7 +87,6 @@ class DenseGraph:
                 F.col("dst_idx").cast("int").alias("dst_idx"),
                 F.col("w").cast("double").alias("w"),
             )
-            .repartition(graph.partitions, "src_idx")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         self.blocks.count()
@@ -87,6 +97,59 @@ class DenseGraph:
         # dense out-degree==0 detection happens via w (adj has no dead rows);
         # dead-end set = vertices never appearing as src in edges
         self._dead_mask: np.ndarray | None = None
+        self.resident_dir: str | None = None
+        self.n_slices = graph.partitions
+
+    def materialize(self, path: str | None = None) -> "DenseGraph":
+        """Write per-slice ``.npy`` edge blocks for resident supersteps.
+
+        Slice by dst (mod P): each slice OWNS a disjoint residue class of
+        destination indices, so superstep partials are disjoint compact
+        segments (total collect volume = N doubles, not P*N) and hub
+        in-degree skew spreads uniformly across slices.
+
+        Workers ``np.load(mmap_mode='r')`` their slice — the OS page cache
+        keeps ONE physical copy shared by every worker process, and loads
+        are zero-copy. Files are written distributively (each slice's rows
+        live in exactly one partition after the hash repartition). On a
+        multi-node cluster, point ``path`` at shared/node-local storage;
+        the persisted ``blocks`` DataFrame remains the durable source.
+        """
+        import tempfile
+
+        if self.resident_dir:
+            return self
+        d = path or tempfile.mkdtemp(prefix=f"linkgraph_blocks_{self.epoch[:8]}_")
+        P = self.n_slices
+
+        def write_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from collections import defaultdict
+
+            bufs: dict[int, list[pd.DataFrame]] = defaultdict(list)
+            for pdf in batches:
+                for s, grp in pdf.groupby(pdf["dst_idx"] % P):
+                    bufs[int(s)].append(grp)
+            written = []
+            for s, parts in bufs.items():
+                grp = pd.concat(parts, ignore_index=True)
+                np.save(f"{d}/slice_{s}_src.npy",
+                        grp["src_idx"].to_numpy(np.int32))
+                np.save(f"{d}/slice_{s}_dst.npy",
+                        grp["dst_idx"].to_numpy(np.int32))
+                np.save(f"{d}/slice_{s}_w.npy",
+                        grp["w"].to_numpy(np.float64))
+                written.append(s)
+            yield pd.DataFrame({"slice": written})
+
+        (
+            self.blocks.withColumn("slice", F.pmod(F.col("dst_idx"), F.lit(P)))
+            .repartition(P, "slice")
+            .drop("slice")
+            .mapInPandas(write_fn, "slice int")
+            .count()
+        )
+        self.resident_dir = d
+        return self
 
     def dead_mask(self) -> np.ndarray:
         if self._dead_mask is None:
@@ -101,6 +164,11 @@ class DenseGraph:
     def unpersist(self) -> None:
         self.idx_of.unpersist()
         self.blocks.unpersist()
+        if self.resident_dir:
+            import shutil
+
+            shutil.rmtree(self.resident_dir, ignore_errors=True)
+            self.resident_dir = None
 
 
 def _scatter_fn(epoch: str, n: int, ranks_bc, mask_bc):
@@ -143,6 +211,70 @@ def _scatter_fn(epoch: str, n: int, ranks_bc, mask_bc):
     return fn
 
 
+def _load_slice(resident_dir: str, epoch: str, s: int):
+    """Worker-side: load (and process-cache) one edge slice from parquet."""
+    key = (epoch, "res", int(s))
+    block = _BLOCK_CACHE.get(key)
+    if block is None:
+        try:
+            block = (
+                np.load(f"{resident_dir}/slice_{int(s)}_src.npy", mmap_mode="r"),
+                np.load(f"{resident_dir}/slice_{int(s)}_dst.npy", mmap_mode="r"),
+                np.load(f"{resident_dir}/slice_{int(s)}_w.npy", mmap_mode="r"),
+            )
+        except (OSError, FileNotFoundError):
+            block = (np.empty(0, np.int32), np.empty(0, np.int32),
+                     np.empty(0, np.float64))
+        if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+            _BLOCK_CACHE.clear()
+        _BLOCK_CACHE[key] = block
+    return block
+
+
+def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
+                         ranks_bc, mask_bc):
+    """Scatter over resident slices: the input DataFrame carries only slice
+    ids — zero edge bytes cross the JVM<->Python boundary after warmup.
+    Slice ``s`` owns destination indices ``s, s+P, s+2P, ...`` and emits
+    exactly that compact segment of the accumulator."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = ranks_bc.value
+        mask = mask_bc.value if mask_bc is not None else None
+        P = n_slices
+        for pdf in batches:
+            for s in pdf["id"].to_numpy():
+                s = int(s)
+                seg_len = len(range(s, n, P))
+                src_idx, dst_idx, w = _load_slice(resident_dir, epoch, s)
+                if mask is not None and dst_idx.size:
+                    keep = mask[dst_idx]
+                    src_idx, dst_idx, w = src_idx[keep], dst_idx[keep], w[keep]
+                if dst_idx.size:
+                    seg = np.bincount(dst_idx // P, weights=r[src_idx] * w,
+                                      minlength=seg_len)
+                else:
+                    seg = np.zeros(seg_len)
+                yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()]})
+
+    return fn
+
+
+def _resident_expand_fn(resident_dir: str, epoch: str, movers_bc):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = movers_bc.value
+        outs = []
+        for pdf in batches:
+            for s in pdf["id"].to_numpy():
+                src_idx, dst_idx, _w = _load_slice(resident_dir, epoch, s)
+                if src_idx.size:
+                    outs.append(np.unique(dst_idx[m[src_idx]]))
+        sel = np.unique(np.concatenate(outs)) if outs else np.empty(0, np.int32)
+        yield pd.DataFrame({"dst_idx": sel})
+
+    return fn
+
+
 def _norm(delta: np.ndarray, kind: str) -> float:
     if kind == "L1":
         return float(np.sum(np.abs(delta)))
@@ -157,9 +289,14 @@ def pagerank_arrow(
     init: DataFrame | None = None,
     dense: DenseGraph | None = None,
     frontier: DataFrame | None = None,
+    resident: bool | None = None,
 ) -> PageRankResult:
     """Dense Arrow-kernel PageRank: static (init=None), naive-dynamic
     (init=prev ranks), or dynamic-frontier (frontier=(id,) seed set).
+
+    ``resident=None`` auto-selects: graphs above ~500k edges get
+    materialized slice files + resident supersteps (no per-superstep edge
+    streaming); smaller graphs use the streaming kernel directly.
 
     Same semantics/defaults as :func:`..pagerank.pagerank`; ranks match the
     join-agg path and the NumPy oracle to FP precision.
@@ -176,6 +313,14 @@ def pagerank_arrow(
     store = CheckpointStore(o.checkpoint_dir) if o.checkpoint_dir else None
     mode = "static" if init is None and frontier is None else (
         "dynamic-frontier" if frontier is not None else "naive-dynamic")
+
+    if resident is None:
+        resident = dg.resident_dir is not None or graph.num_edges > 500_000
+    if resident and dg.resident_dir is None:
+        dg.materialize()
+    slice_df = (
+        spark.range(0, dg.n_slices, 1, dg.n_slices) if resident else None
+    )
 
     # init rank vector (driver-side dense)
     # dg.ids is sorted -> vectorized id->idx via searchsorted
@@ -213,12 +358,22 @@ def pagerank_arrow(
             c0 += d * float(r[dead].sum()) / n
         ranks_bc = sc.broadcast(r)
         mask_bc = sc.broadcast(affected) if affected is not None else None
-        parts = dg.blocks.mapInPandas(
-            _scatter_fn(dg.epoch, n, ranks_bc, mask_bc), "acc binary"
-        ).collect()
         acc = np.zeros(n)
-        for row in parts:
-            acc += np.frombuffer(row["acc"], dtype=np.float64)
+        if resident:
+            parts = slice_df.mapInPandas(
+                _resident_scatter_fn(dg.resident_dir, dg.epoch, n,
+                                     dg.n_slices, ranks_bc, mask_bc),
+                "slice int, acc binary",
+            ).toPandas()
+            P = dg.n_slices
+            for s, blob in zip(parts["slice"], parts["acc"]):
+                acc[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
+        else:
+            parts = dg.blocks.mapInPandas(
+                _scatter_fn(dg.epoch, n, ranks_bc, mask_bc), "acc binary"
+            ).toPandas()
+            for blob in parts["acc"]:
+                acc += np.frombuffer(blob, dtype=np.float64)
         new_r = c0 + d * acc
         if affected is not None:
             # frontier semantics: only affected vertices update
@@ -251,12 +406,15 @@ def pagerank_arrow(
                         t = pdf["dst_idx"].to_numpy()
                         yield pd.DataFrame({"dst_idx": np.unique(t[m[s]])})
 
-                exp = (
-                    dg.blocks.mapInPandas(expand_fn, "dst_idx int")
-                    .distinct()
-                    .toPandas()["dst_idx"]
-                    .to_numpy()
+                src_df = (
+                    slice_df.mapInPandas(
+                        _resident_expand_fn(dg.resident_dir, dg.epoch, movers_bc),
+                        "dst_idx int",
+                    )
+                    if resident
+                    else dg.blocks.mapInPandas(expand_fn, "dst_idx int")
                 )
+                exp = src_df.distinct().toPandas()["dst_idx"].to_numpy()
                 affected[exp] = True
                 movers_bc.destroy()
         r = new_r

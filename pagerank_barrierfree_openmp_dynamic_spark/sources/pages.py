@@ -17,7 +17,7 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # href in single or double quotes; tolerant of other attributes before href.
 _HREF_RE = re.compile(rb"""<a\s[^>]*?href\s*=\s*["']([^"'#\s>]+)""", re.IGNORECASE)
@@ -54,16 +54,16 @@ def url_dictionary(pages: DataFrame) -> DataFrame:
     analogue of the reference's ``span``-indexed vectors
     (``/root/reference/src/Graph.hxx:472``).
 
-    One global sort, once per corpus version. At 10^12-doc scale this is a
-    range-partitioned sort — heavy but a one-time build step; all iterative
-    work downstream uses the long ids only.
+    Distributed: range-partitioned sort + per-partition window + offset
+    cascade (``operators.graph.dense_ids``) — no single-partition window, no
+    Python row serialization. One pass, once per corpus version; all
+    iterative work downstream uses the long ids only.
     """
-    w = Window.orderBy("url")
-    return (
-        pages.select("url")
-        .distinct()
-        .withColumn("id", F.row_number().over(w).cast("long") - 1)
-    )
+    from ..operators.graph import dense_ids
+
+    spark = pages.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return dense_ids(pages.select("url").distinct(), "url", p, out_col="id")
 
 
 def pages_to_edges(

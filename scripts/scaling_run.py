@@ -1,10 +1,14 @@
 #!/usr/bin/env python
-"""One scaling-run data point: static PageRank (fixed supersteps) on a
-large synthetic graph at local[CPUS]. Prints one JSON line.
+"""One scaling-run data point: the flagship pipeline (synthetic pages ->
+link extraction -> url dictionary -> graph build -> PageRank supersteps)
+at local[CPUS]. Prints one JSON line with phase timings.
 
-The graph is generated distributively (spark.range + xxhash64 — no driver
-materialization) so the benchmark measures kernel throughput, not datagen.
-Usage: python scripts/scaling_run.py CPUS [N_EDGES] [N_VERTICES] [ITERS] [MODE]
+All inputs are generated distributively (mapInPandas over spark.range) so
+the run measures engine throughput at the chosen parallelism, not driver
+datagen. Same job at two parallelism levels = the sandbox stand-in for the
+north rule's N-vs-4N-executor scaling requirement.
+
+Usage: python scripts/scaling_run.py CPUS [N_PAGES] [ITERS] [MODE]
 """
 
 from __future__ import annotations
@@ -16,9 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from pagerank_barrierfree_openmp_dynamic_spark.session import get_spark  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark import datagen  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (  # noqa: E402
     PageRankOptions,
@@ -28,41 +31,55 @@ from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (  # 
     DenseGraph,
     pagerank_arrow,
 )
+from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import pages_to_edges  # noqa: E402
 
 
 def main():
     cpus = int(sys.argv[1])
-    n_edges = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
-    n_vertices = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000_000
-    iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    mode = sys.argv[5] if len(sys.argv) > 5 else "arrow"
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "arrow"
 
     spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
-    raw = spark.range(n_edges).select(
-        (F.abs(F.xxhash64(F.col("id"))) % n_vertices).alias("src"),
-        (F.abs(F.xxhash64(F.col("id") + 1_000_000_007)) % n_vertices).alias("dst"),
-    )
-    g = build_graph(raw)
-    dense = DenseGraph(g) if mode == "arrow" else None
+    phases: dict[str, float] = {}
+    t_all = time.monotonic()
 
-    t0 = time.monotonic()
+    t = time.monotonic()
+    pages = datagen.pages_df_dist(spark, n_pages).persist()
+    n_rows = pages.count()
+    phases["generate_pages"] = round(time.monotonic() - t, 3)
+
+    t = time.monotonic()
+    edges, d = pages_to_edges(pages)
+    g = build_graph(edges, vertices=d.select("id"))
+    phases["extract_build"] = round(time.monotonic() - t, 3)
+
+    t = time.monotonic()
     if mode == "arrow":
+        dense = DenseGraph(g).materialize()
+        phases["dense_build"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
         res = pagerank_arrow(
             g, PageRankOptions(tolerance=0.0, max_iterations=iters,
-                               metrics_level="none"), dense=dense)
+                               metrics_level="none"),
+            dense=dense, resident=True)
     else:
         res = pagerank(
             g, PageRankOptions(tolerance=0.0, max_iterations=iters,
-                               check_every=4, metrics_level="none"))
+                               check_every=5, metrics_level="none"))
     res.ranks.count()
-    dt = time.monotonic() - t0
+    phases["pagerank"] = round(time.monotonic() - t, 3)
 
+    total = round(time.monotonic() - t_all, 3)
     print(json.dumps({
-        "cpus": cpus, "mode": mode, "n_vertices": g.num_vertices,
-        "n_edges": g.num_edges, "supersteps": res.iterations,
-        "seconds": round(dt, 3),
-        "sec_per_superstep": round(dt / res.iterations, 3),
-        "edges_per_sec_per_superstep": round(g.num_edges * res.iterations / dt, 1),
+        "cpus": cpus, "mode": mode, "n_pages": n_rows,
+        "n_vertices": g.num_vertices, "n_edges": g.num_edges,
+        "supersteps": res.iterations, "phases": phases,
+        "seconds": total,
+        "pages_per_sec": round(n_rows / total, 1),
+        "sec_per_superstep": round(phases["pagerank"] / max(1, res.iterations), 3),
+        "edges_per_sec_per_superstep": round(
+            g.num_edges * res.iterations / phases["pagerank"], 1),
     }))
 
 
