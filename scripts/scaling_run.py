@@ -34,11 +34,56 @@ from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (  # 
 from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import pages_to_edges  # noqa: E402
 
 
+def kernel_main(cpus: int, n_edges: int, n_vertices: int, iters: int):
+    """Kernel-only scaling point: JVM-generated skewed random graph (no
+    Python datagen), resident Arrow supersteps. Sized so per-superstep
+    compute dominates local-mode fixed costs."""
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name=f"scalek-{cpus}", cpus=cpus)
+    phases = {}
+    t = time.monotonic()
+    h1 = F.abs(F.xxhash64(F.col("id")))
+    h2 = F.abs(F.xxhash64(F.col("id") + 1_000_000_007))
+    # 10% of edges point into a 0.1% hub set -> web-like in-degree skew
+    dst = F.when(h1 % 10 == 0, h2 % max(1, n_vertices // 1000)).otherwise(
+        h2 % n_vertices)
+    raw = spark.range(n_edges).select(
+        (h1 % n_vertices).alias("src"), dst.alias("dst"))
+    g = build_graph(raw)
+    phases["build"] = round(time.monotonic() - t, 3)
+    t = time.monotonic()
+    dense = DenseGraph(g).materialize()
+    phases["dense_build"] = round(time.monotonic() - t, 3)
+    # warmup (slice mmap + worker spin-up), then measured run
+    pagerank_arrow(g, PageRankOptions(tolerance=0.0, max_iterations=2,
+                                      metrics_level="none"),
+                   dense=dense, resident=True)
+    t = time.monotonic()
+    res = pagerank_arrow(g, PageRankOptions(tolerance=0.0, max_iterations=iters,
+                                            metrics_level="none"),
+                         dense=dense, resident=True)
+    dt = time.monotonic() - t
+    phases["pagerank"] = round(dt, 3)
+    print(json.dumps({
+        "cpus": cpus, "mode": "kernel", "n_vertices": g.num_vertices,
+        "n_edges": g.num_edges, "supersteps": res.iterations, "phases": phases,
+        "seconds": round(dt, 3),
+        "sec_per_superstep": round(dt / res.iterations, 3),
+        "edges_per_sec_per_superstep": round(
+            g.num_edges * res.iterations / dt, 1),
+    }))
+
+
 def main():
     cpus = int(sys.argv[1])
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     mode = sys.argv[4] if len(sys.argv) > 4 else "arrow"
+    if mode == "kernel":
+        # argv[2] = edge count for kernel mode
+        kernel_main(cpus, n_pages, max(1, n_pages // 16), iters)
+        return
 
     spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
     phases: dict[str, float] = {}
