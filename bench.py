@@ -31,7 +31,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.session import get_spark  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark import datagen  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (  # noqa: E402
-    apply_batch,
+    apply_batch_dense,
     batch_endpoints_frontier,
 )
 from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph  # noqa: E402
@@ -121,7 +121,7 @@ def main():
     }
 
     # -- dynamic frontier after a 1e-4|E| batch (the reference's headline
-    # batch size, README.md:144-152) --
+    # batch size, README.md:144-152): O(batch) delta overlay, no rebuild --
     with timed("dynamic_frontier"):
         edges_pdf = g.edges.filter(F.col("src") != F.col("dst")).limit(
             max(10, int(g.num_edges * 1e-4))
@@ -135,12 +135,11 @@ def main():
         batch = spark.createDataFrame(
             pd.concat([dels, ins]), schema="src long, dst long, op string"
         )
-        g2 = apply_batch(g, batch)
-        dense2 = DenseGraph(g2)
+        g2, dense2 = apply_batch_dense(g, dense, batch)
         frontier = batch_endpoints_frontier(g, g2, batch)
         res_dyn = pagerank_arrow(
             g2, PageRankOptions(tolerance=1e-6, metrics_level="none"),
-            init=res.ranks, frontier=frontier, dense=dense2,
+            init=res.ranks, frontier=frontier, dense=dense2, resident=True,
         )
         res_dyn.ranks.count()
     extras["dynamic_frontier_iterations"] = res_dyn.iterations
@@ -184,9 +183,7 @@ def main():
         ).count()
 
     g.unpersist()
-    g2.unpersist()
     dense.unpersist()
-    dense2.unpersist()
 
     total = round(time.monotonic() - t_total, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -47,6 +47,74 @@ def apply_batch(
     )
 
 
+def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
+    """O(batch) dynamic update for the Arrow dense kernel: compute the NET
+    edge changes against the current edge set with broadcast semi/anti
+    joins, then overlay them as a delta generation on the resident slice
+    files (``DenseGraph.apply_delta``) — no graph rebuild, no re-shuffle.
+
+    Returns ``(new_graph, new_dense)``: a lightweight LinkGraph whose
+    ``edges`` DataFrame reflects the update lazily (for frontier seeding /
+    DataFrame consumers) and the delta-overlay DenseGraph view.
+
+    Constraints: batch endpoints must be existing vertices (dense id space
+    is fixed — a batch introducing new pages goes through the full
+    ``apply_batch`` rebuild), and normalization self-loops are protected
+    from deletion, mirroring ``apply_batch``.
+    """
+    import numpy as np
+
+    from ..plans.pagerank_arrow import DenseGraph  # noqa: F401  (type only)
+
+    dels = batch.filter(F.col("op") == "del").select("src", "dst")
+    ins = batch.filter(F.col("op") == "ins").select("src", "dst")
+    if graph.self_loops:
+        dels = dels.filter(F.col("src") != F.col("dst"))
+
+    # net-delete = (D ∩ E) \ I ; net-insert = I \ (E \ D)
+    d_in_e = dels.join(graph.edges, ["src", "dst"], "left_semi")
+    net_del_df = d_in_e.join(ins, ["src", "dst"], "left_anti").distinct()
+    e_minus_d = graph.edges.join(F.broadcast(dels), ["src", "dst"], "left_anti")
+    net_ins_df = ins.join(e_minus_d, ["src", "dst"], "left_anti").distinct()
+
+    def to_idx(df: DataFrame) -> np.ndarray:
+        pdf = df.toPandas()
+        if len(pdf) == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        ids = dense.ids
+        out = np.empty((len(pdf), 2), dtype=np.int64)
+        for j, col in enumerate(("src", "dst")):
+            vals = pdf[col].to_numpy()
+            i = np.searchsorted(ids, vals)
+            bad = (i >= len(ids)) | (ids[np.minimum(i, len(ids) - 1)] != vals)
+            if bad.any():
+                raise ValueError(
+                    "apply_batch_dense: batch references vertices outside the "
+                    "dense id space; use apply_batch (full rebuild) instead")
+            out[:, j] = i
+        return out
+
+    net_ins = to_idx(net_ins_df)
+    net_del = to_idx(net_del_df)
+    new_dense = dense.apply_delta(net_ins, net_del)
+
+    new_edges = (
+        graph.edges.join(F.broadcast(net_del_df), ["src", "dst"], "left_anti")
+        .unionByName(net_ins_df)
+    )
+    new_graph = LinkGraph(
+        edges=new_edges,
+        vertices=graph.vertices,
+        adj=None,  # not materialized for the light view; rebuild if needed
+        num_vertices=graph.num_vertices,
+        num_edges=graph.num_edges + len(net_ins) - len(net_del),
+        partitions=graph.partitions,
+        self_loops=graph.self_loops,
+    )
+    new_dense.graph = new_graph
+    return new_graph, new_dense
+
+
 def batch_endpoints_frontier(
     graph_old: LinkGraph, graph_new: LinkGraph, batch: DataFrame
 ) -> DataFrame:

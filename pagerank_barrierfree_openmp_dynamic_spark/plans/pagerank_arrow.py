@@ -79,13 +79,18 @@ class DenseGraph:
         dst_m = self.idx_of.select(F.col("id").alias("dst"), F.col("idx").alias("dst_idx"))
         if n <= self.BROADCAST_MAP_MAX:
             src_m, dst_m = F.broadcast(src_m), F.broadcast(dst_m)
+        # Blocks carry (src_idx, dst_idx) ONLY — no per-edge weight. The
+        # superstep broadcasts q = r / outdeg instead of r, so the weight is
+        # folded into the broadcast vector. This halves block bytes AND
+        # makes edge-batch deltas O(batch): an insert/delete never has to
+        # touch its source's sibling edges when the out-degree changes (the
+        # degree lives in the driver-side ``deg`` vector).
         self.blocks = (
-            graph.adj.join(src_m, "src")
+            graph.edges.join(src_m, "src")
             .join(dst_m, "dst")
             .select(
                 F.col("src_idx").cast("int").alias("src_idx"),
                 F.col("dst_idx").cast("int").alias("dst_idx"),
-                F.col("w").cast("double").alias("w"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -94,11 +99,13 @@ class DenseGraph:
         self.ids = ids_pdf["id"].to_numpy()
         assert len(self.ids) == n
         self.n = n
-        # dense out-degree==0 detection happens via w (adj has no dead rows);
-        # dead-end set = vertices never appearing as src in edges
-        self._dead_mask: np.ndarray | None = None
+        deg_pdf = self.blocks.groupBy("src_idx").count().toPandas()
+        self.deg = np.zeros(n, dtype=np.float64)
+        self.deg[deg_pdf["src_idx"].to_numpy()] = deg_pdf["count"].to_numpy()
         self.resident_dir: str | None = None
         self.n_slices = graph.partitions
+        self.gen = 0  # delta-overlay generation (apply_delta bumps it)
+        self._owns_files = True
 
     def materialize(self, path: str | None = None) -> "DenseGraph":
         """Write per-slice ``.npy`` edge blocks for resident supersteps.
@@ -136,8 +143,6 @@ class DenseGraph:
                         grp["src_idx"].to_numpy(np.int32))
                 np.save(f"{d}/slice_{s}_dst.npy",
                         grp["dst_idx"].to_numpy(np.int32))
-                np.save(f"{d}/slice_{s}_w.npy",
-                        grp["w"].to_numpy(np.float64))
                 written.append(s)
             yield pd.DataFrame({"slice": written})
 
@@ -152,16 +157,52 @@ class DenseGraph:
         return self
 
     def dead_mask(self) -> np.ndarray:
-        if self._dead_mask is None:
-            src_idx = (
-                self.blocks.select("src_idx").distinct().toPandas()["src_idx"].to_numpy()
-            )
-            m = np.ones(self.n, dtype=bool)
-            m[src_idx] = False
-            self._dead_mask = m
-        return self._dead_mask
+        return self.deg == 0
+
+    def inv_deg(self) -> np.ndarray:
+        return np.where(self.deg > 0, 1.0 / np.maximum(self.deg, 1.0), 0.0)
+
+    def apply_delta(self, net_ins: np.ndarray, net_del: np.ndarray) -> "DenseGraph":
+        """O(batch) incremental update: returns a NEW view sharing the base
+        slice files plus one more delta-overlay generation.
+
+        ``net_ins`` / ``net_del`` are (k, 2) int arrays of dense
+        (src_idx, dst_idx) pairs that are net-added / net-removed relative
+        to this view's edge set (caller computes net effect — see
+        ``operators.batch.apply_batch_dense``). The reference's staged
+        add/remove + ``updateOmpU`` commit (``src/update.hxx:70-99``), at
+        batch cost instead of rebuild cost.
+        """
+        import copy
+
+        if self.resident_dir is None:
+            self.materialize()
+        g = self.gen + 1
+        P = self.n_slices
+        for arr, sign in ((net_ins, 1), (net_del, -1)):
+            if arr.size == 0:
+                continue
+            sl = arr[:, 1] % P
+            for s in np.unique(sl):
+                m = sl == s
+                tag = "ins" if sign > 0 else "del"
+                np.save(f"{self.resident_dir}/delta{g}_slice_{int(s)}_{tag}_src.npy",
+                        arr[m, 0].astype(np.int32))
+                np.save(f"{self.resident_dir}/delta{g}_slice_{int(s)}_{tag}_dst.npy",
+                        arr[m, 1].astype(np.int32))
+        new = copy.copy(self)
+        new.gen = g
+        new.deg = self.deg.copy()
+        if net_ins.size:
+            np.add.at(new.deg, net_ins[:, 0], 1.0)
+        if net_del.size:
+            np.add.at(new.deg, net_del[:, 0], -1.0)
+        new._owns_files = False
+        return new
 
     def unpersist(self) -> None:
+        if not self._owns_files:
+            return
         self.idx_of.unpersist()
         self.blocks.unpersist()
         if self.resident_dir:
@@ -171,9 +212,10 @@ class DenseGraph:
             self.resident_dir = None
 
 
-def _scatter_fn(epoch: str, n: int, ranks_bc, mask_bc):
-    """Build the mapInPandas closure for one superstep. Emits one binary
-    cell per partition: the dense float64 partial accumulator."""
+def _scatter_fn(epoch: str, n: int, q_bc, mask_bc):
+    """Streaming-mode mapInPandas closure for one superstep. ``q_bc`` is the
+    broadcast q = r / outdeg vector; emits one dense float64 partial
+    accumulator per partition."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -182,49 +224,57 @@ def _scatter_fn(epoch: str, n: int, ranks_bc, mask_bc):
         key = (epoch, pid)
         block = _BLOCK_CACHE.get(key)
         if block is None:
-            srcs, dsts, ws = [], [], []
+            srcs, dsts = [], []
             for pdf in batches:
                 srcs.append(pdf["src_idx"].to_numpy(np.int32))
                 dsts.append(pdf["dst_idx"].to_numpy(np.int32))
-                ws.append(pdf["w"].to_numpy(np.float64))
             if srcs:
-                block = (
-                    np.concatenate(srcs), np.concatenate(dsts), np.concatenate(ws)
-                )
+                block = (np.concatenate(srcs), np.concatenate(dsts))
             else:
-                block = (np.empty(0, np.int32), np.empty(0, np.int32),
-                         np.empty(0, np.float64))
+                block = (np.empty(0, np.int32), np.empty(0, np.int32))
             if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
                 _BLOCK_CACHE.clear()
             _BLOCK_CACHE[key] = block
         else:
             for _ in batches:  # drain the Arrow stream
                 pass
-        src_idx, dst_idx, w = block
-        r = ranks_bc.value
+        src_idx, dst_idx = block
+        q = q_bc.value
         if mask_bc is not None:
             keep = mask_bc.value[dst_idx]
-            src_idx, dst_idx, w = src_idx[keep], dst_idx[keep], w[keep]
-        acc = np.bincount(dst_idx, weights=r[src_idx] * w, minlength=n)
+            src_idx, dst_idx = src_idx[keep], dst_idx[keep]
+        acc = np.bincount(dst_idx, weights=q[src_idx], minlength=n)
         yield pd.DataFrame({"acc": [acc.astype(np.float64).tobytes()]})
 
     return fn
 
 
-def _load_slice(resident_dir: str, epoch: str, s: int):
-    """Worker-side: load (and process-cache) one edge slice from parquet."""
-    key = (epoch, "res", int(s))
+def _load_slice(resident_dir: str, epoch: str, s: int, gen: int):
+    """Worker-side: load (and process-cache) one edge slice — the base
+    (src, dst) mmap pair plus all delta overlays up to ``gen``. Returns
+    (base_src, base_dst, [(d_src, d_dst, sign), ...])."""
+    key = (epoch, "res", int(s), int(gen))
     block = _BLOCK_CACHE.get(key)
     if block is None:
         try:
-            block = (
+            base = (
                 np.load(f"{resident_dir}/slice_{int(s)}_src.npy", mmap_mode="r"),
                 np.load(f"{resident_dir}/slice_{int(s)}_dst.npy", mmap_mode="r"),
-                np.load(f"{resident_dir}/slice_{int(s)}_w.npy", mmap_mode="r"),
             )
         except (OSError, FileNotFoundError):
-            block = (np.empty(0, np.int32), np.empty(0, np.int32),
-                     np.empty(0, np.float64))
+            base = (np.empty(0, np.int32), np.empty(0, np.int32))
+        deltas = []
+        for g in range(1, gen + 1):
+            for tag, sign in (("ins", 1.0), ("del", -1.0)):
+                try:
+                    dsrc = np.load(
+                        f"{resident_dir}/delta{g}_slice_{int(s)}_{tag}_src.npy")
+                    ddst = np.load(
+                        f"{resident_dir}/delta{g}_slice_{int(s)}_{tag}_dst.npy")
+                    deltas.append((dsrc, ddst, sign))
+                except (OSError, FileNotFoundError):
+                    pass
+        block = (base[0], base[1], deltas)
         if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
             _BLOCK_CACHE.clear()
         _BLOCK_CACHE[key] = block
@@ -232,43 +282,48 @@ def _load_slice(resident_dir: str, epoch: str, s: int):
 
 
 def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
-                         ranks_bc, mask_bc):
+                         gen: int, q_bc, mask_bc):
     """Scatter over resident slices: the input DataFrame carries only slice
     ids — zero edge bytes cross the JVM<->Python boundary after warmup.
     Slice ``s`` owns destination indices ``s, s+P, s+2P, ...`` and emits
-    exactly that compact segment of the accumulator."""
+    exactly that compact segment of the accumulator. ``q_bc`` broadcasts
+    q = r / outdeg; delta overlays contribute with their sign."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        r = ranks_bc.value
+        q = q_bc.value
         mask = mask_bc.value if mask_bc is not None else None
         P = n_slices
         for pdf in batches:
             for s in pdf["id"].to_numpy():
                 s = int(s)
                 seg_len = len(range(s, n, P))
-                src_idx, dst_idx, w = _load_slice(resident_dir, epoch, s)
-                if mask is not None and dst_idx.size:
-                    keep = mask[dst_idx]
-                    src_idx, dst_idx, w = src_idx[keep], dst_idx[keep], w[keep]
-                if dst_idx.size:
-                    seg = np.bincount(dst_idx // P, weights=r[src_idx] * w,
-                                      minlength=seg_len)
-                else:
-                    seg = np.zeros(seg_len)
+                src_idx, dst_idx, deltas = _load_slice(resident_dir, epoch, s, gen)
+                seg = np.zeros(seg_len)
+                for ds, dd, sign in [(src_idx, dst_idx, 1.0)] + deltas:
+                    if mask is not None and dd.size:
+                        keep = mask[dd]
+                        ds, dd = ds[keep], dd[keep]
+                    if dd.size:
+                        seg += sign * np.bincount(dd // P, weights=q[ds],
+                                                  minlength=seg_len)
                 yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()]})
 
     return fn
 
 
-def _resident_expand_fn(resident_dir: str, epoch: str, movers_bc):
+def _resident_expand_fn(resident_dir: str, epoch: str, gen: int, movers_bc):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = movers_bc.value
         outs = []
         for pdf in batches:
             for s in pdf["id"].to_numpy():
-                src_idx, dst_idx, _w = _load_slice(resident_dir, epoch, s)
-                if src_idx.size:
-                    outs.append(np.unique(dst_idx[m[src_idx]]))
+                src_idx, dst_idx, deltas = _load_slice(resident_dir, epoch,
+                                                       int(s), gen)
+                # expansion walks live out-edges: base + inserted (deleted
+                # edges no longer push their dst, matching the updated graph)
+                for ds, dd, sign in [(src_idx, dst_idx, 1.0)] + deltas:
+                    if sign > 0 and ds.size:
+                        outs.append(np.unique(dd[m[ds]]))
         sel = np.unique(np.concatenate(outs)) if outs else np.empty(0, np.int32)
         yield pd.DataFrame({"dst_idx": sel})
 
@@ -316,6 +371,8 @@ def pagerank_arrow(
 
     if resident is None:
         resident = dg.resident_dir is not None or graph.num_edges > 500_000
+    if dg.gen > 0 and not resident:
+        raise ValueError("delta-overlay DenseGraph views require resident mode")
     if resident and dg.resident_dir is None:
         dg.materialize()
     slice_df = (
@@ -346,6 +403,7 @@ def pagerank_arrow(
 
     dead_mode = o.dead_end_teleport and not graph.self_loops
     dead = dg.dead_mask() if dead_mode else None
+    inv_deg = dg.inv_deg()
 
     metrics: list[dict] = []
     err = float("inf")
@@ -356,13 +414,14 @@ def pagerank_arrow(
         c0 = (1.0 - d) / n
         if dead_mode:
             c0 += d * float(r[dead].sum()) / n
-        ranks_bc = sc.broadcast(r)
+        # fold the out-degree weight into the broadcast: q = r / outdeg
+        ranks_bc = sc.broadcast(r * inv_deg)
         mask_bc = sc.broadcast(affected) if affected is not None else None
         acc = np.zeros(n)
         if resident:
             parts = slice_df.mapInPandas(
                 _resident_scatter_fn(dg.resident_dir, dg.epoch, n,
-                                     dg.n_slices, ranks_bc, mask_bc),
+                                     dg.n_slices, dg.gen, ranks_bc, mask_bc),
                 "slice int, acc binary",
             ).toPandas()
             P = dg.n_slices
@@ -408,7 +467,8 @@ def pagerank_arrow(
 
                 src_df = (
                     slice_df.mapInPandas(
-                        _resident_expand_fn(dg.resident_dir, dg.epoch, movers_bc),
+                        _resident_expand_fn(dg.resident_dir, dg.epoch,
+                                            dg.gen, movers_bc),
                         "dst_idx int",
                     )
                     if resident

@@ -134,3 +134,89 @@ def test_arrow_dead_end_teleport(spark):
         assert np.allclose(_ranks_array(res, n), r, atol=1e-12)
     finally:
         g.unpersist()
+
+
+def test_apply_batch_dense_delta_overlay(spark):
+    """O(batch) delta overlay == full rebuild == oracle on the updated
+    graph (static re-rank, fixed iterations, FP-exact)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        apply_batch_dense,
+    )
+
+    n = 300
+    edges_pdf = datagen.synth_edges(n, seed=21)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g).materialize()
+    rng = np.random.default_rng(5)
+    k = max(1, len(edges_pdf) // 20)
+    idx = rng.choice(len(edges_pdf), size=k, replace=False)
+    dels = edges_pdf.iloc[idx][["src", "dst"]].copy()
+    dels["op"] = "del"
+    new_src = rng.integers(0, n, k)
+    new_dst = (new_src + 1 + rng.integers(0, n - 1, k)) % n
+    ins = pd.DataFrame({"src": new_src, "dst": new_dst, "op": "ins"})
+    batch_pdf = pd.concat([dels, ins], ignore_index=True)
+    batch = spark.createDataFrame(batch_pdf, schema="src long, dst long, op string")
+
+    try:
+        g2, dense2 = apply_batch_dense(g, dense, batch)
+        # oracle on the updated edge set
+        es = set(map(tuple, edges_pdf[["src", "dst"]].itertuples(index=False)))
+        es -= set(map(tuple, dels[["src", "dst"]].itertuples(index=False)))
+        es |= set(map(tuple, ins[["src", "dst"]].itertuples(index=False)))
+        golden, _ = pagerank_oracle(n, sorted(es), tol=0.0, max_iter=8)
+        res = pagerank_arrow(
+            g2, PageRankOptions(tolerance=0.0, max_iterations=8,
+                                metrics_level="none"),
+            dense=dense2, resident=True)
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-12)
+        # edge-set parity of the light DataFrame view
+        want = set(es) | {(i, i) for i in range(n)}
+        got = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+        assert got == want
+        # num_edges bookkeeping
+        assert g2.num_edges == len(want)
+    finally:
+        dense.unpersist()
+        g.unpersist()
+
+
+def test_apply_batch_dense_frontier(spark):
+    """Dynamic frontier on a delta-overlay view matches golden ranks."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        apply_batch_dense,
+        batch_endpoints_frontier,
+    )
+
+    n = 200
+    edges_pdf = datagen.synth_edges(n, seed=31)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g).materialize()
+    rng = np.random.default_rng(6)
+    k = max(1, len(edges_pdf) // 50)
+    idx = rng.choice(len(edges_pdf), size=k, replace=False)
+    dels = edges_pdf.iloc[idx][["src", "dst"]].copy()
+    dels["op"] = "del"
+    batch = spark.createDataFrame(dels, schema="src long, dst long, op string")
+    try:
+        prev = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+            dense=dense, resident=True)
+        g2, dense2 = apply_batch_dense(g, dense, batch)
+        frontier = batch_endpoints_frontier(g, g2, batch)
+        res = pagerank_arrow(
+            g2, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+            init=prev.ranks, frontier=frontier, dense=dense2, resident=True)
+        es = set(map(tuple, edges_pdf[["src", "dst"]].itertuples(index=False)))
+        es -= set(map(tuple, dels[["src", "dst"]].itertuples(index=False)))
+        golden, _ = pagerank_oracle(n, sorted(es), tol=1e-14)
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-6)
+    finally:
+        dense.unpersist()
+        g.unpersist()
