@@ -1,0 +1,94 @@
+"""Structured Streaming skin over the batch-incremental engine.
+
+The reference's "dynamic" is batch-incremental: apply an edge batch, then
+incrementally re-rank (``/root/reference/main.cxx:74-124``). This module
+exposes the same loop as a Structured Streaming job: a stream of
+(src, dst, op) batch files drives ``apply_batch_dense`` + dynamic-frontier
+re-rank via ``foreachBatch`` — each micro-batch IS one reference-protocol
+batch. Watermarks/stateful operators are unnecessary (SURVEY.md §2.8:
+the reference has no continuous-time semantics to mirror); exactly-once
+comes from the streaming checkpoint + rank checkpoints per superstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.batch import apply_batch, apply_batch_dense, batch_endpoints_frontier
+from ..operators.graph import LinkGraph
+from ..plans.pagerank import PageRankOptions, PageRankResult
+from ..plans.pagerank_arrow import DenseGraph, pagerank_arrow
+
+BATCH_SCHEMA = "src long, dst long, op string"
+
+
+class IncrementalPageRank:
+    """Stateful incremental PageRank: holds the current graph snapshot,
+    dense view, and converged ranks; every :meth:`update` applies one edge
+    batch at O(batch) cost and re-ranks only the affected frontier."""
+
+    def __init__(self, graph: LinkGraph, opts: PageRankOptions | None = None):
+        self.opts = opts or PageRankOptions()
+        self.graph = graph
+        self.dense = DenseGraph(graph).materialize()
+        res = pagerank_arrow(graph, self.opts, dense=self.dense, resident=True)
+        self.ranks = res.ranks
+        self.history: list[PageRankResult] = [res]
+
+    def update(self, batch: DataFrame) -> PageRankResult:
+        if batch.isEmpty():
+            return self.history[-1]
+        try:
+            new_graph, new_dense = apply_batch_dense(self.graph, self.dense, batch)
+        except ValueError:
+            # batch introduces new vertices -> full rebuild path
+            new_graph = apply_batch(self.graph, batch)
+            new_dense = DenseGraph(new_graph).materialize()
+        frontier = batch_endpoints_frontier(self.graph, new_graph, batch)
+        res = pagerank_arrow(
+            new_graph, self.opts, init=self.ranks, frontier=frontier,
+            dense=new_dense, resident=True,
+        )
+        self.graph, self.dense, self.ranks = new_graph, new_dense, res.ranks
+        self.history.append(res)
+        return res
+
+
+def stream_batches(
+    spark: SparkSession,
+    batch_dir: str,
+    engine: IncrementalPageRank,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    sink: str | None = None,
+):
+    """Stream (src, dst, op) parquet files from ``batch_dir`` into the
+    incremental engine. ``available_now=True`` drains what's there and
+    stops (test/batch mode); otherwise runs continuously.
+
+    Returns the StreamingQuery; ``query.awaitTermination()`` to block.
+
+    One file per micro-batch (``maxFilesPerTrigger=1``): edge batches are
+    ORDERED (a later batch may delete an earlier batch's insertion), so
+    coalescing files into one micro-batch would change the net edge set.
+    """
+    stream = (
+        spark.readStream.schema(BATCH_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(batch_dir)
+    )
+
+    def handle(df: DataFrame, _batch_id: int) -> None:
+        res = engine.update(df)
+        if sink:
+            res.ranks.write.mode("overwrite").parquet(
+                f"{sink}/batch={_batch_id}")
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
