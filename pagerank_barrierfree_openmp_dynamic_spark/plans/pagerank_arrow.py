@@ -299,6 +299,7 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                 seg_len = len(range(s, n, P))
                 src_idx, dst_idx, deltas = _load_slice(resident_dir, epoch, s, gen)
                 seg = np.zeros(seg_len)
+                m_edges = 0
                 for ds, dd, sign in [(src_idx, dst_idx, 1.0)] + deltas:
                     if mask is not None and dd.size:
                         keep = mask[dd]
@@ -306,7 +307,9 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                     if dd.size:
                         seg += sign * np.bincount(dd // P, weights=q[ds],
                                                   minlength=seg_len)
-                yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()]})
+                        m_edges += int(dd.size)
+                yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()],
+                                    "m": [m_edges]})
 
     return fn
 
@@ -418,15 +421,17 @@ def pagerank_arrow(
         ranks_bc = sc.broadcast(r * inv_deg)
         mask_bc = sc.broadcast(affected) if affected is not None else None
         acc = np.zeros(n)
+        slice_edges: dict[int, int] = {}
         if resident:
             parts = slice_df.mapInPandas(
                 _resident_scatter_fn(dg.resident_dir, dg.epoch, n,
                                      dg.n_slices, dg.gen, ranks_bc, mask_bc),
-                "slice int, acc binary",
+                "slice int, acc binary, m long",
             ).toPandas()
             P = dg.n_slices
-            for s, blob in zip(parts["slice"], parts["acc"]):
+            for s, blob, m_e in zip(parts["slice"], parts["acc"], parts["m"]):
                 acc[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
+                slice_edges[int(s)] = int(m_e)
         else:
             parts = dg.blocks.mapInPandas(
                 _scatter_fn(dg.epoch, n, ranks_bc, mask_bc), "acc binary"
@@ -490,10 +495,31 @@ def pagerank_arrow(
                      edges_processed=graph.num_edges, delta_linf=linf,
                      elapsed_ms=ms)
             )
+            if o.metrics_level == "partition" and slice_edges:
+                # per-slice lineage: which slice processed how many edges
+                metrics.extend(
+                    dict(run_id=run_id, mode=f"arrow-{mode}", iteration=it,
+                         partition_id=s, rows_processed=-1,
+                         edges_processed=m_e, delta_linf=-1.0, elapsed_ms=-1.0)
+                    for s, m_e in sorted(slice_edges.items())
+                )
         if store and (it % o.checkpoint_every == 0):
             rdf = spark.createDataFrame(
                 pd.DataFrame({"id": dg.ids, "rank": r}))
-            store.save(it, rdf, None, None,
+            fdf = None
+            if affected is not None:
+                fdf = spark.createDataFrame(
+                    pd.DataFrame({"id": dg.ids[affected]}))
+            mdf = None
+            if o.metrics_level != "none" and metrics:
+                from ..checkpoint import METRICS_SCHEMA
+
+                mdf = spark.createDataFrame(
+                    [tuple(m[f.name] for f in METRICS_SCHEMA.fields)
+                     for m in metrics],
+                    METRICS_SCHEMA,
+                )
+            store.save(it, rdf, fdf, mdf,
                        extra={"run_id": run_id, "mode": f"arrow-{mode}",
                               "err": err})
         if err < tol:
@@ -504,3 +530,31 @@ def pagerank_arrow(
         dg.unpersist()
     return PageRankResult(ranks=ranks_df, iterations=it, err=err,
                           time_s=time.monotonic() - t0, metrics=metrics)
+
+
+def resume_arrow(
+    graph: LinkGraph,
+    opts: PageRankOptions,
+    dense: DenseGraph | None = None,
+) -> PageRankResult:
+    """Continue a checkpointed Arrow-kernel run from its latest committed
+    superstep (north rule: runs resume mid-convergence). The rank vector
+    (and frontier, for dynamic runs) reload from the checkpoint store; the
+    dense view rebuilds from the persisted graph (or is passed in)."""
+    if not opts.checkpoint_dir:
+        raise ValueError("resume_arrow requires opts.checkpoint_dir")
+    store = CheckpointStore(opts.checkpoint_dir)
+    it = store.latest()
+    if it is None:
+        raise FileNotFoundError(
+            f"no committed iteration under {opts.checkpoint_dir}")
+    spark = graph.edges.sparkSession
+    ranks = store.load_ranks(spark, it)
+    frontier = store.load_frontier(spark, it)
+    info = store.commit_info(it)
+    from dataclasses import replace
+
+    o = replace(opts, run_id=info.get("run_id"),
+                max_iterations=max(0, opts.max_iterations - it))
+    res = pagerank_arrow(graph, o, init=ranks, frontier=frontier, dense=dense)
+    return res

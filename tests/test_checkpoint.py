@@ -75,3 +75,36 @@ def test_metrics_written(spark, tiny_graph, tmp_path):
     # iteration metrics carry the converging delta
     last = whole.sort_values("iteration")["delta_linf"].to_numpy()
     assert last[-1] < 1e-7 <= last[0]
+
+
+def test_arrow_resume_equals_uninterrupted(spark, tiny_graph, tmp_path):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+        pagerank_arrow,
+        resume_arrow,
+    )
+
+    ckpt = str(tmp_path / "ckpt_arrow")
+    golden, _ = pagerank_oracle(10, datagen.tiny_edges(), tol=1e-14)
+    partial = pagerank_arrow(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-9, max_iterations=4, checkpoint_dir=ckpt),
+    )
+    assert partial.iterations == 4
+    assert CheckpointStore(ckpt).latest() == 4
+    resumed = resume_arrow(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-9, max_iterations=500, checkpoint_dir=ckpt),
+    )
+    got = _ranks_array(resumed, 10)
+    assert np.allclose(got, golden, atol=1e-6)
+    # metrics parquet contains per-slice lineage rows when requested
+    # (slice lineage exists in resident mode)
+    res2 = pagerank_arrow(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-7, checkpoint_dir=str(tmp_path / "m"),
+                        metrics_level="partition"),
+        resident=True,
+    )
+    mdf = CheckpointStore(str(tmp_path / "m")).load_metrics(spark).toPandas()
+    assert (mdf["partition_id"] >= 0).any()
+    assert (mdf[mdf.partition_id >= 0]["edges_processed"] >= 0).all()
