@@ -400,9 +400,15 @@ def pagerank_arrow(
         r[i[ok]] = pdf["rank"].to_numpy()[ok]
 
     affected: np.ndarray | None = None
+    active: np.ndarray | None = None
     if frontier is not None:
         affected = np.zeros(n, dtype=bool)
         affected[_to_idx(frontier.toPandas()["id"].to_numpy())] = True
+        if o.contracting:
+            # per-vertex convergence flags (pagerankBarrierfree e[v],
+            # src/pagerankBarrierfree.hxx:68-122): the live set shrinks as
+            # vertices' deltas drop below tol, re-enters on neighbor push
+            active = affected.copy()
 
     dead_mode = o.dead_end_teleport and not graph.self_loops
     dead = dg.dead_mask() if dead_mode else None
@@ -419,7 +425,8 @@ def pagerank_arrow(
             c0 += d * float(r[dead].sum()) / n
         # fold the out-degree weight into the broadcast: q = r / outdeg
         ranks_bc = sc.broadcast(r * inv_deg)
-        mask_bc = sc.broadcast(affected) if affected is not None else None
+        scope = active if o.contracting and active is not None else affected
+        mask_bc = sc.broadcast(scope) if scope is not None else None
         acc = np.zeros(n)
         slice_edges: dict[int, int] = {}
         if resident:
@@ -440,18 +447,19 @@ def pagerank_arrow(
                 acc += np.frombuffer(blob, dtype=np.float64)
         new_r = c0 + d * acc
         if affected is not None:
-            # frontier semantics: only affected vertices update
+            # frontier semantics: only in-scope vertices update
             # (pagerankCalculateRanks fa filter, src/pagerank.hxx:229-256)
+            upd = scope
             new_full = r.copy()
-            new_full[affected] = new_r[affected]
+            new_full[upd] = new_r[upd]
             delta = np.abs(new_full - r)
-            rows = int(affected.sum())
+            rows = int(upd.sum())
             new_r = new_full
         else:
             delta = np.abs(new_r - r)
             rows = n
         it += 1
-        err = _norm(delta[affected] if affected is not None else delta,
+        err = _norm(delta[scope] if affected is not None else delta,
                     o.tolerance_norm)
         linf = float(np.max(delta)) if delta.size else 0.0
 
@@ -481,7 +489,12 @@ def pagerank_arrow(
                 )
                 exp = src_df.distinct().toPandas()["dst_idx"].to_numpy()
                 affected[exp] = True
+                if o.contracting and active is not None:
+                    active &= delta > tol  # per-vertex converged drop out
+                    active[exp] = True     # neighbor push re-activates
                 movers_bc.destroy()
+            elif o.contracting and active is not None:
+                active &= delta > tol
         r = new_r
         ranks_bc.destroy()
         if mask_bc is not None:
@@ -523,6 +536,8 @@ def pagerank_arrow(
                        extra={"run_id": run_id, "mode": f"arrow-{mode}",
                               "err": err})
         if err < tol:
+            break
+        if o.contracting and active is not None and not active.any():
             break
 
     ranks_df = spark.createDataFrame(pd.DataFrame({"id": dg.ids, "rank": r}))

@@ -220,3 +220,46 @@ def test_apply_batch_dense_frontier(spark):
     finally:
         dense.unpersist()
         g.unpersist()
+
+
+def test_arrow_contracting_frontier_matches_golden(spark):
+    """Per-vertex convergence flags (B2/B3) in the dense kernel: the active
+    set contracts as deltas fall below tol, re-enters on neighbor push;
+    final ranks still match golden on the updated graph."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        apply_batch_dense,
+        batch_endpoints_frontier,
+    )
+
+    n = 200
+    edges_pdf = datagen.synth_edges(n, seed=41)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g).materialize()
+    rng = np.random.default_rng(7)
+    idx = rng.choice(len(edges_pdf), size=8, replace=False)
+    dels = edges_pdf.iloc[idx][["src", "dst"]].copy()
+    dels["op"] = "del"
+    batch = spark.createDataFrame(dels, schema="src long, dst long, op string")
+    try:
+        prev = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+            dense=dense, resident=True)
+        g2, dense2 = apply_batch_dense(g, dense, batch)
+        frontier = batch_endpoints_frontier(g, g2, batch)
+        res = pagerank_arrow(
+            g2, PageRankOptions(tolerance=1e-9, contracting=True,
+                                metrics_level="iteration"),
+            init=prev.ranks, frontier=frontier, dense=dense2, resident=True)
+        es = set(map(tuple, edges_pdf[["src", "dst"]].itertuples(index=False)))
+        es -= set(map(tuple, dels[["src", "dst"]].itertuples(index=False)))
+        golden, _ = pagerank_oracle(n, sorted(es), tol=1e-14)
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-6)
+        # active set contracts: later iterations touch fewer rows than peak
+        touched = [m["rows_processed"] for m in res.metrics]
+        assert touched[-1] <= max(touched)
+    finally:
+        dense.unpersist()
+        g.unpersist()
