@@ -177,13 +177,17 @@ def pagerank_dynamic_frontier(
     batch: DataFrame,
     prev_ranks: DataFrame,
     opts: PageRankOptions | None = None,
+    frontier: DataFrame | None = None,
 ) -> PageRankResult:
     """Dynamic Frontier re-rank after an edge batch —
     ``pagerankBasicDynamicFrontierOmp`` / barrier-free variant
     (``src/pagerankBasic.hxx:174-201``, ``src/pagerankBarrierfree.hxx:319-330``).
+    ``frontier`` overrides the seed affected set (used by the Traversal
+    strategy, which seeds with the full reachability closure).
     """
     o = opts or PageRankOptions()
-    frontier = batch_endpoints_frontier(graph_old, graph_new, batch)
+    if frontier is None:
+        frontier = batch_endpoints_frontier(graph_old, graph_new, batch)
     return _loop(
         graph_new, _init_ranks(graph_new, prev_ranks), frontier, o, "dynamic-frontier"
     )

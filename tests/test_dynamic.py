@@ -117,3 +117,36 @@ def test_li_norm_static_vs_dynamic(spark, setting):
         init=prev.ranks,
     )
     assert li_norm(static_new.ranks, dyn.ranks) < 1e-6
+
+
+def test_reachable_set_and_dynamic_traversal(spark, setting):
+    """T4/P8: BFS closure matches a Python reachability oracle; Traversal
+    re-rank matches golden static ranks on the updated graph."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.traversal import (
+        pagerank_dynamic_traversal,
+        reachable_set,
+    )
+
+    g = setting["g"]
+    # closure oracle from vertex set {0, 1}
+    seeds = spark.createDataFrame([(0,), (1,)], "id long")
+    adj = {}
+    for s, t in setting["edges_pdf"].itertuples(index=False):
+        adj.setdefault(int(s), set()).add(int(t))
+    want, stack = {0, 1}, [0, 1]
+    while stack:
+        u = stack.pop()
+        for v in adj.get(u, ()):  # engine edges include self-loops; harmless
+            if v not in want:
+                want.add(v)
+                stack.append(v)
+    got = {r["id"] for r in reachable_set(g, seeds).collect()}
+    assert got == want
+
+    prev = pagerank(setting["g"], PageRankOptions(tolerance=1e-9, metrics_level="none"))
+    res = pagerank_dynamic_traversal(
+        setting["g"], setting["g2"], setting["batch"], prev.ranks,
+        PageRankOptions(tolerance=1e-9, metrics_level="none"),
+    )
+    got_r = _ranks_array(res, setting["n"])
+    assert np.allclose(got_r, setting["golden_new"], atol=1e-6)
