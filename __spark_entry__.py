@@ -178,6 +178,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_converged"] = pagerank_converged  # no SQL oracle (iterative)
 
+    # -- weighted PageRank (MTX weighted column, src/mtx.hxx:68-73): rank
+    # flows ∝ weight/Σ(out-weights); duplicate (src,dst) weights merge by SUM
+    def pagerank_weighted_3iter(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        ew = li.select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("l_partkey") % 100).cast("long").alias("dst"),
+            F.col("l_quantity").cast("double").alias("weight"),
+        )
+        g = build_graph(ew, weight_col="weight")
+        res = pagerank(g, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                          metrics_level="none"))
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_weighted_3iter"] = pagerank_weighted_3iter
+
+    # -- personalized teleport: (1-d)·p[v] with p ∝ 2.0 on ids ≡ 0 (mod 10)
+    def pagerank_personalized_3iter(spark, sf):
+        g = _graph(spark, sf)
+        pers = g.vertices.filter(F.col("id") % 10 == 0).select(
+            "id", F.lit(2.0).alias("p")
+        )
+        res = pagerank(
+            g,
+            PageRankOptions(tolerance=0.0, max_iterations=3,
+                            metrics_level="none"),
+            personalization=pers,
+        )
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_personalized_3iter"] = pagerank_personalized_3iter
+
     def dynamic_frontier(spark, sf):
         g = _graph(spark, sf)
         prev = pagerank(g, PageRankOptions(tolerance=1e-6, check_every=4,
@@ -301,6 +333,58 @@ r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
 SELECT id, ROUND(rank, 9) AS rank FROM r3"""
 
 
+def _pagerank_weighted_3iter_sql() -> str:
+    iters = []
+    for i in range(1, 4):
+        iters.append(
+            f"r{i} AS (SELECT v.id, (1.0 - {DAMPING}) / nn.n + {DAMPING} * "
+            f"COALESCE(s.s, 0.0) AS rank FROM v CROSS JOIN nn LEFT JOIN ("
+            f"SELECT t.dst, SUM(r{i-1}.rank * t.w) AS s FROM t "
+            f"JOIN r{i-1} ON t.src = r{i-1}.id GROUP BY t.dst) s ON s.dst = v.id)"
+        )
+    joined = ",\n".join(iters)
+    return f"""
+WITH e0w AS (SELECT l_suppkey AS src, l_partkey % 100 AS dst,
+                    CAST(SUM(l_quantity) AS DOUBLE) AS weight
+             FROM lineitem GROUP BY 1, 2),
+v AS (SELECT src AS id FROM e0w UNION SELECT dst AS id FROM e0w),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+loops AS (SELECT id AS src, id AS dst, 1.0 AS weight FROM v
+          WHERE id NOT IN (SELECT src FROM e0w WHERE src = dst)),
+e AS (SELECT src, dst, weight FROM e0w UNION ALL SELECT * FROM loops),
+ws AS (SELECT src, SUM(weight) AS ws FROM e GROUP BY src),
+t AS (SELECT e.src, e.dst, e.weight / ws.ws AS w FROM e JOIN ws ON e.src = ws.src),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
+{joined}
+SELECT id, ROUND(rank, 9) AS rank FROM r3"""
+
+
+def _pagerank_personalized_3iter_sql() -> str:
+    iters = []
+    for i in range(1, 4):
+        iters.append(
+            f"r{i} AS (SELECT v.id, (1.0 - {DAMPING}) * pn.p + {DAMPING} * "
+            f"COALESCE(s.s, 0.0) AS rank FROM v JOIN pn ON v.id = pn.id "
+            f"LEFT JOIN ("
+            f"SELECT e.dst, SUM(r{i-1}.rank * deg.w) AS s FROM e "
+            f"JOIN r{i-1} ON e.src = r{i-1}.id JOIN deg ON e.src = deg.src "
+            f"GROUP BY e.dst) s ON s.dst = v.id)"
+        )
+    joined = ",\n".join(iters)
+    return f"""
+WITH {G_CTES},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
+deg AS (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),
+p0 AS (SELECT id, 2.0 AS pw FROM v WHERE id % 10 = 0),
+pt AS (SELECT SUM(pw) AS t FROM p0),
+pn AS (SELECT v.id, COALESCE(p0.pw, 0.0) / pt.t AS p
+       FROM v LEFT JOIN p0 ON v.id = p0.id CROSS JOIN pt),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
+{joined}
+SELECT id, ROUND(rank, 9) AS rank FROM r3"""
+
+
 def _lpa_sql(iterations: int = 2) -> str:
     steps = []
     for i in range(1, iterations + 1):
@@ -387,6 +471,8 @@ SELECT DISTINCT src, dst FROM (
   SELECT src, dst FROM kept UNION ALL SELECT dst AS src, src AS dst FROM dels)"""
 
     o["pagerank_3iter"] = _pagerank_3iter_sql()
+    o["pagerank_weighted_3iter"] = _pagerank_weighted_3iter_sql()
+    o["pagerank_personalized_3iter"] = _pagerank_personalized_3iter_sql()
     o["connected_components"] = f"""
 WITH RECURSIVE {G_CTES},
 und AS (SELECT DISTINCT src, dst FROM (

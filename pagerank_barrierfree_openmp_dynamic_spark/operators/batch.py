@@ -29,21 +29,29 @@ def apply_batch(
     ``selfLoopOmpU`` after each batch.
     """
     dels = batch.filter(F.col("op") == "del").select("src", "dst")
-    ins = batch.filter(F.col("op") == "ins").select("src", "dst")
+    ins = batch.filter(F.col("op") == "ins")
+    if graph.weighted:
+        # Weighted graphs: an inserted edge carries batch.weight (default
+        # 1.0); inserting an already-present edge merges additively, the
+        # same parallel-edge rule as build_graph.
+        w = (F.col("weight").cast("double") if "weight" in ins.columns
+             else F.lit(1.0))
+        ins = ins.select(F.col("src").cast("long"), F.col("dst").cast("long"),
+                         w.alias("weight"))
+    else:
+        ins = ins.select(F.col("src").cast("long"), F.col("dst").cast("long"))
 
     base = graph.edges
     if graph.self_loops:
         # Never delete the normalization self-loops.
         dels = dels.filter(F.col("src") != F.col("dst"))
-    new_edges = (
-        base.join(dels, ["src", "dst"], "left_anti")
-        .unionByName(ins.select(F.col("src").cast("long"), F.col("dst").cast("long")))
-    )
+    new_edges = base.join(dels, ["src", "dst"], "left_anti").unionByName(ins)
     return build_graph(
         new_edges,
         vertices=graph.vertices,
         add_self_loops=graph.self_loops,
         partitions=partitions or graph.partitions,
+        weight_col="weight" if graph.weighted else None,
     )
 
 
@@ -65,6 +73,11 @@ def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
     import numpy as np
 
     from ..plans.pagerank_arrow import DenseGraph  # noqa: F401  (type only)
+
+    if graph.weighted:
+        raise ValueError(
+            "apply_batch_dense supports unweighted graphs (weighted deltas "
+            "re-scale sibling edges); use apply_batch (rebuild) instead")
 
     dels = batch.filter(F.col("op") == "del").select("src", "dst")
     ins = batch.filter(F.col("op") == "ins").select("src", "dst")

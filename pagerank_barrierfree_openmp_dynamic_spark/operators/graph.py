@@ -83,6 +83,7 @@ class LinkGraph:
     num_edges: int
     partitions: int
     self_loops: bool = True
+    weighted: bool = False
     _persisted: list[DataFrame] = field(default_factory=list, repr=False)
 
     def out_degrees(self) -> DataFrame:
@@ -102,6 +103,7 @@ def build_graph(
     add_self_loops: bool = True,
     symmetric: bool = False,
     partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> LinkGraph:
     """Materialize a :class:`LinkGraph` from a raw (src, dst) DataFrame.
 
@@ -110,17 +112,26 @@ def build_graph(
     ``/root/reference/src/Graph.hxx:472``); otherwise derived from edges.
     ``symmetric=True`` mirrors the MTX symmetric-graph rule
     (``/root/reference/src/mtx.hxx:68-73``): add the reverse of every edge.
+    ``weight_col`` names an edge-weight column (the MTX ``weighted`` third
+    column, ``src/mtx.hxx:68-73``): rank then flows proportionally to
+    weight/Σ(out-weights). Parallel (src,dst) duplicates merge by SUMMING
+    weights (order-insensitive, hence deterministic under any partitioning);
+    added self-loops get weight 1.0.
     """
     spark = edges_raw.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    weighted = weight_col is not None
 
     raw = edges_raw.select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        *([F.col(weight_col).cast("double").alias("weight")] if weighted else []),
     )
     if symmetric:
-        raw = raw.unionByName(
-            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        raw = raw.unionByName(raw.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *([F.col("weight")] if weighted else []),
+        ))
     # Persist the raw edge source once: vertices and edges both derive from
     # it (the source may be an expensive extraction pipeline).
     raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
@@ -138,30 +149,57 @@ def build_graph(
 
     e = raw
     if add_self_loops:
-        loops = v.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        loop_v = v
+        if weighted:
+            # Weighted merge SUMS duplicates, so a blanket union is not
+            # idempotent (rebuilds would inflate existing self-loop weight);
+            # add weight-1.0 loops only where missing. (Unweighted dedup
+            # makes the blanket union idempotent for free.)
+            have = (
+                raw.filter(F.col("src") == F.col("dst"))
+                .select(F.col("src").alias("id"))
+                .distinct()
+            )
+            loop_v = v.join(have, "id", "left_anti")
+        loops = loop_v.select(
+            F.col("id").alias("src"), F.col("id").alias("dst"),
+            *([F.lit(1.0).alias("weight")] if weighted else []),
+        )
         e = e.unionByName(loops)
 
     # One shuffle total: hash-partition by src FIRST; the (src,dst) dedup's
     # ClusteredDistribution is satisfied by the src partitioning (all
-    # duplicates colocated), so no second exchange is planned.
+    # duplicates colocated), so no second exchange is planned. (The weighted
+    # groupBy merge obeys the same rule: grouping keys ⊇ partitioning keys.)
+    e = e.repartition(p, "src")
+    if weighted:
+        e = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    else:
+        e = e.dropDuplicates(["src", "dst"])
     e = (
-        e.repartition(p, "src")
-        .dropDuplicates(["src", "dst"])
-        .sortWithinPartitions("src", "dst")
+        e.sortWithinPartitions("src", "dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     m = e.count()
     raw.unpersist()
 
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # e is already hash-partitioned by src and the aggregate reuses that
     # partitioning, so the join needs no new exchange of the edge side and
     # the output keeps e's partitioning — no repartition/sort here.
-    adj = (
-        e.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if weighted:
+        outw = e.groupBy("src").agg(F.sum("weight").alias("wsum"))
+        adj = (
+            e.join(outw, "src")
+            .select("src", "dst", (F.col("weight") / F.col("wsum")).alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        adj = (
+            e.join(outdeg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     adj.count()
 
     return LinkGraph(
@@ -172,6 +210,7 @@ def build_graph(
         num_edges=m,
         partitions=p,
         self_loops=add_self_loops,
+        weighted=weighted,
         _persisted=[v, e, adj],
     )
 

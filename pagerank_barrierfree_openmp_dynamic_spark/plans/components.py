@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.graph import LinkGraph
+from ..session import adaptive_execution
 
 
 def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFrame:
@@ -30,25 +31,30 @@ def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFra
     und = und.persist()
     und.count()
 
+    spark = graph.edges.sparkSession
     labels = graph.vertices.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
-    for _ in range(max_iterations):
-        nmin = (
-            und.join(labels, und.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        nxt = (
-            labels.join(nmin, labels.id == nmin.dst, "left")
-            .select(
-                labels.id,
-                F.least(labels.comp, F.coalesce("ncomp", labels.comp)).alias("comp"),
-                (F.coalesce("ncomp", labels.comp) < labels.comp).alias("chg"),
+    with adaptive_execution(spark, False):
+        for _ in range(max_iterations):
+            nmin = (
+                und.join(labels, und.src == labels.id)
+                .groupBy("dst")
+                .agg(F.min("comp").alias("ncomp"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = nxt.filter(F.col("chg")).count()
-        labels = nxt.select("id", "comp").localCheckpoint(eager=True)
-        if changed == 0:
-            break
+            # ONE eager job per superstep: the checkpointed frame carries the
+            # change flag, so the convergence count is a cached scan and the
+            # next iteration's labels are a projection of the same data.
+            nxt = (
+                labels.join(nmin, labels.id == nmin.dst, "left")
+                .select(
+                    labels.id,
+                    F.least(labels.comp, F.coalesce("ncomp", labels.comp)).alias("comp"),
+                    (F.coalesce("ncomp", labels.comp) < labels.comp).alias("chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.filter(F.col("chg")).count()
+            labels = nxt.select("id", "comp")
+            if changed == 0:
+                break
     und.unpersist()
     return labels

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators.graph import LinkGraph
+from ..session import adaptive_execution
 
 
 def label_propagation(graph: LinkGraph, iterations: int = 5) -> DataFrame:
@@ -27,21 +28,22 @@ def label_propagation(graph: LinkGraph, iterations: int = 5) -> DataFrame:
 
     labels = graph.vertices.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("label").asc())
-    for _ in range(iterations):
-        votes = (
-            und.join(labels, und.src == labels.id)
-            .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
-        )
-        winner = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
-        )
-        labels = (
-            labels.join(winner, "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+    with adaptive_execution(graph.edges.sparkSession, False):
+        for _ in range(iterations):
+            votes = (
+                und.join(labels, und.src == labels.id)
+                .groupBy("dst", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            winner = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+            )
+            labels = (
+                labels.join(winner, "id", "left")
+                .select("id", F.coalesce("new_label", "label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
     und.unpersist()
     return labels

@@ -36,10 +36,12 @@ Physical plan per superstep: one join of the persisted, src-partitioned
 co-partitioned sort-merge — ``adj`` never re-shuffles), one
 ``groupBy(dst)`` shuffle with map-side partial aggregation (the transpose
 direction is realized by the shuffle itself, replacing
-``transposeWithDegree``), then a rank-state update join. Supersteps between
-convergence checks are chained lazily (persisted, one action per check);
-lineage is truncated at every check via eager ``localCheckpoint`` (plus
-durable parquet/Iceberg checkpoints for resume).
+``transposeWithDegree``), then a rank-state update join. Every superstep is
+materialized eagerly (one job over persisted parents); ``check_every > 1``
+skips only the convergence reduction between checks. Lineage is truncated at
+every check via eager ``localCheckpoint`` (plus durable parquet/Iceberg
+checkpoints for resume), and the loop runs with AQE off
+(:func:`..session.adaptive_execution` — superstep shapes are fully known).
 """
 
 from __future__ import annotations
@@ -53,6 +55,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..checkpoint import METRICS_SCHEMA, CheckpointStore
 from ..operators.batch import batch_endpoints_frontier
 from ..operators.graph import LinkGraph
+from ..session import adaptive_execution
 
 _NORM_AGG = {
     "L1": lambda c: F.sum(F.abs(c)),
@@ -80,6 +83,12 @@ class PageRankOptions:
     # engine knows N exactly — better than Catalyst's unknown-stats guess
     # for checkpointed iterative state.
     broadcast_vertices: int = 2_000_000
+    # Keep AQE on inside the superstep loop. Off by default: superstep plans
+    # have fully-known shapes (N, |E|, broadcast sides, salt buckets are all
+    # explicit), so AQE's per-action re-planning only adds latency — measured
+    # 3-4x per superstep at bench scale. The session default (AQE on) is
+    # restored after the loop; scan/build phases keep it.
+    adaptive_supersteps: bool = False
     checkpoint_dir: str | None = None  # durable resume checkpoints
     checkpoint_every: int = 1  # in units of checks
     metrics_level: str = "iteration"  # none | iteration | partition
@@ -108,18 +117,17 @@ def _init_ranks(graph: LinkGraph, init: DataFrame | None) -> DataFrame:
     )
 
 
-def _teleport_c0(graph: LinkGraph, ranks: DataFrame, dead: DataFrame, d: float) -> float:
+def _dead_rank_sum(ranks: DataFrame, dead: DataFrame) -> float:
     """Dead-end handling ``pagerankTeleport`` (``src/pagerank.hxx:158-184``):
-    C0 = (1-d)/N + d * sum_{outdeg(u)=0} r[u] / N. ``dead`` (id,) is the
-    graph-static dead-end vertex set, computed once per graph."""
-    n = graph.num_vertices
-    s = (
+    the rank mass sitting on zero-out-degree vertices this superstep, to be
+    redistributed through the teleport term (uniformly, or ∝ p when
+    personalized). ``dead`` (id,) is graph-static, computed once per graph."""
+    return float(
         ranks.join(F.broadcast(dead), "id", "left_semi")
         .agg(F.sum("rank"))
         .collect()[0][0]
         or 0.0
     )
-    return (1.0 - d) / n + d * s / n
 
 
 def _scatter(
@@ -162,13 +170,26 @@ def pagerank(
     graph: LinkGraph,
     opts: PageRankOptions | None = None,
     init: DataFrame | None = None,
+    personalization: DataFrame | None = None,
 ) -> PageRankResult:
     """Static (init=None) or naive-dynamic (init=previous ranks) PageRank —
     ``pagerankBasicOmp`` (``src/pagerankBasic.hxx:97-107``). Full sweeps,
-    global-norm stop."""
+    global-norm stop.
+
+    ``personalization`` (id, p) replaces the uniform teleport with a vector
+    one: a[v] = (1-d)·p[v] + d·Σ r[u]·w(u,v) (p is normalized to sum 1;
+    vertices absent from the frame get p=0; dead-end mass, when enabled,
+    also redistributes ∝ p). Uniform p = 1/N reduces to the reference
+    recurrence exactly. Not in the reference (its teleport is uniform-only,
+    ``src/pagerank.hxx:158-184``) — a standard engine extension for
+    topic-/seed-biased link analysis.
+    """
     o = opts or PageRankOptions()
     mode = "static" if init is None else "naive-dynamic"
-    return _loop(graph, _init_ranks(graph, init), None, o, mode)
+    if personalization is not None:
+        mode = f"personalized-{mode}"
+    return _loop(graph, _init_ranks(graph, init), None, o, mode,
+                 personalization=personalization)
 
 
 def pagerank_dynamic_frontier(
@@ -223,6 +244,7 @@ def _loop(
     o: PageRankOptions,
     mode: str,
     start_iteration: int = 0,
+    personalization: DataFrame | None = None,
 ) -> PageRankResult:
     spark = graph.edges.sparkSession
     n, d = graph.num_vertices, o.damping
@@ -243,6 +265,23 @@ def _loop(
             .localCheckpoint(eager=True)
         )
 
+    pvec = None
+    if personalization is not None:
+        tot = float(
+            personalization.agg(F.sum("p")).collect()[0][0] or 0.0
+        )
+        if tot <= 0.0:
+            raise ValueError("personalization weights must sum to > 0")
+        pvec = (
+            graph.vertices.join(personalization.select("id", "p"), "id", "left")
+            .select(
+                "id",
+                (F.coalesce("p", F.lit(0.0)) / F.lit(tot)).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pvec_b = F.broadcast(pvec) if small else pvec
+
     ranks = ranks0.localCheckpoint(eager=True)
     frontier = (
         frontier0.distinct().localCheckpoint(eager=True) if frontier0 is not None else None
@@ -258,121 +297,141 @@ def _loop(
     t0 = time.monotonic()
     pending: list[DataFrame] = []  # persisted intermediates since last check
 
-    while it < o.max_iterations:
-        t_it = time.monotonic()
-        c0 = _teleport_c0(graph, ranks, dead, d) if dead_mode else (1.0 - d) / n
-        scope = active if o.contracting else frontier  # None => full sweep
-        sums = _scatter(graph, ranks, scope, o.salt_buckets, small)
-        if small:
-            sums = F.broadcast(sums)
-        new_rank = F.lit(c0) + F.lit(d) * F.coalesce("s", F.lit(0.0))
-
-        if scope is None:
-            state = ranks.join(sums, ranks.id == sums.dst, "left").select(
-                ranks.id,
-                new_rank.alias("rank"),
-                F.abs(new_rank - ranks.rank).alias("delta"),
-            )
-            state.persist()
-            pending.append(state)
-            ranks_next = state.select("id", "rank")
-        else:
-            upd = (
-                (F.broadcast(scope) if small else scope).join(ranks, "id")
-                .join(sums, F.col("id") == sums.dst, "left")
-                .select(
-                    F.col("id"),
-                    new_rank.alias("new_rank"),
-                    F.abs(new_rank - F.col("rank")).alias("delta"),
-                )
-            )
-            upd.persist()
-            pending.append(upd)
-            state = upd.select("id", F.col("new_rank").alias("rank"), "delta")
-            upd_small = upd.select("id", "new_rank")
+    with adaptive_execution(spark, o.adaptive_supersteps):
+        while it < o.max_iterations:
+            t_it = time.monotonic()
+            s_dead = _dead_rank_sum(ranks, dead) if dead_mode else 0.0
+            scope = active if o.contracting else frontier  # None => full sweep
+            sums = _scatter(graph, ranks, scope, o.salt_buckets, small)
             if small:
-                upd_small = F.broadcast(upd_small)
-            ranks_next = ranks.join(upd_small, "id", "left").select(
-                "id", F.coalesce("new_rank", "rank").alias("rank")
-            )
-            ranks_next.persist()
-            pending.append(ranks_next)
-        it += 1
+                sums = F.broadcast(sums)
+            if pvec is None:
+                tele = F.lit((1.0 - d) / n + d * s_dead / n)
+            else:
+                # vector teleport: (1-d)·p[v] (+ dead-end mass ∝ p[v])
+                tele = F.col("p") * F.lit((1.0 - d) + d * s_dead)
+            new_rank = tele + F.lit(d) * F.coalesce("s", F.lit(0.0))
 
-        # Frontier expansion (fr): out-neighbors of vertices that moved > D.
-        if frontier is not None:
-            movers = state.filter(F.col("delta") > D).select("id")
-            expand = graph.edges.join(
-                F.broadcast(movers), graph.edges.src == movers.id, "left_semi"
-            ).select(F.col("dst").alias("id"))
-            frontier = frontier.unionByName(expand).distinct()
-            if o.contracting:
-                still = state.filter(F.col("delta") > tol).select("id")
-                active = still.unionByName(expand).distinct()
-
-        at_check = (it - start_iteration) % check_every == 0 or it >= o.max_iterations
-        if not at_check:
-            ranks = ranks_next
-            continue
-
-        # ---- convergence check: one action materializes the chained
-        # supersteps, then lineage is truncated. ----
-        checks += 1
-        row = state.agg(
-            norm_agg(F.col("delta")).alias("err"),
-            F.max(F.abs("delta")).alias("linf"),
-            F.count("*").alias("rows"),
-        ).collect()[0]
-        err = float(row["err"] or 0.0)
-        linf = float(row["linf"] or 0.0)
-        rows = int(row["rows"])
-
-        ranks = ranks_next.localCheckpoint(eager=True)
-        if frontier is not None:
-            frontier = frontier.localCheckpoint(eager=True)
-            if o.contracting:
-                active = active.localCheckpoint(eager=True)
-        for df in pending:
-            df.unpersist()
-        pending = []
-
-        ms = (time.monotonic() - t_it) * 1000.0
-        if o.metrics_level != "none":
-            metrics.append(
-                dict(run_id=run_id, mode=mode, iteration=it, partition_id=-1,
-                     rows_processed=rows, edges_processed=graph.num_edges,
-                     delta_linf=linf, elapsed_ms=ms)
-            )
-            if o.metrics_level == "partition":
-                per = (
-                    state.groupBy(F.spark_partition_id().alias("pid"))
-                    .agg(F.count("*").alias("cnt"), F.max(F.abs("delta")).alias("dmax"))
-                    .collect()
+            if scope is None:
+                base = ranks if pvec is None else ranks.join(pvec_b, "id")
+                state = base.join(sums, base.id == sums.dst, "left").select(
+                    base.id,
+                    new_rank.alias("rank"),
+                    F.abs(new_rank - base.rank).alias("delta"),
                 )
-                metrics.extend(
-                    dict(run_id=run_id, mode=mode, iteration=it,
-                         partition_id=int(r2["pid"]), rows_processed=int(r2["cnt"]),
-                         edges_processed=-1, delta_linf=float(r2["dmax"] or 0.0),
-                         elapsed_ms=-1.0)
-                    for r2 in per
+                state.persist()
+                pending.append(state)
+                ranks_next = state.select("id", "rank")
+            else:
+                upd = (F.broadcast(scope) if small else scope).join(ranks, "id")
+                if pvec is not None:
+                    upd = upd.join(pvec_b, "id")
+                upd = (
+                    upd.join(sums, F.col("id") == sums.dst, "left")
+                    .select(
+                        F.col("id"),
+                        new_rank.alias("new_rank"),
+                        F.abs(new_rank - F.col("rank")).alias("delta"),
+                    )
                 )
-
-        if store and (checks % o.checkpoint_every == 0):
-            mdf = (
-                spark.createDataFrame(
-                    [tuple(m[f.name] for f in METRICS_SCHEMA.fields) for m in metrics],
-                    METRICS_SCHEMA,
+                upd.persist()
+                pending.append(upd)
+                state = upd.select("id", F.col("new_rank").alias("rank"), "delta")
+                upd_small = upd.select("id", "new_rank")
+                if small:
+                    upd_small = F.broadcast(upd_small)
+                ranks_next = ranks.join(upd_small, "id", "left").select(
+                    "id", F.coalesce("new_rank", "rank").alias("rank")
                 )
-                if o.metrics_level != "none"
-                else None
-            )
-            store.save(it, ranks, frontier, mdf,
-                       extra={"run_id": run_id, "mode": mode, "err": err})
+                ranks_next.persist()
+                pending.append(ranks_next)
+            it += 1
 
-        if err < tol:
-            break
-        if o.contracting and rows == 0:
-            break
+            # Frontier expansion (fr): out-neighbors of vertices that moved > D.
+            if frontier is not None:
+                movers = state.filter(F.col("delta") > D).select("id")
+                expand = graph.edges.join(
+                    F.broadcast(movers), graph.edges.src == movers.id, "left_semi"
+                ).select(F.col("dst").alias("id"))
+                frontier = frontier.unionByName(expand).distinct().persist()
+                pending.append(frontier)
+                if o.contracting:
+                    still = state.filter(F.col("delta") > tol).select("id")
+                    active = still.unionByName(expand).distinct().persist()
+                    pending.append(active)
+
+            at_check = (it - start_iteration) % check_every == 0 or it >= o.max_iterations
+            if not at_check:
+                # Materialize this superstep NOW (one job over persisted
+                # parents). check_every>1 skips only the convergence reduction
+                # (the barrier-free "threads run ahead of the check"); chained
+                # lazy supersteps would re-execute under the later action.
+                ranks_next.count()
+                if frontier is not None:
+                    frontier.count()
+                    if o.contracting:
+                        active.count()
+                ranks = ranks_next
+                continue
+
+            # ---- convergence check: the norm reduction over the (cached)
+            # superstep state; lineage is truncated afterwards. ----
+            checks += 1
+            row = state.agg(
+                norm_agg(F.col("delta")).alias("err"),
+                F.max(F.abs("delta")).alias("linf"),
+                F.count("*").alias("rows"),
+            ).collect()[0]
+            err = float(row["err"] or 0.0)
+            linf = float(row["linf"] or 0.0)
+            rows = int(row["rows"])
+
+            ranks = ranks_next.localCheckpoint(eager=True)
+            if frontier is not None:
+                frontier = frontier.localCheckpoint(eager=True)
+                if o.contracting:
+                    active = active.localCheckpoint(eager=True)
+            for df in pending:
+                df.unpersist()
+            pending = []
+
+            ms = (time.monotonic() - t_it) * 1000.0
+            if o.metrics_level != "none":
+                metrics.append(
+                    dict(run_id=run_id, mode=mode, iteration=it, partition_id=-1,
+                         rows_processed=rows, edges_processed=graph.num_edges,
+                         delta_linf=linf, elapsed_ms=ms)
+                )
+                if o.metrics_level == "partition":
+                    per = (
+                        state.groupBy(F.spark_partition_id().alias("pid"))
+                        .agg(F.count("*").alias("cnt"), F.max(F.abs("delta")).alias("dmax"))
+                        .collect()
+                    )
+                    metrics.extend(
+                        dict(run_id=run_id, mode=mode, iteration=it,
+                             partition_id=int(r2["pid"]), rows_processed=int(r2["cnt"]),
+                             edges_processed=-1, delta_linf=float(r2["dmax"] or 0.0),
+                             elapsed_ms=-1.0)
+                        for r2 in per
+                    )
+
+            if store and (checks % o.checkpoint_every == 0):
+                mdf = (
+                    spark.createDataFrame(
+                        [tuple(m[f.name] for f in METRICS_SCHEMA.fields) for m in metrics],
+                        METRICS_SCHEMA,
+                    )
+                    if o.metrics_level != "none"
+                    else None
+                )
+                store.save(it, ranks, frontier, mdf,
+                           extra={"run_id": run_id, "mode": mode, "err": err})
+
+            if err < tol:
+                break
+            if o.contracting and rows == 0:
+                break
 
     return PageRankResult(
         ranks=ranks,

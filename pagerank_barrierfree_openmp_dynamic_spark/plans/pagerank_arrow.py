@@ -38,6 +38,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..checkpoint import CheckpointStore
 from ..operators.graph import LinkGraph
+from ..session import adaptive_execution
 from .pagerank import PageRankOptions, PageRankResult
 
 # worker-process cache: (epoch, partition_id) -> (src_idx, dst_idx, w)
@@ -79,25 +80,32 @@ class DenseGraph:
         dst_m = self.idx_of.select(F.col("id").alias("dst"), F.col("idx").alias("dst_idx"))
         if n <= self.BROADCAST_MAP_MAX:
             src_m, dst_m = F.broadcast(src_m), F.broadcast(dst_m)
-        # Blocks carry (src_idx, dst_idx) ONLY — no per-edge weight. The
-        # superstep broadcasts q = r / outdeg instead of r, so the weight is
-        # folded into the broadcast vector. This halves block bytes AND
-        # makes edge-batch deltas O(batch): an insert/delete never has to
-        # touch its source's sibling edges when the out-degree changes (the
-        # degree lives in the driver-side ``deg`` vector).
+        # Unweighted blocks carry (src_idx, dst_idx) ONLY — no per-edge
+        # weight. The superstep broadcasts q = r / outdeg instead of r, so
+        # the weight is folded into the broadcast vector. This halves block
+        # bytes AND makes edge-batch deltas O(batch): an insert/delete never
+        # has to touch its source's sibling edges when the out-degree
+        # changes (the degree lives in the driver-side ``deg`` vector).
+        # Weighted graphs carry the pre-normalized transition weight
+        # w = weight/Σ(out-weights) from ``graph.adj`` and broadcast q = r.
+        self.weighted = graph.weighted
+        base = graph.adj if self.weighted else graph.edges
         self.blocks = (
-            graph.edges.join(src_m, "src")
+            base.join(src_m, "src")
             .join(dst_m, "dst")
             .select(
                 F.col("src_idx").cast("int").alias("src_idx"),
                 F.col("dst_idx").cast("int").alias("dst_idx"),
+                *([F.col("w").cast("double").alias("w")] if self.weighted else []),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         self.blocks.count()
-        ids_pdf = self.idx_of.orderBy("idx").toPandas()
-        self.ids = ids_pdf["id"].to_numpy()
-        assert len(self.ids) == n
+        # dense_ids assigns idx in sorted-id order, so placing by idx yields
+        # a sorted ids array (``_to_idx`` relies on this) — no Spark sort.
+        ids_pdf = self.idx_of.toPandas()
+        self.ids = np.empty(n, dtype=np.int64)
+        self.ids[ids_pdf["idx"].to_numpy()] = ids_pdf["id"].to_numpy()
         self.n = n
         deg_pdf = self.blocks.groupBy("src_idx").count().toPandas()
         self.deg = np.zeros(n, dtype=np.float64)
@@ -143,6 +151,9 @@ class DenseGraph:
                         grp["src_idx"].to_numpy(np.int32))
                 np.save(f"{d}/slice_{s}_dst.npy",
                         grp["dst_idx"].to_numpy(np.int32))
+                if "w" in grp.columns:
+                    np.save(f"{d}/slice_{s}_w.npy",
+                            grp["w"].to_numpy(np.float64))
                 written.append(s)
             yield pd.DataFrame({"slice": written})
 
@@ -175,6 +186,13 @@ class DenseGraph:
         """
         import copy
 
+        if self.weighted:
+            raise ValueError(
+                "delta overlays require unweighted blocks: a weighted "
+                "insert/delete changes Σ(out-weights), which re-scales every "
+                "sibling edge's transition weight — rebuild via build_graph "
+                "or use the join-agg path for weighted dynamic graphs"
+            )
         if self.resident_dir is None:
             self.materialize()
         g = self.gen + 1
@@ -214,8 +232,9 @@ class DenseGraph:
 
 def _scatter_fn(epoch: str, n: int, q_bc, mask_bc):
     """Streaming-mode mapInPandas closure for one superstep. ``q_bc`` is the
-    broadcast q = r / outdeg vector; emits one dense float64 partial
-    accumulator per partition."""
+    broadcast q vector (r/outdeg unweighted; r weighted, the per-edge
+    transition weight then rides in the block); emits one dense float64
+    partial accumulator per partition."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -224,26 +243,32 @@ def _scatter_fn(epoch: str, n: int, q_bc, mask_bc):
         key = (epoch, pid)
         block = _BLOCK_CACHE.get(key)
         if block is None:
-            srcs, dsts = [], []
+            srcs, dsts, ws = [], [], []
             for pdf in batches:
                 srcs.append(pdf["src_idx"].to_numpy(np.int32))
                 dsts.append(pdf["dst_idx"].to_numpy(np.int32))
+                if "w" in pdf.columns:
+                    ws.append(pdf["w"].to_numpy(np.float64))
             if srcs:
-                block = (np.concatenate(srcs), np.concatenate(dsts))
+                block = (np.concatenate(srcs), np.concatenate(dsts),
+                         np.concatenate(ws) if ws else None)
             else:
-                block = (np.empty(0, np.int32), np.empty(0, np.int32))
+                block = (np.empty(0, np.int32), np.empty(0, np.int32), None)
             if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
                 _BLOCK_CACHE.clear()
             _BLOCK_CACHE[key] = block
         else:
             for _ in batches:  # drain the Arrow stream
                 pass
-        src_idx, dst_idx = block
+        src_idx, dst_idx, w = block
         q = q_bc.value
         if mask_bc is not None:
             keep = mask_bc.value[dst_idx]
             src_idx, dst_idx = src_idx[keep], dst_idx[keep]
-        acc = np.bincount(dst_idx, weights=q[src_idx], minlength=n)
+            if w is not None:
+                w = w[keep]
+        contrib = q[src_idx] if w is None else q[src_idx] * w
+        acc = np.bincount(dst_idx, weights=contrib, minlength=n)
         yield pd.DataFrame({"acc": [acc.astype(np.float64).tobytes()]})
 
     return fn
@@ -251,8 +276,8 @@ def _scatter_fn(epoch: str, n: int, q_bc, mask_bc):
 
 def _load_slice(resident_dir: str, epoch: str, s: int, gen: int):
     """Worker-side: load (and process-cache) one edge slice — the base
-    (src, dst) mmap pair plus all delta overlays up to ``gen``. Returns
-    (base_src, base_dst, [(d_src, d_dst, sign), ...])."""
+    (src, dst[, w]) mmap arrays plus all delta overlays up to ``gen``.
+    Returns (base_src, base_dst, base_w_or_None, [(d_src, d_dst, sign), ...])."""
     key = (epoch, "res", int(s), int(gen))
     block = _BLOCK_CACHE.get(key)
     if block is None:
@@ -263,6 +288,11 @@ def _load_slice(resident_dir: str, epoch: str, s: int, gen: int):
             )
         except (OSError, FileNotFoundError):
             base = (np.empty(0, np.int32), np.empty(0, np.int32))
+        try:
+            base_w = np.load(f"{resident_dir}/slice_{int(s)}_w.npy",
+                             mmap_mode="r")
+        except (OSError, FileNotFoundError):
+            base_w = None
         deltas = []
         for g in range(1, gen + 1):
             for tag, sign in (("ins", 1.0), ("del", -1.0)):
@@ -274,7 +304,7 @@ def _load_slice(resident_dir: str, epoch: str, s: int, gen: int):
                     deltas.append((dsrc, ddst, sign))
                 except (OSError, FileNotFoundError):
                     pass
-        block = (base[0], base[1], deltas)
+        block = (base[0], base[1], base_w, deltas)
         if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
             _BLOCK_CACHE.clear()
         _BLOCK_CACHE[key] = block
@@ -297,15 +327,22 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
             for s in pdf["id"].to_numpy():
                 s = int(s)
                 seg_len = len(range(s, n, P))
-                src_idx, dst_idx, deltas = _load_slice(resident_dir, epoch, s, gen)
+                src_idx, dst_idx, base_w, deltas = _load_slice(
+                    resident_dir, epoch, s, gen)
                 seg = np.zeros(seg_len)
                 m_edges = 0
-                for ds, dd, sign in [(src_idx, dst_idx, 1.0)] + deltas:
+                for ds, dd, ww, sign in (
+                    [(src_idx, dst_idx, base_w, 1.0)]
+                    + [(a, b, None, sg) for a, b, sg in deltas]
+                ):
                     if mask is not None and dd.size:
                         keep = mask[dd]
                         ds, dd = ds[keep], dd[keep]
+                        if ww is not None:
+                            ww = ww[keep]
                     if dd.size:
-                        seg += sign * np.bincount(dd // P, weights=q[ds],
+                        contrib = q[ds] if ww is None else q[ds] * ww
+                        seg += sign * np.bincount(dd // P, weights=contrib,
                                                   minlength=seg_len)
                         m_edges += int(dd.size)
                 yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()],
@@ -320,8 +357,8 @@ def _resident_expand_fn(resident_dir: str, epoch: str, gen: int, movers_bc):
         outs = []
         for pdf in batches:
             for s in pdf["id"].to_numpy():
-                src_idx, dst_idx, deltas = _load_slice(resident_dir, epoch,
-                                                       int(s), gen)
+                src_idx, dst_idx, _w, deltas = _load_slice(resident_dir, epoch,
+                                                           int(s), gen)
                 # expansion walks live out-edges: base + inserted (deleted
                 # edges no longer push their dst, matching the updated graph)
                 for ds, dd, sign in [(src_idx, dst_idx, 1.0)] + deltas:
@@ -348,6 +385,7 @@ def pagerank_arrow(
     dense: DenseGraph | None = None,
     frontier: DataFrame | None = None,
     resident: bool | None = None,
+    personalization: DataFrame | None = None,
 ) -> PageRankResult:
     """Dense Arrow-kernel PageRank: static (init=None), naive-dynamic
     (init=prev ranks), or dynamic-frontier (frontier=(id,) seed set).
@@ -355,6 +393,11 @@ def pagerank_arrow(
     ``resident=None`` auto-selects: graphs above ~500k edges get
     materialized slice files + resident supersteps (no per-superstep edge
     streaming); smaller graphs use the streaming kernel directly.
+
+    ``personalization`` (id, p): vector teleport, normalized to sum 1 —
+    same semantics as :func:`..pagerank.pagerank`. Weighted graphs
+    (``graph.weighted``) broadcast q = r and read the pre-normalized
+    transition weight from the block.
 
     Same semantics/defaults as :func:`..pagerank.pagerank`; ranks match the
     join-agg path and the NumPy oracle to FP precision.
@@ -414,131 +457,149 @@ def pagerank_arrow(
     dead = dg.dead_mask() if dead_mode else None
     inv_deg = dg.inv_deg()
 
+    pv: np.ndarray | None = None
+    if personalization is not None:
+        ppdf = personalization.select("id", "p").toPandas()
+        pv = np.zeros(n)
+        ids_arr = ppdf["id"].to_numpy()
+        i = np.searchsorted(dg.ids, ids_arr)
+        ok = (i < n) & (dg.ids[np.minimum(i, n - 1)] == ids_arr)
+        pv[i[ok]] = ppdf["p"].to_numpy()[ok]
+        tot = float(pv.sum())
+        if tot <= 0.0:
+            raise ValueError("personalization weights must sum to > 0")
+        pv /= tot
+        mode = f"personalized-{mode}"
+
     metrics: list[dict] = []
     err = float("inf")
     it = 0
     t0 = time.monotonic()
-    while it < o.max_iterations:
-        t_it = time.monotonic()
-        c0 = (1.0 - d) / n
-        if dead_mode:
-            c0 += d * float(r[dead].sum()) / n
-        # fold the out-degree weight into the broadcast: q = r / outdeg
-        ranks_bc = sc.broadcast(r * inv_deg)
-        scope = active if o.contracting and active is not None else affected
-        mask_bc = sc.broadcast(scope) if scope is not None else None
-        acc = np.zeros(n)
-        slice_edges: dict[int, int] = {}
-        if resident:
-            parts = slice_df.mapInPandas(
-                _resident_scatter_fn(dg.resident_dir, dg.epoch, n,
-                                     dg.n_slices, dg.gen, ranks_bc, mask_bc),
-                "slice int, acc binary, m long",
-            ).toPandas()
-            P = dg.n_slices
-            for s, blob, m_e in zip(parts["slice"], parts["acc"], parts["m"]):
-                acc[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
-                slice_edges[int(s)] = int(m_e)
-        else:
-            parts = dg.blocks.mapInPandas(
-                _scatter_fn(dg.epoch, n, ranks_bc, mask_bc), "acc binary"
-            ).toPandas()
-            for blob in parts["acc"]:
-                acc += np.frombuffer(blob, dtype=np.float64)
-        new_r = c0 + d * acc
-        if affected is not None:
-            # frontier semantics: only in-scope vertices update
-            # (pagerankCalculateRanks fa filter, src/pagerank.hxx:229-256)
-            upd = scope
-            new_full = r.copy()
-            new_full[upd] = new_r[upd]
-            delta = np.abs(new_full - r)
-            rows = int(upd.sum())
-            new_r = new_full
-        else:
-            delta = np.abs(new_r - r)
-            rows = n
-        it += 1
-        err = _norm(delta[scope] if affected is not None else delta,
-                    o.tolerance_norm)
-        linf = float(np.max(delta)) if delta.size else 0.0
-
-        if affected is not None:
-            movers_mask = delta > D
-            if movers_mask.any():
-                # frontier expansion (fr): out-neighbors of movers, via a
-                # distributed masked scan of the cached edge blocks
-                movers_bc = sc.broadcast(movers_mask)
-
-                def expand_fn(batches: Iterator[pd.DataFrame],
-                              _mb=movers_bc) -> Iterator[pd.DataFrame]:
-                    m = _mb.value
-                    for pdf in batches:
-                        s = pdf["src_idx"].to_numpy()
-                        t = pdf["dst_idx"].to_numpy()
-                        yield pd.DataFrame({"dst_idx": np.unique(t[m[s]])})
-
-                src_df = (
-                    slice_df.mapInPandas(
-                        _resident_expand_fn(dg.resident_dir, dg.epoch,
-                                            dg.gen, movers_bc),
-                        "dst_idx int",
-                    )
-                    if resident
-                    else dg.blocks.mapInPandas(expand_fn, "dst_idx int")
-                )
-                exp = src_df.distinct().toPandas()["dst_idx"].to_numpy()
-                affected[exp] = True
-                if o.contracting and active is not None:
-                    active &= delta > tol  # per-vertex converged drop out
-                    active[exp] = True     # neighbor push re-activates
-                movers_bc.destroy()
-            elif o.contracting and active is not None:
-                active &= delta > tol
-        r = new_r
-        ranks_bc.destroy()
-        if mask_bc is not None:
-            mask_bc.destroy()
-
-        ms = (time.monotonic() - t_it) * 1000.0
-        if o.metrics_level != "none":
-            metrics.append(
-                dict(run_id=run_id, mode=f"arrow-{mode}", iteration=it,
-                     partition_id=-1, rows_processed=rows,
-                     edges_processed=graph.num_edges, delta_linf=linf,
-                     elapsed_ms=ms)
-            )
-            if o.metrics_level == "partition" and slice_edges:
-                # per-slice lineage: which slice processed how many edges
-                metrics.extend(
-                    dict(run_id=run_id, mode=f"arrow-{mode}", iteration=it,
-                         partition_id=s, rows_processed=-1,
-                         edges_processed=m_e, delta_linf=-1.0, elapsed_ms=-1.0)
-                    for s, m_e in sorted(slice_edges.items())
-                )
-        if store and (it % o.checkpoint_every == 0):
-            rdf = spark.createDataFrame(
-                pd.DataFrame({"id": dg.ids, "rank": r}))
-            fdf = None
+    with adaptive_execution(spark, o.adaptive_supersteps):
+        while it < o.max_iterations:
+            t_it = time.monotonic()
+            s_dead = float(r[dead].sum()) if dead_mode else 0.0
+            if pv is None:
+                c0 = (1.0 - d) / n + d * s_dead / n
+            else:
+                c0 = ((1.0 - d) + d * s_dead) * pv  # vector teleport
+            # fold the out-degree weight into the broadcast: q = r / outdeg
+            # (weighted blocks carry w = weight/Σout-weights, so q = r)
+            ranks_bc = sc.broadcast(r if dg.weighted else r * inv_deg)
+            scope = active if o.contracting and active is not None else affected
+            mask_bc = sc.broadcast(scope) if scope is not None else None
+            acc = np.zeros(n)
+            slice_edges: dict[int, int] = {}
+            if resident:
+                parts = slice_df.mapInPandas(
+                    _resident_scatter_fn(dg.resident_dir, dg.epoch, n,
+                                         dg.n_slices, dg.gen, ranks_bc, mask_bc),
+                    "slice int, acc binary, m long",
+                ).toPandas()
+                P = dg.n_slices
+                for s, blob, m_e in zip(parts["slice"], parts["acc"], parts["m"]):
+                    acc[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
+                    slice_edges[int(s)] = int(m_e)
+            else:
+                parts = dg.blocks.mapInPandas(
+                    _scatter_fn(dg.epoch, n, ranks_bc, mask_bc), "acc binary"
+                ).toPandas()
+                for blob in parts["acc"]:
+                    acc += np.frombuffer(blob, dtype=np.float64)
+            new_r = c0 + d * acc
             if affected is not None:
-                fdf = spark.createDataFrame(
-                    pd.DataFrame({"id": dg.ids[affected]}))
-            mdf = None
-            if o.metrics_level != "none" and metrics:
-                from ..checkpoint import METRICS_SCHEMA
+                # frontier semantics: only in-scope vertices update
+                # (pagerankCalculateRanks fa filter, src/pagerank.hxx:229-256)
+                upd = scope
+                new_full = r.copy()
+                new_full[upd] = new_r[upd]
+                delta = np.abs(new_full - r)
+                rows = int(upd.sum())
+                new_r = new_full
+            else:
+                delta = np.abs(new_r - r)
+                rows = n
+            it += 1
+            err = _norm(delta[scope] if affected is not None else delta,
+                        o.tolerance_norm)
+            linf = float(np.max(delta)) if delta.size else 0.0
 
-                mdf = spark.createDataFrame(
-                    [tuple(m[f.name] for f in METRICS_SCHEMA.fields)
-                     for m in metrics],
-                    METRICS_SCHEMA,
+            if affected is not None:
+                movers_mask = delta > D
+                if movers_mask.any():
+                    # frontier expansion (fr): out-neighbors of movers, via a
+                    # distributed masked scan of the cached edge blocks
+                    movers_bc = sc.broadcast(movers_mask)
+
+                    def expand_fn(batches: Iterator[pd.DataFrame],
+                                  _mb=movers_bc) -> Iterator[pd.DataFrame]:
+                        m = _mb.value
+                        for pdf in batches:
+                            s = pdf["src_idx"].to_numpy()
+                            t = pdf["dst_idx"].to_numpy()
+                            yield pd.DataFrame({"dst_idx": np.unique(t[m[s]])})
+
+                    src_df = (
+                        slice_df.mapInPandas(
+                            _resident_expand_fn(dg.resident_dir, dg.epoch,
+                                                dg.gen, movers_bc),
+                            "dst_idx int",
+                        )
+                        if resident
+                        else dg.blocks.mapInPandas(expand_fn, "dst_idx int")
+                    )
+                    exp = src_df.distinct().toPandas()["dst_idx"].to_numpy()
+                    affected[exp] = True
+                    if o.contracting and active is not None:
+                        active &= delta > tol  # per-vertex converged drop out
+                        active[exp] = True     # neighbor push re-activates
+                    movers_bc.destroy()
+                elif o.contracting and active is not None:
+                    active &= delta > tol
+            r = new_r
+            ranks_bc.destroy()
+            if mask_bc is not None:
+                mask_bc.destroy()
+
+            ms = (time.monotonic() - t_it) * 1000.0
+            if o.metrics_level != "none":
+                metrics.append(
+                    dict(run_id=run_id, mode=f"arrow-{mode}", iteration=it,
+                         partition_id=-1, rows_processed=rows,
+                         edges_processed=graph.num_edges, delta_linf=linf,
+                         elapsed_ms=ms)
                 )
-            store.save(it, rdf, fdf, mdf,
-                       extra={"run_id": run_id, "mode": f"arrow-{mode}",
-                              "err": err})
-        if err < tol:
-            break
-        if o.contracting and active is not None and not active.any():
-            break
+                if o.metrics_level == "partition" and slice_edges:
+                    # per-slice lineage: which slice processed how many edges
+                    metrics.extend(
+                        dict(run_id=run_id, mode=f"arrow-{mode}", iteration=it,
+                             partition_id=s, rows_processed=-1,
+                             edges_processed=m_e, delta_linf=-1.0, elapsed_ms=-1.0)
+                        for s, m_e in sorted(slice_edges.items())
+                    )
+            if store and (it % o.checkpoint_every == 0):
+                rdf = spark.createDataFrame(
+                    pd.DataFrame({"id": dg.ids, "rank": r}))
+                fdf = None
+                if affected is not None:
+                    fdf = spark.createDataFrame(
+                        pd.DataFrame({"id": dg.ids[affected]}))
+                mdf = None
+                if o.metrics_level != "none" and metrics:
+                    from ..checkpoint import METRICS_SCHEMA
+
+                    mdf = spark.createDataFrame(
+                        [tuple(m[f.name] for f in METRICS_SCHEMA.fields)
+                         for m in metrics],
+                        METRICS_SCHEMA,
+                    )
+                store.save(it, rdf, fdf, mdf,
+                           extra={"run_id": run_id, "mode": f"arrow-{mode}",
+                                  "err": err})
+            if err < tol:
+                break
+            if o.contracting and active is not None and not active.any():
+                break
 
     ranks_df = spark.createDataFrame(pd.DataFrame({"id": dg.ids, "rank": r}))
     if own_dense:

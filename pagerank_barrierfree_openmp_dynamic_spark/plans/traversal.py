@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators.batch import batch_endpoints_frontier
 from ..operators.graph import LinkGraph
+from ..session import adaptive_execution
 from .pagerank import PageRankOptions, PageRankResult, pagerank_dynamic_frontier
 
 
@@ -25,19 +26,20 @@ def reachable_set(graph: LinkGraph, sources: DataFrame,
     sources included — the visited set of ``dfsVisitedForEachW``."""
     visited = sources.select("id").distinct().localCheckpoint(eager=True)
     frontier = visited
-    for _ in range(max_depth):
-        nxt = (
-            graph.edges.join(F.broadcast(frontier),
-                             graph.edges.src == frontier.id, "left_semi")
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    with adaptive_execution(graph.edges.sparkSession, False):
+        for _ in range(max_depth):
+            nxt = (
+                graph.edges.join(F.broadcast(frontier),
+                                 graph.edges.src == frontier.id, "left_semi")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
     return visited
 
 

@@ -9,6 +9,7 @@ every Python<->JVM exchange, shuffle partitions sized to cores (not the
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -49,3 +50,24 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def adaptive_execution(spark: SparkSession, enabled: bool):
+    """Temporarily set ``spark.sql.adaptive.enabled`` around an iterative loop.
+
+    Superstep loops have a fixed, fully-known shape: the engine knows N and
+    |E| exactly, broadcasts the small side explicitly, and salts hub keys
+    itself — everything AQE would discover at runtime is already decided.
+    AQE's per-action re-planning then only adds latency (measured 3-4x per
+    superstep at bench scale), so the kernels run with it off and restore
+    the session setting afterwards. Scan/extraction/build phases, whose
+    input stats genuinely are unknown, keep the session default (on).
+    """
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "true" if enabled else "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)

@@ -48,6 +48,59 @@ def pagerank_oracle(
     return r, it
 
 
+def pagerank_general_oracle(
+    n: int,
+    edges: list[tuple[int, int]] | list[tuple[int, int, float]],
+    d: float = 0.85,
+    tol: float = 1e-14,
+    max_iter: int = 500,
+    init: np.ndarray | None = None,
+    add_self_loops: bool = True,
+    personalization: np.ndarray | None = None,
+) -> tuple[np.ndarray, int]:
+    """Weighted / personalized golden ranks.
+
+    ``edges`` tuples may carry a third weight element (default 1.0);
+    duplicate (src,dst) weights SUM (the engine's parallel-edge merge rule);
+    added self-loops get weight 1.0. ``personalization`` is an n-vector
+    (normalized here); None = uniform 1/n. Recurrence:
+    a[v] = (1-d)·p[v] + d·Σ r[u]·w(u,v)/W(u), dead-end mass ∝ p.
+    """
+    agg: dict[tuple[int, int], float] = {}
+    for e in edges:
+        a, b = int(e[0]), int(e[1])
+        w = float(e[2]) if len(e) > 2 else 1.0
+        agg[(a, b)] = agg.get((a, b), 0.0) + w
+    if add_self_loops:
+        for i in range(n):
+            agg.setdefault((i, i), 1.0)
+    items = sorted(agg.items())
+    src = np.array([k[0] for k, _ in items], dtype=np.int64)
+    dst = np.array([k[1] for k, _ in items], dtype=np.int64)
+    wts = np.array([v for _, v in items], dtype=np.float64)
+    wsum = np.zeros(n)
+    np.add.at(wsum, src, wts)
+    p = (np.full(n, 1.0 / n) if personalization is None
+         else personalization.astype(np.float64) / personalization.sum())
+    # init matches the engine's _init_ranks: uniform 1/n unless supplied
+    r = np.full(n, 1.0 / n) if init is None else init.astype(np.float64).copy()
+    safe = np.where(wsum > 0, wsum, 1.0)
+    trans = wts / safe[src]
+    dead = wsum == 0
+    it = 0
+    while it < max_iter:
+        acc = np.zeros(n)
+        np.add.at(acc, dst, r[src] * trans)
+        s_dead = float(r[dead].sum())
+        a = ((1.0 - d) + d * s_dead) * p + d * acc
+        err = np.max(np.abs(a - r))
+        r = a
+        it += 1
+        if err < tol:
+            break
+    return r, it
+
+
 def cc_oracle(n: int, edges: list[tuple[int, int]]) -> np.ndarray:
     """Union-find; component label = min vertex id in the component."""
     parent = list(range(n))

@@ -1,0 +1,243 @@
+"""Weighted-edge and personalized-teleport PageRank vs the generalized
+NumPy oracle (``pagerank_general_oracle``).
+
+Weighted semantics extend the reference's data model (the MTX reader's
+optional third column, /root/reference/src/mtx.hxx:68-73 — parsed there but
+unused by the experiment): rank flows ∝ weight/Σ(out-weights). The
+personalized teleport is a standard engine extension (uniform p = 1/N
+reduces to the reference recurrence exactly). Both paths (join-agg and
+Arrow kernel) must agree with the oracle to FP precision at fixed
+iteration counts.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+    apply_batch,
+    apply_batch_dense,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+    PageRankOptions,
+    pagerank,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+    DenseGraph,
+    pagerank_arrow,
+)
+
+from oracle import pagerank_general_oracle, pagerank_oracle
+
+N = 12
+
+
+def _weighted_edges() -> list[tuple[int, int, float]]:
+    """Deterministic weighted digraph incl. a duplicate (merge-by-sum) and
+    a heavy hub."""
+    es = []
+    for s in range(N):
+        for k in (1, 3, 7):
+            t = (s * k + 1) % N
+            if t != s:
+                es.append((s, t, 1.0 + ((s * 7 + t * 3) % 5)))
+    es.append((0, 1, 2.5))  # duplicate of an existing (0,1) edge: weights sum
+    return es
+
+
+def _edges_df(spark, es):
+    return spark.createDataFrame(
+        pd.DataFrame(es, columns=["src", "dst", "weight"]),
+        schema="src long, dst long, weight double",
+    )
+
+
+def _ranks_array(result, n):
+    pdf = result.ranks.toPandas().sort_values("id")
+    assert list(pdf["id"]) == list(range(n))
+    return pdf["rank"].to_numpy()
+
+
+@pytest.fixture(scope="module")
+def wgraph(spark):
+    g = build_graph(
+        _edges_df(spark, _weighted_edges()),
+        vertices=spark.range(N).select("id"),
+        weight_col="weight",
+    )
+    yield g
+    g.unpersist()
+
+
+def test_weighted_joinagg_fixed_iters(spark, wgraph):
+    golden, _ = pagerank_general_oracle(N, _weighted_edges(), tol=0.0, max_iter=6)
+    res = pagerank(
+        wgraph, PageRankOptions(tolerance=0.0, max_iterations=6, metrics_level="none")
+    )
+    assert wgraph.weighted
+    assert np.allclose(_ranks_array(res, N), golden, atol=1e-12)
+
+
+def test_weighted_joinagg_converged(spark, wgraph):
+    golden, _ = pagerank_general_oracle(N, _weighted_edges(), tol=1e-14, max_iter=500)
+    res = pagerank(
+        wgraph, PageRankOptions(tolerance=1e-8, metrics_level="none")
+    )
+    got = _ranks_array(res, N)
+    assert np.allclose(got, golden, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9  # weighted transition is still stochastic
+
+
+@pytest.mark.parametrize("resident", [False, True])
+def test_weighted_arrow_matches_oracle(spark, wgraph, resident):
+    golden, _ = pagerank_general_oracle(N, _weighted_edges(), tol=0.0, max_iter=6)
+    dense = DenseGraph(wgraph)
+    try:
+        assert dense.weighted
+        res = pagerank_arrow(
+            wgraph,
+            PageRankOptions(tolerance=0.0, max_iterations=6, metrics_level="none"),
+            dense=dense,
+            resident=resident,
+        )
+        assert np.allclose(_ranks_array(res, N), golden, atol=1e-12)
+    finally:
+        dense.unpersist()
+
+
+def test_weighted_unit_weights_equal_unweighted(spark):
+    """All-1.0 weights must reproduce the unweighted recurrence exactly."""
+    es = [(s, t) for s, t, _ in _weighted_edges()]
+    es_unique = sorted(set(es))
+    wdf = spark.createDataFrame(
+        pd.DataFrame([(s, t, 1.0) for s, t in es_unique],
+                     columns=["src", "dst", "weight"]),
+        schema="src long, dst long, weight double",
+    )
+    g = build_graph(wdf, vertices=spark.range(N).select("id"), weight_col="weight")
+    try:
+        golden, _ = pagerank_oracle(N, es_unique, tol=0.0, max_iter=5)
+        res = pagerank(
+            g, PageRankOptions(tolerance=0.0, max_iterations=5, metrics_level="none")
+        )
+        assert np.allclose(_ranks_array(res, N), golden, atol=1e-12)
+    finally:
+        g.unpersist()
+
+
+def test_weighted_apply_batch_rebuild(spark, wgraph):
+    """Weighted dynamic update goes through the rebuild path; dense deltas
+    refuse weighted graphs."""
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 1, None, "del"), (5, 2, 4.0, "ins")],
+            columns=["src", "dst", "weight", "op"],
+        ),
+        schema="src long, dst long, weight double, op string",
+    )
+    g2 = apply_batch(wgraph, batch)
+    try:
+        es = [(s, t, w) for s, t, w in _weighted_edges() if (s, t) != (0, 1)]
+        es.append((5, 2, 4.0))
+        golden, _ = pagerank_general_oracle(N, es, tol=0.0, max_iter=6)
+        res = pagerank(
+            g2, PageRankOptions(tolerance=0.0, max_iterations=6, metrics_level="none")
+        )
+        assert np.allclose(_ranks_array(res, N), golden, atol=1e-12)
+    finally:
+        g2.unpersist()
+
+    dense = DenseGraph(wgraph)
+    try:
+        with pytest.raises(ValueError, match="unweighted"):
+            apply_batch_dense(wgraph, dense, batch)
+    finally:
+        dense.unpersist()
+
+
+@pytest.fixture(scope="module")
+def pgraph(spark):
+    """Unweighted graph for personalization tests."""
+    es = sorted(set((s, (s * 3 + 1) % N) for s in range(N))
+                | {(0, 5), (5, 7), (7, 0)})
+    df = spark.createDataFrame(pd.DataFrame(es, columns=["src", "dst"]),
+                               schema="src long, dst long")
+    g = build_graph(df, vertices=spark.range(N).select("id"))
+    yield g, es
+    g.unpersist()
+
+
+def _pers_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame({"id": [0, 4, 9], "p": [3.0, 1.0, 1.0]}),
+        schema="id long, p double",
+    )
+
+
+def _pers_vec():
+    pv = np.zeros(N)
+    pv[[0, 4, 9]] = [3.0, 1.0, 1.0]
+    return pv
+
+
+def test_personalized_joinagg_fixed_iters(spark, pgraph):
+    g, es = pgraph
+    golden, _ = pagerank_general_oracle(
+        N, es, tol=0.0, max_iter=6, personalization=_pers_vec()
+    )
+    res = pagerank(
+        g,
+        PageRankOptions(tolerance=0.0, max_iterations=6, metrics_level="none"),
+        personalization=_pers_df(spark),
+    )
+    assert np.allclose(_ranks_array(res, N), golden, atol=1e-12)
+
+
+def test_personalized_arrow_matches(spark, pgraph):
+    g, es = pgraph
+    golden, _ = pagerank_general_oracle(
+        N, es, tol=0.0, max_iter=6, personalization=_pers_vec()
+    )
+    res = pagerank_arrow(
+        g,
+        PageRankOptions(tolerance=0.0, max_iterations=6, metrics_level="none"),
+        personalization=_pers_df(spark),
+        resident=False,
+    )
+    assert np.allclose(_ranks_array(res, N), golden, atol=1e-12)
+
+
+def test_personalized_converged_mass_concentrates(spark, pgraph):
+    """Converged personalized ranks sum to 1 and give the seed set more
+    mass than the uniform-teleport run does."""
+    g, _ = pgraph
+    res = pagerank(
+        g, PageRankOptions(tolerance=1e-8, metrics_level="none"),
+        personalization=_pers_df(spark),
+    )
+    got = _ranks_array(res, N)
+    assert abs(got.sum() - 1.0) < 1e-9
+    plain = _ranks_array(
+        pagerank(g, PageRankOptions(tolerance=1e-8, metrics_level="none")), N
+    )
+    seeds = [0, 4, 9]
+    assert got[seeds].sum() > plain[seeds].sum()
+
+
+def test_uniform_personalization_equals_plain(spark, pgraph):
+    g, es = pgraph
+    uni = spark.createDataFrame(
+        pd.DataFrame({"id": list(range(N)), "p": [1.0] * N}),
+        schema="id long, p double",
+    )
+    plain = pagerank(
+        g, PageRankOptions(tolerance=0.0, max_iterations=5, metrics_level="none")
+    )
+    pers = pagerank(
+        g, PageRankOptions(tolerance=0.0, max_iterations=5, metrics_level="none"),
+        personalization=uni,
+    )
+    assert np.allclose(
+        _ranks_array(pers, N), _ranks_array(plain, N), atol=1e-14
+    )
