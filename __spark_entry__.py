@@ -305,6 +305,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_ann_topk"] = lsh_ann_topk  # no SQL oracle (plane literals)
 
+    def ivf_ann_topk(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions import ivf_topk
+
+        emb = _emb(spark, sf)
+        return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                        n_centroids=8, n_probe=3)
+
+    q["ivf_ann_topk"] = ivf_ann_topk  # no SQL oracle (k-means training)
+
     return q
 
 

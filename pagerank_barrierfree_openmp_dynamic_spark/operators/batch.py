@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .graph import LinkGraph, build_graph
+from ..session import adaptive_execution
 
 
 def apply_batch(
@@ -84,11 +85,18 @@ def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
     if graph.self_loops:
         dels = dels.filter(F.col("src") != F.col("dst"))
 
-    # net-delete = (D ∩ E) \ I ; net-insert = I \ (E \ D)
+    # E' = (E \ D) ∪ I, so the net overlay against E is
+    #   net-delete = (D ∩ E) \ I   (deleted and not re-inserted)
+    #   net-insert = I \ E         (inserted and not already present —
+    #                               delete-then-reinsert is net ZERO, the
+    #                               reference's standard batch protocol,
+    #                               main.cxx:38-66)
+    # Fixed-shape broadcast joins against the persisted edge table — same
+    # known-sizes argument as the superstep loops, so AQE off while we
+    # materialize the (tiny) net-change sets.
     d_in_e = dels.join(graph.edges, ["src", "dst"], "left_semi")
     net_del_df = d_in_e.join(ins, ["src", "dst"], "left_anti").distinct()
-    e_minus_d = graph.edges.join(F.broadcast(dels), ["src", "dst"], "left_anti")
-    net_ins_df = ins.join(e_minus_d, ["src", "dst"], "left_anti").distinct()
+    net_ins_df = ins.join(graph.edges, ["src", "dst"], "left_anti").distinct()
 
     def to_idx(df: DataFrame) -> np.ndarray:
         pdf = df.toPandas()
@@ -107,8 +115,9 @@ def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
             out[:, j] = i
         return out
 
-    net_ins = to_idx(net_ins_df)
-    net_del = to_idx(net_del_df)
+    with adaptive_execution(graph.edges.sparkSession, False):
+        net_ins = to_idx(net_ins_df)
+        net_del = to_idx(net_del_df)
     new_dense = dense.apply_delta(net_ins, net_del)
 
     new_edges = (

@@ -246,6 +246,11 @@ def _loop(
     start_iteration: int = 0,
     personalization: DataFrame | None = None,
 ) -> PageRankResult:
+    if graph.adj is None:
+        raise ValueError(
+            "graph has no adj table (light view from apply_batch_dense) — "
+            "use pagerank_arrow with its delta DenseGraph, or rebuild via "
+            "build_graph(graph.edges, ...) for the join-agg path")
     spark = graph.edges.sparkSession
     n, d = graph.num_vertices, o.damping
     tol = o.tolerance

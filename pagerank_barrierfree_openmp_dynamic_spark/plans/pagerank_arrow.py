@@ -435,7 +435,8 @@ def pagerank_arrow(
     if init is None:
         r = np.full(n, 1.0 / n)
     else:
-        pdf = init.toPandas()
+        with adaptive_execution(spark, o.adaptive_supersteps):
+            pdf = init.toPandas()
         r = np.full(n, 1.0 / n)
         ids_arr = pdf["id"].to_numpy()
         i = np.searchsorted(dg.ids, ids_arr)
@@ -446,7 +447,9 @@ def pagerank_arrow(
     active: np.ndarray | None = None
     if frontier is not None:
         affected = np.zeros(n, dtype=bool)
-        affected[_to_idx(frontier.toPandas()["id"].to_numpy())] = True
+        with adaptive_execution(spark, o.adaptive_supersteps):
+            fr_ids = frontier.toPandas()["id"].to_numpy()
+        affected[_to_idx(fr_ids)] = True
         if o.contracting:
             # per-vertex convergence flags (pagerankBarrierfree e[v],
             # src/pagerankBarrierfree.hxx:68-122): the live set shrinks as

@@ -255,3 +255,30 @@ def test_multimodal_real_decode_is_stubbed(media):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_ivf_topk_recall_and_exact_at_full_probe(emb):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions import ivf_topk
+
+    queries = emb.filter(emb.vec_id < 10)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+
+    # Probing ALL cells makes the candidate set the whole corpus -> IVF must
+    # reproduce brute force exactly (same re-rank, same tie-break).
+    full = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).toPandas()
+    cols = ["q_id", "rank", "n_id", "sim"]
+    assert (full.sort_values(["q_id", "rank"])[cols].reset_index(drop=True)
+            .equals(exact.sort_values(["q_id", "rank"])[cols]
+                    .reset_index(drop=True)))
+
+    # Partial probe: returned sims are exact cosines; recall bar modest on a
+    # random gaussian corpus (little cluster structure for IVF to exploit).
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3).toPandas()
+    merged = approx.merge(exact, on=["q_id", "n_id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["sim_a"], merged["sim_e"], atol=2e-6)
+    assert len(merged) / len(exact) > 0.4
+
+    # determinism: seeded init + deterministic Lloyd -> identical output
+    again = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3).toPandas()
+    assert (again.sort_values(["q_id", "rank"]).reset_index(drop=True)
+            .equals(approx.sort_values(["q_id", "rank"]).reset_index(drop=True)))

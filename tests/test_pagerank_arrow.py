@@ -263,3 +263,39 @@ def test_arrow_contracting_frontier_matches_golden(spark):
     finally:
         dense.unpersist()
         g.unpersist()
+
+
+def test_apply_batch_dense_delete_then_reinsert_is_net_zero(spark):
+    """The reference's standard protocol (main.cxx:38-66) deletes a batch
+    then RE-INSERTS the same edges — net change zero. The delta overlay must
+    produce the identical graph (degrees, superstep results), i.e.
+    net-insert = I \\ E, not I \\ (E \\ D)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        apply_batch_dense,
+    )
+
+    n = 200
+    edges_pdf = datagen.synth_edges(n, seed=33)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g).materialize()
+    try:
+        batch_pdf = datagen.random_batch(edges_pdf, frac=0.1, seed=3)
+        batch = spark.createDataFrame(batch_pdf,
+                                      schema="src long, dst long, op string")
+        g2, dense2 = apply_batch_dense(g, dense, batch)
+        assert np.array_equal(dense2.deg, dense.deg)
+        assert g2.num_edges == g.num_edges
+        golden, _ = pagerank_oracle(
+            n, list(map(tuple, edges_pdf.itertuples(index=False))),
+            tol=0.0, max_iter=6)
+        res = pagerank_arrow(
+            g2, PageRankOptions(tolerance=0.0, max_iterations=6,
+                                metrics_level="none"),
+            dense=dense2, resident=True)
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-12)
+    finally:
+        dense.unpersist()
+        g.unpersist()
