@@ -7,6 +7,8 @@ Cluster launch (north rule):
     spark-submit --py-files engine.zip jobs/run_pagerank.py \
         --pages <iceberg-table-or-parquet-path> \
         --output /path/ranks --checkpoint /path/ckpt [--mode arrow|joinagg] \
+        [--kernel pagerank|cc|lpa|triangles] [--weight-col weight] \
+        [--personalization /path/p.parquet] \
         [--tolerance 1e-10] [--max-iterations 500] [--resume]
 
 On a real cluster the session comes from spark-submit's conf (executors,
@@ -34,6 +36,15 @@ from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (  # noqa: 
 from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (  # noqa: E402
     pagerank_arrow,
 )
+from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (  # noqa: E402
+    connected_components,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.labelprop import (  # noqa: E402
+    label_propagation,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (  # noqa: E402
+    triangle_count,
+)
 from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import pages_to_edges  # noqa: E402
 
 
@@ -45,6 +56,12 @@ def main(argv=None):
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint")
     ap.add_argument("--mode", default="joinagg", choices=["joinagg", "arrow"])
+    ap.add_argument("--kernel", default="pagerank",
+                    choices=["pagerank", "cc", "lpa", "triangles"])
+    ap.add_argument("--weight-col", help="edge weight column (weighted PageRank)")
+    ap.add_argument("--personalization",
+                    help="parquet path with (id, p) teleport weights")
+    ap.add_argument("--lpa-iterations", type=int, default=5)
     ap.add_argument("--tolerance", type=float, default=1e-10)
     ap.add_argument("--max-iterations", type=int, default=500)
     ap.add_argument("--resume", action="store_true")
@@ -62,7 +79,25 @@ def main(argv=None):
     else:
         ap.error("one of --pages / --edges is required")
 
-    g = build_graph(edges, vertices=vertices)
+    g = build_graph(edges, vertices=vertices, weight_col=args.weight_col)
+
+    if args.kernel != "pagerank":
+        if args.kernel == "cc":
+            out = connected_components(g)
+        elif args.kernel == "lpa":
+            out = label_propagation(g, iterations=args.lpa_iterations)
+        else:
+            n_tri = triangle_count(g)
+            out = spark.createDataFrame([(n_tri,)], "n_triangles long")
+        out.write.mode("overwrite").format(args.format).save(args.output)
+        print(json.dumps({
+            "kernel": args.kernel,
+            "n_vertices": g.num_vertices, "n_edges": g.num_edges,
+        }))
+        return
+
+    pers = (spark.read.parquet(args.personalization)
+            if args.personalization else None)
     opts = PageRankOptions(
         tolerance=args.tolerance,
         max_iterations=args.max_iterations,
@@ -74,9 +109,9 @@ def main(argv=None):
             ap.error("--resume requires --checkpoint")
         res = resume_run(g, opts)
     elif args.mode == "arrow":
-        res = pagerank_arrow(g, opts)
+        res = pagerank_arrow(g, opts, personalization=pers)
     else:
-        res = pagerank(g, opts)
+        res = pagerank(g, opts, personalization=pers)
 
     res.ranks.write.mode("overwrite").format(args.format).save(args.output)
     print(json.dumps({
