@@ -55,20 +55,26 @@ def kernel_main(cpus: int, n_edges: int, n_vertices: int, iters: int):
     t = time.monotonic()
     dense = DenseGraph(g).materialize()
     phases["dense_build"] = round(time.monotonic() - t, 3)
-    # warmup (slice mmap + worker spin-up), then measured run
+    # warmup (slice mmap + worker spin-up), then several measured repeats —
+    # the sandbox shows intermittent 3-6x slow periods (noisy-neighbor VM),
+    # so each data point is the BEST of 3 runs in one session
     pagerank_arrow(g, PageRankOptions(tolerance=0.0, max_iterations=2,
                                       metrics_level="none"),
                    dense=dense, resident=True)
-    t = time.monotonic()
-    res = pagerank_arrow(g, PageRankOptions(tolerance=0.0, max_iterations=iters,
-                                            metrics_level="none"),
-                         dense=dense, resident=True)
-    dt = time.monotonic() - t
+    runs = []
+    for _ in range(3):
+        t = time.monotonic()
+        res = pagerank_arrow(g, PageRankOptions(tolerance=0.0,
+                                                max_iterations=iters,
+                                                metrics_level="none"),
+                             dense=dense, resident=True)
+        runs.append(time.monotonic() - t)
+    dt = min(runs)
     phases["pagerank"] = round(dt, 3)
     print(json.dumps({
         "cpus": cpus, "mode": "kernel", "n_vertices": g.num_vertices,
         "n_edges": g.num_edges, "supersteps": res.iterations, "phases": phases,
-        "seconds": round(dt, 3),
+        "seconds": round(dt, 3), "all_runs": [round(x, 3) for x in runs],
         "sec_per_superstep": round(dt / res.iterations, 3),
         "edges_per_sec_per_superstep": round(
             g.num_edges * res.iterations / dt, 1),
