@@ -210,6 +210,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_personalized_3iter"] = pagerank_personalized_3iter
 
+    # -- top-k ranks (sorts/limits, deterministic tie-break by id) --
+    def pagerank_topk(spark, sf):
+        g = _graph(spark, sf)
+        res = pagerank(g, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                          metrics_level="none"))
+        return top_k(
+            res.ranks.select("id", F.round("rank", 9).alias("rank")),
+            "rank", 15,
+        )
+
+    q["pagerank_topk"] = pagerank_topk
+
     def dynamic_frontier(spark, sf):
         g = _graph(spark, sf)
         prev = pagerank(g, PageRankOptions(tolerance=1e-6, check_every=4,
@@ -482,6 +494,10 @@ SELECT DISTINCT src, dst FROM (
     o["pagerank_3iter"] = _pagerank_3iter_sql()
     o["pagerank_weighted_3iter"] = _pagerank_weighted_3iter_sql()
     o["pagerank_personalized_3iter"] = _pagerank_personalized_3iter_sql()
+    o["pagerank_topk"] = (
+        f"SELECT id, rank FROM ({_pagerank_3iter_sql()}) base "
+        "ORDER BY rank DESC, id ASC LIMIT 15"
+    )
     o["connected_components"] = f"""
 WITH RECURSIVE {G_CTES},
 und AS (SELECT DISTINCT src, dst FROM (

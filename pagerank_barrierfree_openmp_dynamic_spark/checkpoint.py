@@ -81,6 +81,16 @@ class CheckpointStore:
         with open(os.path.join(self._iter_dir(it), "_COMMIT")) as f:
             return json.load(f)
 
+    def save_personalization(self, p: DataFrame) -> None:
+        """Run-level (iteration-independent) teleport vector, so personalized
+        runs resume with the same recurrence."""
+        p.write.mode("overwrite").parquet(
+            os.path.join(self.root, "personalization"))
+
+    def load_personalization(self, spark: SparkSession) -> DataFrame | None:
+        d = os.path.join(self.root, "personalization")
+        return spark.read.parquet(d) if os.path.isdir(d) else None
+
     def load_ranks(self, spark: SparkSession, it: int) -> DataFrame:
         return spark.read.parquet(os.path.join(self._iter_dir(it), "ranks"))
 

@@ -234,6 +234,7 @@ def resume(graph: LinkGraph, opts: PageRankOptions) -> PageRankResult:
         replace(opts, run_id=info.get("run_id")),
         info.get("mode", "resumed"),
         start_iteration=it,
+        personalization=store.load_personalization(spark),
     )
 
 
@@ -286,6 +287,10 @@ def _loop(
             .localCheckpoint(eager=True)
         )
         pvec_b = F.broadcast(pvec) if small else pvec
+        if store is not None:
+            # iteration-independent: saved once so resume() re-applies the
+            # same teleport vector
+            store.save_personalization(pvec)
 
     ranks = ranks0.localCheckpoint(eager=True)
     frontier = (

@@ -473,6 +473,8 @@ def pagerank_arrow(
             raise ValueError("personalization weights must sum to > 0")
         pv /= tot
         mode = f"personalized-{mode}"
+        if store is not None:
+            store.save_personalization(personalization.select("id", "p"))
 
     metrics: list[dict] = []
     err = float("inf")
@@ -635,5 +637,6 @@ def resume_arrow(
 
     o = replace(opts, run_id=info.get("run_id"),
                 max_iterations=max(0, opts.max_iterations - it))
-    res = pagerank_arrow(graph, o, init=ranks, frontier=frontier, dense=dense)
+    res = pagerank_arrow(graph, o, init=ranks, frontier=frontier, dense=dense,
+                         personalization=store.load_personalization(spark))
     return res

@@ -108,3 +108,32 @@ def test_arrow_resume_equals_uninterrupted(spark, tiny_graph, tmp_path):
     mdf = CheckpointStore(str(tmp_path / "m")).load_metrics(spark).toPandas()
     assert (mdf["partition_id"] >= 0).any()
     assert (mdf[mdf.partition_id >= 0]["edges_processed"] >= 0).all()
+
+
+def test_personalized_resume_equals_uninterrupted(spark, tiny_graph, tmp_path):
+    """The teleport vector is part of the run's recurrence — a resumed
+    personalized run must reload it (not silently fall back to uniform)."""
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt_p")
+    pers = spark.range(3).select("id", (F.lit(1.0) + F.col("id")).alias("p"))
+
+    partial = pagerank(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-9, max_iterations=4, checkpoint_dir=ckpt),
+        personalization=pers,
+    )
+    assert partial.iterations == 4
+    resumed = resume(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-9, max_iterations=500, checkpoint_dir=ckpt),
+    )
+    full = pagerank(
+        tiny_graph, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+        personalization=pers,
+    )
+    got = _ranks_array(resumed, 10)
+    assert np.allclose(got, _ranks_array(full, 10), atol=1e-12)
+    # sanity: differs from the uniform-teleport fixed point
+    uni = pagerank(tiny_graph, PageRankOptions(tolerance=1e-9, metrics_level="none"))
+    assert not np.allclose(got, _ranks_array(uni, 10), atol=1e-6)
