@@ -62,6 +62,9 @@ def main(argv=None):
     ap.add_argument("--personalization",
                     help="parquet path with (id, p) teleport weights")
     ap.add_argument("--lpa-iterations", type=int, default=5)
+    ap.add_argument("--dense-index",
+                    help="arrow mode: directory for the persisted dense "
+                         "index (loaded if present, else built and saved)")
     ap.add_argument("--tolerance", type=float, default=1e-10)
     ap.add_argument("--max-iterations", type=int, default=500)
     ap.add_argument("--resume", action="store_true")
@@ -109,7 +112,19 @@ def main(argv=None):
             ap.error("--resume requires --checkpoint")
         res = resume_run(g, opts)
     elif args.mode == "arrow":
-        res = pagerank_arrow(g, opts, personalization=pers)
+        dense = None
+        if args.dense_index:
+            from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+                DenseGraph,
+            )
+
+            if os.path.exists(os.path.join(args.dense_index, "meta.json")):
+                dense = DenseGraph.load(g, args.dense_index)
+            else:
+                dense = DenseGraph(g)
+                dense.save(args.dense_index)
+        res = pagerank_arrow(g, opts, dense=dense, personalization=pers,
+                             resident=True if dense is not None else None)
     else:
         res = pagerank(g, opts, personalization=pers)
 

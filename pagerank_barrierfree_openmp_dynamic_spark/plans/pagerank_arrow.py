@@ -130,11 +130,16 @@ class DenseGraph:
         multi-node cluster, point ``path`` at shared/node-local storage;
         the persisted ``blocks`` DataFrame remains the durable source.
         """
+        import os
         import tempfile
 
         if self.resident_dir:
             return self
-        d = path or tempfile.mkdtemp(prefix=f"linkgraph_blocks_{self.epoch[:8]}_")
+        if path:
+            os.makedirs(path, exist_ok=True)
+            d = path
+        else:
+            d = tempfile.mkdtemp(prefix=f"linkgraph_blocks_{self.epoch[:8]}_")
         P = self.n_slices
 
         def write_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,6 +170,49 @@ class DenseGraph:
             .count()
         )
         self.resident_dir = d
+        return self
+
+    def save(self, path: str | None = None) -> str:
+        """Persist the complete dense index — slice blocks + ids/deg vectors
+        + meta — so later sessions (or other jobs) restore it with
+        :meth:`load` and skip the dictionary joins, degree scan, and slice
+        write entirely. Returns the index directory."""
+        import json
+
+        self.materialize(path)
+        d = self.resident_dir
+        np.save(f"{d}/ids.npy", self.ids)
+        np.save(f"{d}/deg.npy", self.deg)
+        with open(f"{d}/meta.json", "w") as f:
+            json.dump({"epoch": self.epoch, "n": self.n,
+                       "n_slices": self.n_slices, "gen": self.gen,
+                       "weighted": self.weighted}, f)
+        return d
+
+    @classmethod
+    def load(cls, graph: LinkGraph, path: str) -> "DenseGraph":
+        """Restore a saved dense index for resident supersteps. ``graph``
+        supplies the session and the (logical) edge/vertex tables; the
+        kernel itself reads only the slice files. The loaded view does not
+        own the files (unpersist is a no-op) and has no ``blocks``
+        DataFrame — streaming (non-resident) mode needs a fresh build."""
+        import json
+
+        with open(f"{path}/meta.json") as f:
+            meta = json.load(f)
+        self = cls.__new__(cls)
+        self.graph = graph
+        self.epoch = meta["epoch"]
+        self.n = int(meta["n"])
+        self.n_slices = int(meta["n_slices"])
+        self.gen = int(meta["gen"])
+        self.weighted = bool(meta.get("weighted", False))
+        self.ids = np.load(f"{path}/ids.npy")
+        self.deg = np.load(f"{path}/deg.npy")
+        self.resident_dir = path
+        self.idx_of = None
+        self.blocks = None
+        self._owns_files = False
         return self
 
     def dead_mask(self) -> np.ndarray:
@@ -419,6 +467,10 @@ def pagerank_arrow(
         resident = dg.resident_dir is not None or graph.num_edges > 500_000
     if dg.gen > 0 and not resident:
         raise ValueError("delta-overlay DenseGraph views require resident mode")
+    if not resident and dg.blocks is None:
+        raise ValueError(
+            "a DenseGraph restored with DenseGraph.load has slice files "
+            "only — run with resident=True (or rebuild for streaming mode)")
     if resident and dg.resident_dir is None:
         dg.materialize()
     slice_df = (

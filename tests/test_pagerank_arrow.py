@@ -299,3 +299,58 @@ def test_apply_batch_dense_delete_then_reinsert_is_net_zero(spark):
     finally:
         dense.unpersist()
         g.unpersist()
+
+
+def test_dense_index_save_load_roundtrip(spark, tmp_path):
+    """DenseGraph.save + .load restores the index across views: resident
+    supersteps FP-match the freshly-built kernel, and delta overlays apply
+    on the loaded index."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        apply_batch_dense,
+    )
+
+    n = 200
+    edges_pdf = datagen.synth_edges(n, seed=9)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g)
+    try:
+        d = dense.save(str(tmp_path / "index"))
+        golden, _ = pagerank_oracle(
+            n, list(map(tuple, edges_pdf.itertuples(index=False))),
+            tol=0.0, max_iter=6)
+
+        loaded = DenseGraph.load(g, d)
+        assert loaded.n == dense.n
+        assert np.array_equal(loaded.ids, dense.ids)
+        assert np.array_equal(loaded.deg, dense.deg)
+        res = pagerank_arrow(
+            g, PageRankOptions(tolerance=0.0, max_iterations=6,
+                               metrics_level="none"),
+            dense=loaded, resident=True)
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-12)
+
+        # streaming mode is not available on a loaded index
+        with pytest.raises(ValueError, match="resident"):
+            pagerank_arrow(g, PageRankOptions(tolerance=0.0, max_iterations=1,
+                                              metrics_level="none"),
+                           dense=loaded, resident=False)
+
+        # delta overlay on the loaded index
+        dels = edges_pdf.iloc[:5][["src", "dst"]].copy()
+        dels["op"] = "del"
+        batch = spark.createDataFrame(dels, schema="src long, dst long, op string")
+        g2, loaded2 = apply_batch_dense(g, loaded, batch)
+        es = set(map(tuple, edges_pdf.itertuples(index=False)))
+        es -= set(map(tuple, dels[["src", "dst"]].itertuples(index=False)))
+        golden2, _ = pagerank_oracle(n, sorted(es), tol=0.0, max_iter=6)
+        res2 = pagerank_arrow(
+            g2, PageRankOptions(tolerance=0.0, max_iterations=6,
+                                metrics_level="none"),
+            dense=loaded2, resident=True)
+        assert np.allclose(_ranks_array(res2, n), golden2, atol=1e-12)
+    finally:
+        dense.unpersist()
+        g.unpersist()
