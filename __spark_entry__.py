@@ -247,6 +247,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.count("*").alias("n_triangles")
     )
 
+    def triangles_per_vertex_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+            triangles_per_vertex,
+        )
+
+        return triangles_per_vertex(_graph(spark, sf))
+
+    q["triangles_per_vertex"] = triangles_per_vertex_q
+
+    # -- T4 reachability closure (dfsVisitedForEachW — visited set only) --
+    def reachable_from(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.traversal import (
+            reachable_set,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        seeds = g.vertices.filter(F.col("id") % 25 == 0)
+        return reachable_set(g, seeds)
+
+    q["reachable_from"] = reachable_from
+
+    # -- P2 dead-end teleport (DEAD=true, pagerankTeleport): no self-loops,
+    # C0 = (1-d)/N + d·Σ_{deg(u)=0} r[u]/N recomputed every superstep
+    def pagerank_deadend_3iter(spark, sf):
+        g = _graph(spark, sf, self_loops=False)
+        res = pagerank(
+            g,
+            PageRankOptions(tolerance=0.0, max_iterations=3,
+                            dead_end_teleport=True, metrics_level="none"),
+        )
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    q["pagerank_deadend_3iter"] = pagerank_deadend_3iter
+
     # -- norms (V4-V6): degree-share distribution vs uniform --
     def rank_norms(spark, sf):
         e = _edges(spark, sf)
@@ -406,6 +440,33 @@ r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
 SELECT id, ROUND(rank, 9) AS rank FROM r3"""
 
 
+def _pagerank_deadend_3iter_sql() -> str:
+    """DEAD=true recurrence on the raw (no self-loop) edge table: every
+    iteration re-sums the rank mass on zero-out-degree vertices and folds it
+    into the teleport term (``pagerankTeleport``, src/pagerank.hxx:158-184)."""
+    iters = []
+    for i in range(1, 4):
+        iters.append(
+            f"d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS s FROM r{i-1} "
+            f"WHERE id NOT IN (SELECT src FROM e0)),\n"
+            f"r{i} AS (SELECT v.id, (1.0 - {DAMPING}) / nn.n "
+            f"+ {DAMPING} * d{i}.s / nn.n + {DAMPING} * "
+            f"COALESCE(s.s, 0.0) AS rank "
+            f"FROM v CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN ("
+            f"SELECT e0.dst, SUM(r{i-1}.rank * deg.w) AS s FROM e0 "
+            f"JOIN r{i-1} ON e0.src = r{i-1}.id JOIN deg ON e0.src = deg.src "
+            f"GROUP BY e0.dst) s ON s.dst = v.id)"
+        )
+    joined = ",\n".join(iters)
+    return f"""
+WITH {G_CTES},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+deg AS (SELECT src, 1.0 / COUNT(*) AS w FROM e0 GROUP BY src),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
+{joined}
+SELECT id, ROUND(rank, 9) AS rank FROM r3"""
+
+
 def _lpa_sql(iterations: int = 2) -> str:
     steps = []
     for i in range(1, iterations + 1):
@@ -523,6 +584,36 @@ o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
 w AS (SELECT o1.a AS x, o1.b AS y, o2.b AS z FROM o o1 JOIN o o2 ON o1.b = o2.a)
 SELECT COUNT(*) AS n_triangles FROM w
 WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.z)"""
+    o["triangles_per_vertex"] = f"""
+WITH {G_CTES},
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM e0 WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+  SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) GROUP BY id),
+o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.u ELSE und.v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.v ELSE und.u END AS b
+      FROM und JOIN deg du ON und.u = du.id JOIN deg dv ON und.v = dv.id),
+w AS (SELECT o1.a AS x, o1.b AS y, o2.b AS z FROM o o1 JOIN o o2 ON o1.b = o2.a),
+t AS (SELECT x, y, z FROM w
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.z)),
+parts AS (SELECT id, COUNT(*) AS tri_count FROM (
+  SELECT x AS id FROM t UNION ALL SELECT y AS id FROM t
+  UNION ALL SELECT z AS id FROM t) GROUP BY id)
+SELECT v.id, COALESCE(parts.tri_count, 0) AS tri_count
+FROM v LEFT JOIN parts ON v.id = parts.id"""
+
+    o["reachable_from"] = f"""
+WITH RECURSIVE {G_CTES},
+seeds AS (SELECT id FROM v WHERE id % 25 = 0),
+reach(id) AS (
+  SELECT id FROM seeds
+  UNION
+  SELECT e0.dst FROM reach JOIN e0 ON e0.src = reach.id)
+SELECT id FROM reach"""
+
+    o["pagerank_deadend_3iter"] = _pagerank_deadend_3iter_sql()
 
     o["rank_norms"] = f"""
 WITH {G_CTES},

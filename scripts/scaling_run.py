@@ -81,6 +81,39 @@ def kernel_main(cpus: int, n_edges: int, n_vertices: int, iters: int):
     }))
 
 
+def extract_main(cpus: int, n_pages: int, pages_path: str):
+    """Extraction-only scaling point: read a pre-materialized pages parquet
+    (written once, same file at every parallelism level) and time the
+    mapInPandas href-extraction pass. This is the CPU-bound Python-worker
+    phase — the N-vs-4N pair that isolates compute scaling from the single
+    box's shared memory-bandwidth ceiling."""
+    from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import (
+        extract_links,
+    )
+
+    spark = get_spark(app_name=f"scalex-{cpus}", cpus=cpus)
+    if not os.path.isdir(pages_path):
+        # one-time datagen, excluded from timing (run once at high cpus)
+        datagen.pages_df_dist(spark, n_pages).repartition(64).write.parquet(
+            pages_path)
+    pages = spark.read.parquet(pages_path)
+    n_rows = pages.count()
+    # warmup: spin up Python workers + pull the parquet into page cache
+    extract_links(pages).count()
+    runs = []
+    for _ in range(3):
+        t = time.monotonic()
+        n_links = extract_links(pages).count()
+        runs.append(time.monotonic() - t)
+    dt = min(runs)
+    print(json.dumps({
+        "cpus": cpus, "mode": "extract", "n_pages": n_rows,
+        "n_links": n_links, "seconds": round(dt, 3),
+        "all_runs": [round(x, 3) for x in runs],
+        "pages_per_sec": round(n_rows / dt, 1),
+    }))
+
+
 def main():
     cpus = int(sys.argv[1])
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -89,6 +122,11 @@ def main():
     if mode == "kernel":
         # argv[2] = edge count for kernel mode
         kernel_main(cpus, n_pages, max(1, n_pages // 16), iters)
+        return
+    if mode == "extract":
+        extract_main(cpus, n_pages,
+                     sys.argv[5] if len(sys.argv) > 5
+                     else "/tmp/scaling_pages.parquet")
         return
 
     spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
