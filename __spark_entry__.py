@@ -338,6 +338,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), threshold=0.5
     )
 
+    def minhash_near_dup(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+            minhash_near_dup_pairs,
+        )
+
+        return minhash_near_dup_pairs(_docs(spark, sf), threshold=0.5)
+
+    q["minhash_near_dup"] = minhash_near_dup
+
+    # -- naive-dynamic (P7): converged re-rank seeded with previous ranks --
+    def naive_dynamic(spark, sf):
+        g = _graph(spark, sf)
+        prev = pagerank(g, PageRankOptions(tolerance=1e-6, check_every=4,
+                                           metrics_level="none"))
+        g2 = apply_batch(g, _batch(spark, sf))
+        res = pagerank(
+            g2, PageRankOptions(tolerance=1e-6, check_every=4,
+                                metrics_level="none"),
+            init=prev.ranks,
+        )
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+    q["naive_dynamic"] = naive_dynamic  # no SQL oracle (iterative)
+
+    # -- multimodal: documents -> synthetic media table (payload = utf-8
+    # text bytes; kind cycles by doc_id) -> typed-metadata agg / stubbed
+    # feature extraction (deterministic fake codec)
+    def _media(spark, sf):
+        d = _docs(spark, sf)
+        kind = (
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video")
+        )
+        payload = F.encode("text", "UTF-8")
+        return d.select(
+            F.col("doc_id").alias("media_id"),
+            kind.alias("kind"),
+            payload.alias("payload"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.length(payload) * 10).cast("int").alias("duration_ms"),
+        )
+
+    def media_stats(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+            media_metadata_stats,
+        )
+
+        return media_metadata_stats(_media(spark, sf))
+
+    q["media_stats"] = media_stats
+
+    def media_features(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+            extract_features,
+        )
+
+        return extract_features(_media(spark, sf), dim=8, fake=True)
+
+    q["media_features"] = media_features  # no SQL oracle (stub codec RNG)
+
     def embedding_topk(spark, sf):
         emb = _emb(spark, sf)
         return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
@@ -725,6 +788,34 @@ j AS (SELECT inter.a, inter.b,
       FROM inter JOIN sizes sa ON inter.a = sa.id
                  JOIN sizes sb ON inter.b = sb.id)
 SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5"""
+    o["minhash_near_dup"] = f"""
+WITH {MINHASH_CTES},
+cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+          AND a.id < b.id),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT cand.a, cand.b, COUNT(*) AS n_inter
+          FROM cand JOIN sh sa ON sa.id = cand.a
+                    JOIN sh sb ON sb.id = cand.b AND sa.shingle = sb.shingle
+          GROUP BY cand.a, cand.b),
+j AS (SELECT inter.a, inter.b,
+             ROUND(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+      FROM inter JOIN sizes sa ON inter.a = sa.id
+                 JOIN sizes sb ON inter.b = sb.id)
+SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+    o["media_stats"] = """
+WITH m AS (SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  encode(text) AS payload,
+  octet_length(encode(text)) * 10 AS duration_ms
+  FROM documents)
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+       ROUND(AVG(duration_ms), 3) AS avg_duration_ms
+FROM m GROUP BY kind"""
+
     o["embedding_topk"] = """
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id < 5),
