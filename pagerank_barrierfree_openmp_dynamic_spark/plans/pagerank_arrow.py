@@ -360,16 +360,24 @@ def _load_slice(resident_dir: str, epoch: str, s: int, gen: int):
 
 
 def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
-                         gen: int, q_bc, mask_bc):
+                         gen: int, q_bc, mask_bc, movers_bc=None):
     """Scatter over resident slices: the input DataFrame carries only slice
     ids — zero edge bytes cross the JVM<->Python boundary after warmup.
     Slice ``s`` owns destination indices ``s, s+P, s+2P, ...`` and emits
     exactly that compact segment of the accumulator. ``q_bc`` broadcasts
-    q = r / outdeg; delta overlays contribute with their sign."""
+    q = r / outdeg; delta overlays contribute with their sign.
+
+    ``movers_bc`` fuses the previous superstep's frontier expansion into
+    this scatter (halving the jobs per dynamic superstep): because a slice
+    owns ALL in-edges of its dst residue class, each task can expand the
+    movers' out-neighbors locally, widen its own scatter mask with them
+    (their accumulators are then complete), and report the expansion in the
+    ``exp`` column for the driver to fold into the affected set."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q = q_bc.value
         mask = mask_bc.value if mask_bc is not None else None
+        movers = movers_bc.value if movers_bc is not None else None
         P = n_slices
         for pdf in batches:
             for s in pdf["id"].to_numpy():
@@ -377,6 +385,26 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                 seg_len = len(range(s, n, P))
                 src_idx, dst_idx, base_w, deltas = _load_slice(
                     resident_dir, epoch, s, gen)
+                exp_idx = np.empty(0, np.int32)
+                if movers is not None:
+                    # expansion walks live out-edges (base + inserted),
+                    # matching _resident_expand_fn
+                    outs = [
+                        dd[movers[ds]]
+                        for ds, dd, sg in (
+                            [(src_idx, dst_idx, 1.0)]
+                            + [(a, b, g) for a, b, g in deltas]
+                        )
+                        if sg > 0 and ds.size
+                    ]
+                    outs = [e for e in outs if e.size]
+                    if outs:
+                        exp_idx = np.unique(
+                            np.concatenate(outs)).astype(np.int32)
+                exp_seg = None
+                if exp_idx.size:
+                    exp_seg = np.zeros(seg_len, dtype=bool)
+                    exp_seg[exp_idx // P] = True
                 seg = np.zeros(seg_len)
                 m_edges = 0
                 for ds, dd, ww, sign in (
@@ -385,6 +413,8 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                 ):
                     if mask is not None and dd.size:
                         keep = mask[dd]
+                        if exp_seg is not None:
+                            keep = keep | exp_seg[dd // P]
                         ds, dd = ds[keep], dd[keep]
                         if ww is not None:
                             ww = ww[keep]
@@ -394,7 +424,8 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                                                   minlength=seg_len)
                         m_edges += int(dd.size)
                 yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()],
-                                    "m": [m_edges]})
+                                    "m": [m_edges],
+                                    "exp": [exp_idx.tobytes()]})
 
     return fn
 
@@ -532,6 +563,10 @@ def pagerank_arrow(
     err = float("inf")
     it = 0
     t0 = time.monotonic()
+    # resident dynamic mode fuses frontier expansion into the NEXT
+    # superstep's scatter (one distributed job per superstep instead of
+    # two); this broadcast carries the previous superstep's movers mask
+    pending_movers_bc = None
     with adaptive_execution(spark, o.adaptive_supersteps):
         while it < o.max_iterations:
             t_it = time.monotonic()
@@ -550,13 +585,25 @@ def pagerank_arrow(
             if resident:
                 parts = slice_df.mapInPandas(
                     _resident_scatter_fn(dg.resident_dir, dg.epoch, n,
-                                         dg.n_slices, dg.gen, ranks_bc, mask_bc),
-                    "slice int, acc binary, m long",
+                                         dg.n_slices, dg.gen, ranks_bc,
+                                         mask_bc, pending_movers_bc),
+                    "slice int, acc binary, m long, exp binary",
                 ).toPandas()
                 P = dg.n_slices
                 for s, blob, m_e in zip(parts["slice"], parts["acc"], parts["m"]):
                     acc[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
                     slice_edges[int(s)] = int(m_e)
+                if affected is not None and pending_movers_bc is not None:
+                    # fold the worker-side expansions into the affected set;
+                    # their accumulators are already complete (each slice
+                    # widened its own mask before scattering)
+                    exps = [np.frombuffer(b, dtype=np.int32)
+                            for b in parts["exp"] if len(b)]
+                    if exps:
+                        exp_all = np.concatenate(exps)
+                        affected[exp_all] = True
+                        if o.contracting and active is not None:
+                            active[exp_all] = True
             else:
                 parts = dg.blocks.mapInPandas(
                     _scatter_fn(dg.epoch, n, ranks_bc, mask_bc), "acc binary"
@@ -583,7 +630,18 @@ def pagerank_arrow(
 
             if affected is not None:
                 movers_mask = delta > D
-                if movers_mask.any():
+                if pending_movers_bc is not None:
+                    pending_movers_bc.destroy()
+                    pending_movers_bc = None
+                if resident:
+                    # fused expansion: ship the movers mask with the NEXT
+                    # superstep's scatter instead of a separate job
+                    if movers_mask.any():
+                        pending_movers_bc = sc.broadcast(movers_mask)
+                    if o.contracting and active is not None:
+                        active &= delta > tol  # converged drop out; neighbor
+                        # push re-activates when the expansion folds in
+                elif movers_mask.any():
                     # frontier expansion (fr): out-neighbors of movers, via a
                     # distributed masked scan of the cached edge blocks
                     movers_bc = sc.broadcast(movers_mask)
@@ -596,15 +654,7 @@ def pagerank_arrow(
                             t = pdf["dst_idx"].to_numpy()
                             yield pd.DataFrame({"dst_idx": np.unique(t[m[s]])})
 
-                    src_df = (
-                        slice_df.mapInPandas(
-                            _resident_expand_fn(dg.resident_dir, dg.epoch,
-                                                dg.gen, movers_bc),
-                            "dst_idx int",
-                        )
-                        if resident
-                        else dg.blocks.mapInPandas(expand_fn, "dst_idx int")
-                    )
+                    src_df = dg.blocks.mapInPandas(expand_fn, "dst_idx int")
                     exp = src_df.distinct().toPandas()["dst_idx"].to_numpy()
                     affected[exp] = True
                     if o.contracting and active is not None:
@@ -635,6 +685,22 @@ def pagerank_arrow(
                         for s, m_e in sorted(slice_edges.items())
                     )
             if store and (it % o.checkpoint_every == 0):
+                if affected is not None and pending_movers_bc is not None:
+                    # materialize the fused expansion before persisting the
+                    # frontier, so a resumed run restores the complete
+                    # affected set (the movers mask itself is not saved)
+                    exp = (
+                        slice_df.mapInPandas(
+                            _resident_expand_fn(dg.resident_dir, dg.epoch,
+                                                dg.gen, pending_movers_bc),
+                            "dst_idx int",
+                        ).distinct().toPandas()["dst_idx"].to_numpy()
+                    )
+                    affected[exp] = True
+                    if o.contracting and active is not None:
+                        active[exp] = True
+                    pending_movers_bc.destroy()
+                    pending_movers_bc = None
                 rdf = spark.createDataFrame(
                     pd.DataFrame({"id": dg.ids, "rank": r}))
                 fdf = None
@@ -655,9 +721,14 @@ def pagerank_arrow(
                                   "err": err})
             if err < tol:
                 break
-            if o.contracting and active is not None and not active.any():
+            if (o.contracting and active is not None and not active.any()
+                    and pending_movers_bc is None):
+                # a pending movers mask could still re-activate vertices at
+                # the next superstep's fused expansion — only stop when none
                 break
 
+    if pending_movers_bc is not None:
+        pending_movers_bc.destroy()
     ranks_df = spark.createDataFrame(pd.DataFrame({"id": dg.ids, "rank": r}))
     if own_dense:
         dg.unpersist()
