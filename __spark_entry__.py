@@ -240,6 +240,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["connected_components"] = lambda spark, sf: connected_components(
         _graph(spark, sf)
     )
+
+    def connected_components_arrow_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+            connected_components_arrow,
+        )
+
+        return connected_components_arrow(_graph(spark, sf))
+
+    q["connected_components_arrow"] = connected_components_arrow_q
     q["label_propagation_2iter"] = lambda spark, sf: label_propagation(
         _graph(spark, sf), iterations=2
     )
@@ -632,6 +641,7 @@ reach(id, via) AS (
   UNION
   SELECT und.dst, reach.via FROM reach JOIN und ON und.src = reach.id)
 SELECT id, MIN(via) AS comp FROM reach GROUP BY id"""
+    o["connected_components_arrow"] = o["connected_components"]
     o["label_propagation_2iter"] = _lpa_sql(2)
     o["triangle_count"] = f"""
 WITH e0 AS ({EDGES_SQL}),

@@ -36,7 +36,7 @@ from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (  # noqa:
 )
 from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (  # noqa: E402
-    connected_components,
+    connected_components_arrow,
 )
 from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (  # noqa: E402
     PageRankOptions,
@@ -174,7 +174,7 @@ def main():
 
     # -- other kernels --
     with timed("cc"):
-        cc = connected_components(g)
+        cc = connected_components_arrow(g, dense=dense)
         extras["n_components"] = cc.select("comp").distinct().count()
 
     with timed("triangles"):

@@ -18,6 +18,8 @@ iteration with eager localCheckpoint; the loop stops when no label changes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.graph import LinkGraph
@@ -72,3 +74,61 @@ def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFra
                 break
     und.unpersist()
     return labels
+
+
+def connected_components_arrow(
+    graph: LinkGraph, dense=None, max_iterations: int = 200
+) -> DataFrame:
+    """Dense Arrow-kernel connected components (same output as
+    :func:`connected_components`): labels live in one driver-side int64
+    vector, each superstep is ONE narrow job over the resident slice files
+    (base slice = in-edges, reverse slice = out-edges of the same vertex
+    residue class — see ``DenseGraph.materialize_reverse``), and the driver
+    runs pointer jumping to a fixpoint between supersteps (labels point at
+    smaller vertex indices of the same component, so ``lab[lab]`` chases are
+    safe). Hash-min + full path compression converges in a handful of outer
+    supersteps. ``dense_ids`` assigns dense indices in sorted-id order, so
+    the min over indices is the min over original ids. The path while the
+    label vector fits driver memory (N ≈ 1e9); beyond that, the join-based
+    :func:`connected_components` is the fully-sharded fallback."""
+    from .pagerank_arrow import DenseGraph, _cc_min_fn
+
+    dg = dense or DenseGraph(graph)
+    own = dense is None
+    if dg.gen > 0:
+        raise ValueError(
+            "connected_components_arrow needs gen-0 slices (min-label "
+            "propagation cannot subtract deleted edges) — rebuild the dense "
+            "view via build_graph + DenseGraph after applying batches")
+    dg.materialize()
+    dg.materialize_reverse()
+    spark = graph.edges.sparkSession
+    sc = spark.sparkContext
+    n, P = dg.n, dg.n_slices
+    slice_df = spark.range(0, P, 1, P)
+    lab = np.arange(n, dtype=np.int64)
+    with adaptive_execution(spark, False):
+        for _ in range(max_iterations):
+            lab_bc = sc.broadcast(lab)
+            parts = slice_df.mapInPandas(
+                _cc_min_fn(dg.resident_dir, dg.epoch, P, lab_bc),
+                "slice int, seg binary",
+            ).toPandas()
+            new = np.empty_like(lab)
+            for s, blob in zip(parts["slice"], parts["seg"]):
+                new[int(s)::P] = np.frombuffer(blob, dtype=np.int64)
+            lab_bc.destroy()
+            # driver-side pointer jumping to fixpoint (full path compression)
+            while True:
+                j = new[new]
+                if np.array_equal(j, new):
+                    break
+                new = j
+            if np.array_equal(new, lab):
+                break
+            lab = new
+    out = spark.createDataFrame(
+        pd.DataFrame({"id": dg.ids, "comp": dg.ids[lab]}))
+    if own:
+        dg.unpersist()
+    return out

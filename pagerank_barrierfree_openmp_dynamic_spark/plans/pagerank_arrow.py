@@ -172,6 +172,55 @@ class DenseGraph:
         self.resident_dir = d
         return self
 
+    def materialize_reverse(self) -> "DenseGraph":
+        """Write src-residue-sliced reverse blocks (the CSC complement of
+        the dst-residue CSR slices): kernels that propagate along BOTH edge
+        directions (connected components) read slice ``s``'s base file for
+        the in-edges and its ``rslice`` file for the out-edges of the same
+        vertex residue class — one narrow job per superstep, compact
+        segments, no shuffle. Built once per graph, idempotent."""
+        import os
+
+        if self.resident_dir is None:
+            self.materialize()
+        marker = f"{self.resident_dir}/_rev_done"
+        if os.path.exists(marker):
+            return self
+        if self.blocks is None:
+            raise ValueError(
+                "reverse blocks need the blocks DataFrame — a DenseGraph "
+                "restored with load() has forward slices only; rebuild via "
+                "DenseGraph(graph)")
+        P = self.n_slices
+        d = self.resident_dir
+
+        def write_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from collections import defaultdict
+
+            bufs: dict[int, list[pd.DataFrame]] = defaultdict(list)
+            for pdf in batches:
+                for s, grp in pdf.groupby(pdf["src_idx"] % P):
+                    bufs[int(s)].append(grp)
+            written = []
+            for s, parts in bufs.items():
+                grp = pd.concat(parts, ignore_index=True)
+                np.save(f"{d}/rslice_{s}_src.npy",
+                        grp["src_idx"].to_numpy(np.int32))
+                np.save(f"{d}/rslice_{s}_dst.npy",
+                        grp["dst_idx"].to_numpy(np.int32))
+                written.append(s)
+            yield pd.DataFrame({"slice": written})
+
+        (
+            self.blocks.withColumn("slice", F.pmod(F.col("src_idx"), F.lit(P)))
+            .repartition(P, "slice")
+            .drop("slice")
+            .mapInPandas(write_fn, "slice int")
+            .count()
+        )
+        open(marker, "w").close()
+        return self
+
     def save(self, path: str | None = None) -> str:
         """Persist the complete dense index — slice blocks + ids/deg vectors
         + meta — so later sessions (or other jobs) restore it with
@@ -426,6 +475,46 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                 yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()],
                                     "m": [m_edges],
                                     "exp": [exp_idx.tobytes()]})
+
+    return fn
+
+
+def _cc_min_fn(resident_dir: str, epoch: str, n_slices: int, lab_bc):
+    """One min-label superstep for connected components: slice ``s`` takes
+    the elementwise minimum of its vertices' labels and the labels of their
+    in-neighbors (base dst-residue slice) and out-neighbors (reverse
+    src-residue slice), emitting the compact segment."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lab = lab_bc.value
+        P = n_slices
+        for pdf in batches:
+            for s in pdf["id"].to_numpy():
+                s = int(s)
+                seg = lab[s::P].copy()
+                src_idx, dst_idx, _w, _d = _load_slice(
+                    resident_dir, epoch, s, 0)
+                if dst_idx.size:
+                    np.minimum.at(seg, np.asarray(dst_idx) // P, lab[src_idx])
+                key = (epoch, "rev", s)
+                rev = _BLOCK_CACHE.get(key)
+                if rev is None:
+                    try:
+                        rev = (
+                            np.load(f"{resident_dir}/rslice_{s}_src.npy",
+                                    mmap_mode="r"),
+                            np.load(f"{resident_dir}/rslice_{s}_dst.npy",
+                                    mmap_mode="r"),
+                        )
+                    except (OSError, FileNotFoundError):
+                        rev = (np.empty(0, np.int32), np.empty(0, np.int32))
+                    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+                        _BLOCK_CACHE.clear()
+                    _BLOCK_CACHE[key] = rev
+                rs, rd = rev
+                if rs.size:
+                    np.minimum.at(seg, np.asarray(rs) // P, lab[rd])
+                yield pd.DataFrame({"slice": [s], "seg": [seg.tobytes()]})
 
     return fn
 

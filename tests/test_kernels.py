@@ -61,6 +61,18 @@ def test_cc_small_exact(spark, small_graph):
     assert len(set(want)) >= 2  # planted disconnected block exists
 
 
+def test_cc_arrow_exact(spark, tiny_graph, small_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+        connected_components_arrow,
+    )
+
+    got = _col(connected_components_arrow(tiny_graph), 10, "id", "comp")
+    assert (got == cc_oracle(10, datagen.tiny_edges())).all()
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    got = _col(connected_components_arrow(small_graph), 300, "id", "comp")
+    assert (got == cc_oracle(300, edges)).all()
+
+
 def test_lpa_tiny_exact(spark, tiny_graph):
     got = _col(label_propagation(tiny_graph, iterations=4), 10, "id", "label")
     want = lpa_oracle(10, datagen.tiny_edges(), iterations=4)
