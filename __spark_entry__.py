@@ -252,6 +252,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["label_propagation_2iter"] = lambda spark, sf: label_propagation(
         _graph(spark, sf), iterations=2
     )
+
+    def label_propagation_arrow_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.labelprop import (
+            label_propagation_arrow,
+        )
+
+        return label_propagation_arrow(_graph(spark, sf), iterations=2)
+
+    q["label_propagation_arrow_2iter"] = label_propagation_arrow_q
     q["triangle_count"] = lambda spark, sf: triangles(_graph(spark, sf)).agg(
         F.count("*").alias("n_triangles")
     )
@@ -643,6 +652,7 @@ reach(id, via) AS (
 SELECT id, MIN(via) AS comp FROM reach GROUP BY id"""
     o["connected_components_arrow"] = o["connected_components"]
     o["label_propagation_2iter"] = _lpa_sql(2)
+    o["label_propagation_arrow_2iter"] = _lpa_sql(2)
     o["triangle_count"] = f"""
 WITH e0 AS ({EDGES_SQL}),
 und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v

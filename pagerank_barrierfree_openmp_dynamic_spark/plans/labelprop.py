@@ -10,6 +10,8 @@ oracle exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators.graph import LinkGraph
@@ -47,3 +49,48 @@ def label_propagation(graph: LinkGraph, iterations: int = 5) -> DataFrame:
             )
     und.unpersist()
     return labels
+
+
+def label_propagation_arrow(
+    graph: LinkGraph, iterations: int = 5, dense=None
+) -> DataFrame:
+    """Dense Arrow-kernel label propagation — same synchronous rounds and
+    (max count, smallest label) tie-break as :func:`label_propagation`,
+    exact-match output. Each round is one narrow job over the resident
+    slices (base + reverse blocks give each slice its vertices' full
+    undirected neighbor sets — ``DenseGraph.materialize_reverse``); the
+    label vector is broadcast, per-slice voting is a vectorized
+    sort/unique, and compact segments come back. Dense indices preserve id
+    order, so the smallest-label tie-break agrees across domains."""
+    from .pagerank_arrow import DenseGraph, _lpa_vote_fn
+
+    dg = dense or DenseGraph(graph)
+    own = dense is None
+    if dg.gen > 0:
+        raise ValueError(
+            "label_propagation_arrow needs gen-0 slices — rebuild the dense "
+            "view after applying batches")
+    dg.materialize()
+    dg.materialize_reverse()
+    spark = graph.edges.sparkSession
+    sc = spark.sparkContext
+    n, P = dg.n, dg.n_slices
+    slice_df = spark.range(0, P, 1, P)
+    lab = np.arange(n, dtype=np.int64)
+    with adaptive_execution(spark, False):
+        for _ in range(iterations):
+            lab_bc = sc.broadcast(lab)
+            parts = slice_df.mapInPandas(
+                _lpa_vote_fn(dg.resident_dir, dg.epoch, n, P, lab_bc),
+                "slice int, seg binary",
+            ).toPandas()
+            new = np.empty_like(lab)
+            for s, blob in zip(parts["slice"], parts["seg"]):
+                new[int(s)::P] = np.frombuffer(blob, dtype=np.int64)
+            lab_bc.destroy()
+            lab = new
+    out = spark.createDataFrame(
+        pd.DataFrame({"id": dg.ids, "label": dg.ids[lab]}))
+    if own:
+        dg.unpersist()
+    return out

@@ -519,6 +519,62 @@ def _cc_min_fn(resident_dir: str, epoch: str, n_slices: int, lab_bc):
     return fn
 
 
+def _lpa_vote_fn(resident_dir: str, epoch: str, n: int, n_slices: int, lab_bc):
+    """One synchronous label-propagation round for slice ``s``: each owner
+    vertex adopts the most frequent label among its DEDUPLICATED undirected
+    neighbors (in-neighbors from the base slice, out-neighbors from the
+    reverse slice), ties broken by the smallest label — exactly the join
+    path's semantics. The per-slice (owner, neighbor) set is built once and
+    cached in the worker process (graph-static)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lab = lab_bc.value
+        P = n_slices
+        for pdf in batches:
+            for s in pdf["id"].to_numpy():
+                s = int(s)
+                key = (epoch, "lpa", s)
+                pairs = _BLOCK_CACHE.get(key)
+                if pairs is None:
+                    src_idx, dst_idx, _w, _d = _load_slice(
+                        resident_dir, epoch, s, 0)
+                    parts = []
+                    if dst_idx.size:
+                        ds = np.asarray(src_idx, dtype=np.int64)
+                        dd = np.asarray(dst_idx, dtype=np.int64)
+                        keep = ds != dd
+                        parts.append((dd[keep] // P) * n + ds[keep])
+                    try:
+                        rs = np.load(f"{resident_dir}/rslice_{s}_src.npy")
+                        rd = np.load(f"{resident_dir}/rslice_{s}_dst.npy")
+                        rs, rd = rs.astype(np.int64), rd.astype(np.int64)
+                        keep = rs != rd
+                        parts.append((rs[keep] // P) * n + rd[keep])
+                    except (OSError, FileNotFoundError):
+                        pass
+                    if parts:
+                        uniq = np.unique(np.concatenate(parts))
+                        pairs = (uniq // n, uniq % n)  # (owner_seg, neighbor)
+                    else:
+                        pairs = (np.empty(0, np.int64), np.empty(0, np.int64))
+                    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+                        _BLOCK_CACHE.clear()
+                    _BLOCK_CACHE[key] = pairs
+                owner, nbr = pairs
+                seg = lab[s::P].copy()
+                if owner.size:
+                    votes = owner * n + lab[nbr]
+                    vu, cnt = np.unique(votes, return_counts=True)
+                    vo, vl = vu // n, vu % n
+                    order = np.lexsort((vl, -cnt, vo))
+                    _, first = np.unique(vo[order], return_index=True)
+                    win = order[first]
+                    seg[vo[win]] = vl[win]
+                yield pd.DataFrame({"slice": [s], "seg": [seg.tobytes()]})
+
+    return fn
+
+
 def _resident_expand_fn(resident_dir: str, epoch: str, gen: int, movers_bc):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = movers_bc.value

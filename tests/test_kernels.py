@@ -73,6 +73,18 @@ def test_cc_arrow_exact(spark, tiny_graph, small_graph):
     assert (got == cc_oracle(300, edges)).all()
 
 
+def test_lpa_arrow_exact(spark, tiny_graph, small_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.labelprop import (
+        label_propagation_arrow,
+    )
+
+    got = _col(label_propagation_arrow(tiny_graph, iterations=4), 10, "id", "label")
+    assert (got == lpa_oracle(10, datagen.tiny_edges(), iterations=4)).all()
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    got = _col(label_propagation_arrow(small_graph, iterations=3), 300, "id", "label")
+    assert (got == lpa_oracle(300, edges, iterations=3)).all()
+
+
 def test_lpa_tiny_exact(spark, tiny_graph):
     got = _col(label_propagation(tiny_graph, iterations=4), 10, "id", "label")
     want = lpa_oracle(10, datagen.tiny_edges(), iterations=4)
