@@ -336,6 +336,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    # same declarative plan the streaming path runs (windowed_event_counts
+    # with watermark on streams); here on the batch table for the oracle
+    def events_windowed(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+            windowed_event_counts,
+        )
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = windowed_event_counts(ev)
+        return w.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"),
+            "event_type", "n", "sum_value",
+        )
+
+    q["events_windowed"] = events_windowed
+
     # -- training-data pipeline: dedup / text / similarity --
     q["dedup_exact"] = lambda spark, sf: exact_duplicates(_docs(spark, sf))
     q["token_stats"] = lambda spark, sf: token_count(_docs(spark, sf))
@@ -712,6 +731,13 @@ SELECT ROUND(SUM(ABS(d)), 9) AS l1, ROUND(SUM(d * d), 9) AS l2,
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    o["events_windowed"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2, 3"""
 
     o["dedup_exact"] = """
 SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs

@@ -17,6 +17,61 @@ from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
 from oracle import pagerank_oracle
 
 
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windowed aggregation: a window is emitted once the
+    watermark passes its end, and rows arriving later than the watermark
+    for an already-finalized window are dropped."""
+    from datetime import datetime
+
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+        windowed_event_counts,
+    )
+
+    d = tmp_path / "events"
+    d.mkdir()
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["ts", "event_type", "value"]).to_parquet(
+            d / name, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    T = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    # micro-batch 1: two rows in the 10:00 window, one at 12:40 that pushes
+    # the watermark (30 min) to 12:10 -> the 10:00-11:00 window finalizes
+    write("b0.parquet", [(T(10, 5), "click", 1.0), (T(10, 20), "click", 2.0),
+                         (T(12, 40), "view", 1.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(str(d))
+    )
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: watermark advances to 12:10
+    # micro-batch 2: a LATE row for the finalized 10:00 window (dropped) and
+    # a 13:45 row that pushes the watermark past the 12:00 window's end
+    write("b1.parquet", [(T(10, 30), "click", 100.0),
+                         (T(13, 45), "view", 1.0)])
+    q.processAllAvailable()  # batch 2: emits win10 (late row dropped), wm->13:15
+    write("b2.parquet", [(T(14, 0), "view", 1.0)])
+    q.processAllAvailable()  # batch 3: emits win12 under the 13:15 watermark
+    q.stop()
+    out = spark.sql("SELECT * FROM win_counts").toPandas()
+    got = {
+        (r.window_start.hour, r.event_type): (r.n, r.sum_value)
+        for r in out.itertuples()
+    }
+    # late 10:30 row NOT counted; 13:00 window never finalized -> absent
+    assert got[(10, "click")] == (2, 3.0)
+    assert got[(12, "view")] == (1, 1.0)
+    assert (13, "view") not in got
+
+
 def test_streamed_batches_converge_to_golden(spark, tmp_path):
     n = 150
     edges_pdf = datagen.synth_edges(n, seed=17)
