@@ -438,6 +438,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = media_features  # no SQL oracle (stub codec RNG)
 
+    def embedding_near_dup(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+            embedding_near_dup_brute,
+        )
+
+        return embedding_near_dup_brute(_emb(spark, sf), threshold=0.3)
+
+    q["embedding_near_dup"] = embedding_near_dup
+
+    def embedding_near_dup_lsh(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+            embedding_near_dup_pairs,
+        )
+
+        return embedding_near_dup_pairs(_emb(spark, sf), dim=64,
+                                        threshold=0.3, n_planes=4)
+
+    q["embedding_near_dup_lsh"] = embedding_near_dup_lsh  # no SQL oracle (planes)
+
     def embedding_topk(spark, sf):
         emb = _emb(spark, sf)
         return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
@@ -861,6 +880,15 @@ SELECT kind, COUNT(*) AS n,
        CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
        ROUND(AVG(duration_ms), 3) AS avg_duration_ms
 FROM m GROUP BY kind"""
+
+    o["embedding_near_dup"] = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM c a JOIN c b ON a.vec_id < b.vec_id)
+SELECT a, b, sim FROM s WHERE sim >= 0.3"""
 
     o["embedding_topk"] = """
 WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v

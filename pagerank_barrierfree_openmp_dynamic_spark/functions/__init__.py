@@ -20,6 +20,7 @@ from .similarity import (  # noqa: F401
     brute_force_topk,
     lsh_topk,
     add_lsh_bucket,
+    embedding_near_dup_brute,
     embedding_near_dup_pairs,
     ivf_train_centroids,
     ivf_topk,

@@ -213,6 +213,22 @@ def test_lsh_topk_recall(emb):
     assert recall > 0.5
 
 
+def test_embedding_near_dup_lsh_subset_of_brute(emb):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+        embedding_near_dup_brute,
+        embedding_near_dup_pairs,
+    )
+
+    brute = embedding_near_dup_brute(emb, threshold=0.3).toPandas()
+    lsh = embedding_near_dup_pairs(emb, dim=64, threshold=0.3,
+                                   n_planes=4).toPandas()
+    bset = {(r.a, r.b): r.sim for r in brute.itertuples()}
+    assert len(lsh) > 0
+    for r in lsh.itertuples():
+        assert (r.a, r.b) in bset  # every LSH pair is a true near-dup...
+        assert abs(bset[(r.a, r.b)] - r.sim) < 2e-6  # ...with the exact sim
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
