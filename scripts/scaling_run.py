@@ -120,8 +120,10 @@ def main():
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     mode = sys.argv[4] if len(sys.argv) > 4 else "arrow"
     if mode == "kernel":
-        # argv[2] = edge count for kernel mode
-        kernel_main(cpus, n_pages, max(1, n_pages // 16), iters)
+        # argv[2] = edge count; argv[5] = avg out-degree (default 16 —
+        # use ~40 for reference-corpus-like web density, e.g. uk-2005)
+        deg = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+        kernel_main(cpus, n_pages, max(1, n_pages // deg), iters)
         return
     if mode == "extract":
         extract_main(cpus, n_pages,
