@@ -77,7 +77,7 @@ def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFra
 
 
 def connected_components_arrow(
-    graph: LinkGraph, dense=None, max_iterations: int = 200
+    graph: LinkGraph, *, dense=None, max_iterations: int = 200
 ) -> DataFrame:
     """Dense Arrow-kernel connected components (same output as
     :func:`connected_components`): labels live in one driver-side int64
@@ -91,44 +91,25 @@ def connected_components_arrow(
     the min over indices is the min over original ids. The path while the
     label vector fits driver memory (N ≈ 1e9); beyond that, the join-based
     :func:`connected_components` is the fully-sharded fallback."""
-    from .pagerank_arrow import DenseGraph, _cc_min_fn
+    from .pagerank_arrow import _cc_min_fn, dense_label_loop
 
-    dg = dense or DenseGraph(graph)
-    own = dense is None
-    if dg.gen > 0:
-        raise ValueError(
-            "connected_components_arrow needs gen-0 slices (min-label "
-            "propagation cannot subtract deleted edges) — rebuild the dense "
-            "view via build_graph + DenseGraph after applying batches")
-    dg.materialize()
-    dg.materialize_reverse()
+    def jump(new: np.ndarray) -> np.ndarray:
+        # driver-side pointer jumping to fixpoint (full path compression)
+        while True:
+            j = new[new]
+            if np.array_equal(j, new):
+                return new
+            new = j
+
+    dg, lab = dense_label_loop(
+        graph, dense,
+        lambda dg, lab_bc: _cc_min_fn(dg.resident_dir, dg.epoch,
+                                      dg.n_slices, lab_bc),
+        post=jump, max_iterations=max_iterations,
+    )
     spark = graph.edges.sparkSession
-    sc = spark.sparkContext
-    n, P = dg.n, dg.n_slices
-    slice_df = spark.range(0, P, 1, P)
-    lab = np.arange(n, dtype=np.int64)
-    with adaptive_execution(spark, False):
-        for _ in range(max_iterations):
-            lab_bc = sc.broadcast(lab)
-            parts = slice_df.mapInPandas(
-                _cc_min_fn(dg.resident_dir, dg.epoch, P, lab_bc),
-                "slice int, seg binary",
-            ).toPandas()
-            new = np.empty_like(lab)
-            for s, blob in zip(parts["slice"], parts["seg"]):
-                new[int(s)::P] = np.frombuffer(blob, dtype=np.int64)
-            lab_bc.destroy()
-            # driver-side pointer jumping to fixpoint (full path compression)
-            while True:
-                j = new[new]
-                if np.array_equal(j, new):
-                    break
-                new = j
-            if np.array_equal(new, lab):
-                break
-            lab = new
     out = spark.createDataFrame(
         pd.DataFrame({"id": dg.ids, "comp": dg.ids[lab]}))
-    if own:
+    if dense is None:
         dg.unpersist()
     return out

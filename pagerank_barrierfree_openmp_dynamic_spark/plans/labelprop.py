@@ -10,7 +10,6 @@ oracle exactly.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -52,7 +51,7 @@ def label_propagation(graph: LinkGraph, iterations: int = 5) -> DataFrame:
 
 
 def label_propagation_arrow(
-    graph: LinkGraph, iterations: int = 5, dense=None
+    graph: LinkGraph, iterations: int = 5, *, dense=None
 ) -> DataFrame:
     """Dense Arrow-kernel label propagation — same synchronous rounds and
     (max count, smallest label) tie-break as :func:`label_propagation`,
@@ -62,35 +61,17 @@ def label_propagation_arrow(
     label vector is broadcast, per-slice voting is a vectorized
     sort/unique, and compact segments come back. Dense indices preserve id
     order, so the smallest-label tie-break agrees across domains."""
-    from .pagerank_arrow import DenseGraph, _lpa_vote_fn
+    from .pagerank_arrow import _lpa_vote_fn, dense_label_loop
 
-    dg = dense or DenseGraph(graph)
-    own = dense is None
-    if dg.gen > 0:
-        raise ValueError(
-            "label_propagation_arrow needs gen-0 slices — rebuild the dense "
-            "view after applying batches")
-    dg.materialize()
-    dg.materialize_reverse()
+    dg, lab = dense_label_loop(
+        graph, dense,
+        lambda dg, lab_bc: _lpa_vote_fn(dg.resident_dir, dg.epoch, dg.n,
+                                        dg.n_slices, lab_bc),
+        rounds=iterations,
+    )
     spark = graph.edges.sparkSession
-    sc = spark.sparkContext
-    n, P = dg.n, dg.n_slices
-    slice_df = spark.range(0, P, 1, P)
-    lab = np.arange(n, dtype=np.int64)
-    with adaptive_execution(spark, False):
-        for _ in range(iterations):
-            lab_bc = sc.broadcast(lab)
-            parts = slice_df.mapInPandas(
-                _lpa_vote_fn(dg.resident_dir, dg.epoch, n, P, lab_bc),
-                "slice int, seg binary",
-            ).toPandas()
-            new = np.empty_like(lab)
-            for s, blob in zip(parts["slice"], parts["seg"]):
-                new[int(s)::P] = np.frombuffer(blob, dtype=np.int64)
-            lab_bc.destroy()
-            lab = new
     out = spark.createDataFrame(
         pd.DataFrame({"id": dg.ids, "label": dg.ids[lab]}))
-    if own:
+    if dense is None:
         dg.unpersist()
     return out

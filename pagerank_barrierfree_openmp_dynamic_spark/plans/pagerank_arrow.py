@@ -115,6 +115,50 @@ class DenseGraph:
         self.gen = 0  # delta-overlay generation (apply_delta bumps it)
         self._owns_files = True
 
+    def _write_slices(self, key_col: str, prefix: str, with_w: bool) -> None:
+        """Distributively write per-residue ``.npy`` slice files from
+        ``blocks``: group by ``key_col % P``, one file set per slice. After
+        the job, fill in EMPTY files for residues with no edges so a
+        missing file always means loss/corruption (detected by a hard
+        load error), never 'no edges'."""
+        import os
+
+        P = self.n_slices
+        d = self.resident_dir
+
+        def write_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from collections import defaultdict
+
+            bufs: dict[int, list[pd.DataFrame]] = defaultdict(list)
+            for pdf in batches:
+                for s, grp in pdf.groupby(pdf[key_col] % P):
+                    bufs[int(s)].append(grp)
+            written = []
+            for s, parts in bufs.items():
+                grp = pd.concat(parts, ignore_index=True)
+                np.save(f"{d}/{prefix}{s}_src.npy",
+                        grp["src_idx"].to_numpy(np.int32))
+                np.save(f"{d}/{prefix}{s}_dst.npy",
+                        grp["dst_idx"].to_numpy(np.int32))
+                if with_w and "w" in grp.columns:
+                    np.save(f"{d}/{prefix}{s}_w.npy",
+                            grp["w"].to_numpy(np.float64))
+                written.append(s)
+            yield pd.DataFrame({"slice": written})
+
+        (
+            self.blocks.withColumn("slice", F.pmod(F.col(key_col), F.lit(P)))
+            .repartition(P, "slice")
+            .drop("slice")
+            .mapInPandas(write_fn, "slice int")
+            .count()
+        )
+        empty = np.empty(0, np.int32)
+        for s in range(P):
+            if not os.path.exists(f"{d}/{prefix}{s}_src.npy"):
+                np.save(f"{d}/{prefix}{s}_src.npy", empty)
+                np.save(f"{d}/{prefix}{s}_dst.npy", empty)
+
     def materialize(self, path: str | None = None) -> "DenseGraph":
         """Write per-slice ``.npy`` edge blocks for resident supersteps.
 
@@ -140,36 +184,8 @@ class DenseGraph:
             d = path
         else:
             d = tempfile.mkdtemp(prefix=f"linkgraph_blocks_{self.epoch[:8]}_")
-        P = self.n_slices
-
-        def write_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from collections import defaultdict
-
-            bufs: dict[int, list[pd.DataFrame]] = defaultdict(list)
-            for pdf in batches:
-                for s, grp in pdf.groupby(pdf["dst_idx"] % P):
-                    bufs[int(s)].append(grp)
-            written = []
-            for s, parts in bufs.items():
-                grp = pd.concat(parts, ignore_index=True)
-                np.save(f"{d}/slice_{s}_src.npy",
-                        grp["src_idx"].to_numpy(np.int32))
-                np.save(f"{d}/slice_{s}_dst.npy",
-                        grp["dst_idx"].to_numpy(np.int32))
-                if "w" in grp.columns:
-                    np.save(f"{d}/slice_{s}_w.npy",
-                            grp["w"].to_numpy(np.float64))
-                written.append(s)
-            yield pd.DataFrame({"slice": written})
-
-        (
-            self.blocks.withColumn("slice", F.pmod(F.col("dst_idx"), F.lit(P)))
-            .repartition(P, "slice")
-            .drop("slice")
-            .mapInPandas(write_fn, "slice int")
-            .count()
-        )
         self.resident_dir = d
+        self._write_slices("dst_idx", "slice_", with_w=True)
         return self
 
     def materialize_reverse(self) -> "DenseGraph":
@@ -191,33 +207,7 @@ class DenseGraph:
                 "reverse blocks need the blocks DataFrame — a DenseGraph "
                 "restored with load() has forward slices only; rebuild via "
                 "DenseGraph(graph)")
-        P = self.n_slices
-        d = self.resident_dir
-
-        def write_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from collections import defaultdict
-
-            bufs: dict[int, list[pd.DataFrame]] = defaultdict(list)
-            for pdf in batches:
-                for s, grp in pdf.groupby(pdf["src_idx"] % P):
-                    bufs[int(s)].append(grp)
-            written = []
-            for s, parts in bufs.items():
-                grp = pd.concat(parts, ignore_index=True)
-                np.save(f"{d}/rslice_{s}_src.npy",
-                        grp["src_idx"].to_numpy(np.int32))
-                np.save(f"{d}/rslice_{s}_dst.npy",
-                        grp["dst_idx"].to_numpy(np.int32))
-                written.append(s)
-            yield pd.DataFrame({"slice": written})
-
-        (
-            self.blocks.withColumn("slice", F.pmod(F.col("src_idx"), F.lit(P)))
-            .repartition(P, "slice")
-            .drop("slice")
-            .mapInPandas(write_fn, "slice int")
-            .count()
-        )
+        self._write_slices("src_idx", "rslice_", with_w=False)
         open(marker, "w").close()
         return self
 
@@ -479,6 +469,25 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
     return fn
 
 
+def _load_rslice(resident_dir: str, epoch: str, s: int):
+    """Worker-side: load (and process-cache) slice ``s``'s reverse block —
+    (src_idx, dst_idx) mmap arrays of the edges whose SOURCE is in residue
+    class ``s``. ``materialize_reverse`` guarantees the files exist for
+    every slice (empty residues get empty files), so a missing file is
+    loss/corruption and raises instead of silently dropping out-edges."""
+    key = (epoch, "rev", int(s))
+    rev = _BLOCK_CACHE.get(key)
+    if rev is None:
+        rev = (
+            np.load(f"{resident_dir}/rslice_{int(s)}_src.npy", mmap_mode="r"),
+            np.load(f"{resident_dir}/rslice_{int(s)}_dst.npy", mmap_mode="r"),
+        )
+        if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+            _BLOCK_CACHE.clear()
+        _BLOCK_CACHE[key] = rev
+    return rev
+
+
 def _cc_min_fn(resident_dir: str, epoch: str, n_slices: int, lab_bc):
     """One min-label superstep for connected components: slice ``s`` takes
     the elementwise minimum of its vertices' labels and the labels of their
@@ -496,22 +505,7 @@ def _cc_min_fn(resident_dir: str, epoch: str, n_slices: int, lab_bc):
                     resident_dir, epoch, s, 0)
                 if dst_idx.size:
                     np.minimum.at(seg, np.asarray(dst_idx) // P, lab[src_idx])
-                key = (epoch, "rev", s)
-                rev = _BLOCK_CACHE.get(key)
-                if rev is None:
-                    try:
-                        rev = (
-                            np.load(f"{resident_dir}/rslice_{s}_src.npy",
-                                    mmap_mode="r"),
-                            np.load(f"{resident_dir}/rslice_{s}_dst.npy",
-                                    mmap_mode="r"),
-                        )
-                    except (OSError, FileNotFoundError):
-                        rev = (np.empty(0, np.int32), np.empty(0, np.int32))
-                    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
-                        _BLOCK_CACHE.clear()
-                    _BLOCK_CACHE[key] = rev
-                rs, rd = rev
+                rs, rd = _load_rslice(resident_dir, epoch, s)
                 if rs.size:
                     np.minimum.at(seg, np.asarray(rs) // P, lab[rd])
                 yield pd.DataFrame({"slice": [s], "seg": [seg.tobytes()]})
@@ -544,14 +538,12 @@ def _lpa_vote_fn(resident_dir: str, epoch: str, n: int, n_slices: int, lab_bc):
                         dd = np.asarray(dst_idx, dtype=np.int64)
                         keep = ds != dd
                         parts.append((dd[keep] // P) * n + ds[keep])
-                    try:
-                        rs = np.load(f"{resident_dir}/rslice_{s}_src.npy")
-                        rd = np.load(f"{resident_dir}/rslice_{s}_dst.npy")
-                        rs, rd = rs.astype(np.int64), rd.astype(np.int64)
+                    rs, rd = _load_rslice(resident_dir, epoch, s)
+                    if rs.size:
+                        rs = np.asarray(rs, dtype=np.int64)
+                        rd = np.asarray(rd, dtype=np.int64)
                         keep = rs != rd
                         parts.append((rs[keep] // P) * n + rd[keep])
-                    except (OSError, FileNotFoundError):
-                        pass
                     if parts:
                         uniq = np.unique(np.concatenate(parts))
                         pairs = (uniq // n, uniq % n)  # (owner_seg, neighbor)
@@ -573,6 +565,49 @@ def _lpa_vote_fn(resident_dir: str, epoch: str, n: int, n_slices: int, lab_bc):
                 yield pd.DataFrame({"slice": [s], "seg": [seg.tobytes()]})
 
     return fn
+
+
+def dense_label_loop(graph, dense, make_fn, *, post=None, rounds=None,
+                     max_iterations=200):
+    """Shared driver for dense label-vector kernels (CC, LPA): per round,
+    broadcast the int64 label vector, run ``make_fn(dg, lab_bc)`` as one
+    narrow job over the resident slices, reassemble the compact segments,
+    apply ``post`` (e.g. pointer jumping), and either run exactly
+    ``rounds`` rounds or stop at the fixpoint. Requires gen-0 slices
+    (label propagation cannot subtract deleted edges). Returns
+    (dg, labels); the caller owns ``dg`` cleanup when it passed
+    ``dense=None``."""
+    from ..session import adaptive_execution
+
+    dg = dense or DenseGraph(graph)
+    if dg.gen > 0:
+        raise ValueError(
+            "dense label kernels need gen-0 slices — rebuild the dense view "
+            "via build_graph + DenseGraph after applying batches")
+    dg.materialize()
+    dg.materialize_reverse()
+    spark = graph.edges.sparkSession
+    sc = spark.sparkContext
+    n, P = dg.n, dg.n_slices
+    slice_df = spark.range(0, P, 1, P)
+    lab = np.arange(n, dtype=np.int64)
+    limit = rounds if rounds is not None else max_iterations
+    with adaptive_execution(spark, False):
+        for _ in range(limit):
+            lab_bc = sc.broadcast(lab)
+            parts = slice_df.mapInPandas(
+                make_fn(dg, lab_bc), "slice int, seg binary"
+            ).toPandas()
+            new = np.empty_like(lab)
+            for s, blob in zip(parts["slice"], parts["seg"]):
+                new[int(s)::P] = np.frombuffer(blob, dtype=np.int64)
+            lab_bc.destroy()
+            if post is not None:
+                new = post(new)
+            if rounds is None and np.array_equal(new, lab):
+                break
+            lab = new
+    return dg, lab
 
 
 def _resident_expand_fn(resident_dir: str, epoch: str, gen: int, movers_bc):
