@@ -38,6 +38,7 @@ from pagerank_barrierfree_openmp_dynamic_spark.functions import (
     quality_score,
     shingles,
     simhash,
+    simhash_blocks,
     simhash_near_dup_pairs,
     token_count,
 )
@@ -434,9 +435,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_features,
         )
 
-        return extract_features(_media(spark, sf), dim=8, fake=True)
+        feats = extract_features(_media(spark, sf), dim=8, fake=True)
+        # posexplode to a flat canonicalizable shape (no array columns in
+        # driver outputs); the fake feature is an exact SQL-expressible
+        # function of md5(payload) — see functions/multimodal.fake_feature
+        return feats.select(
+            "media_id", "n_bytes", F.posexplode("feature").alias("pos", "value")
+        ).select(
+            "media_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+            "n_bytes",
+        )
 
-    q["media_features"] = media_features  # no SQL oracle (stub codec RNG)
+    q["media_features"] = media_features
 
     def embedding_near_dup(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.functions import (
@@ -812,13 +824,16 @@ s AS (SELECT doc_id, {lang_scores} FROM toks),
 b AS (SELECT *, GREATEST(score_en, score_de, score_fr, score_es) AS best FROM s)
 SELECT doc_id,
   CASE WHEN best = 0 THEN 'und'
-       WHEN score_en = best THEN 'en'
        WHEN score_de = best THEN 'de'
+       WHEN score_en = best THEN 'en'
        WHEN score_es = best THEN 'es'
        WHEN score_fr = best THEN 'fr'
        ELSE 'und' END AS lang_pred,
   best AS marker_hits
 FROM b"""
+    # ^ tie-break: the smallest language code wins (codes checked in sorted
+    # order), matching the Spark impl (functions/text.py lang_id) and the
+    # pytest NumPy oracle exactly — a de/en tie must yield 'de' on all sides.
     o["fingerprints"] = """
 SELECT doc_id, md5(text) AS md5,
        list_aggregate(list_transform(
@@ -827,14 +842,19 @@ SELECT doc_id, md5(text) AS md5,
        CAST(length(text) AS INTEGER) AS n_chars
 FROM documents"""
     o["simhash"] = f"WITH {_simhash_ctes()} SELECT doc_id, simhash FROM sig"
+    # blocking mirrors functions.text.simhash_blocks exactly (pigeonhole on
+    # max_hamming + 1 disjoint bit segments)
+    seg_selects = " UNION ALL ".join(
+        f"SELECT doc_id AS id, simhash, {i} AS blk, "
+        f"(simhash >> {off}) & {(1 << w) - 1} AS val FROM sig"
+        for i, (off, w) in enumerate(simhash_blocks(16, 2))
+    )
     o["simhash_near_dup"] = f"""
 WITH {_simhash_ctes()},
-s AS (SELECT doc_id AS id, simhash, simhash % 256 AS blk_lo,
-             CAST(simhash // 256 AS BIGINT) AS blk_hi FROM sig),
+ex AS ({seg_selects}),
 cand AS (
   SELECT DISTINCT a.id AS a, b.id AS b, a.simhash AS sa, b.simhash AS sb
-  FROM s a JOIN s b ON a.id < b.id
-   AND (a.blk_lo = b.blk_lo OR a.blk_hi = b.blk_hi))
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.val = b.val AND a.id < b.id)
 SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 2"""
     o["minhash_signatures"] = f"WITH {MINHASH_CTES} SELECT id, band, sig FROM sig"
@@ -880,6 +900,21 @@ SELECT kind, COUNT(*) AS n,
        CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
        ROUND(AVG(duration_ms), 3) AS avg_duration_ms
 FROM m GROUP BY kind"""
+
+    # mirrors functions/multimodal.fake_feature: f[j] = ((ascii(hex[2j])*31
+    # + ascii(hex[2j+1])) % 1000) / 1000 over md5(payload) (payload is the
+    # utf-8 text bytes, so md5(text) is the same digest)
+    o["media_features"] = """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS h,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents),
+ex AS (SELECT media_id, CAST(i AS INTEGER) AS pos,
+              ((ascii(substring(h, CAST(2 * i + 1 AS INTEGER), 1)) * 31
+                + ascii(substring(h, CAST(2 * i + 2 AS INTEGER), 1))) % 1000)
+              / 1000.0 AS value,
+              n_bytes
+       FROM m, UNNEST(range(0, 8)) AS r(i))
+SELECT media_id, pos, ROUND(value, 6) AS value, n_bytes FROM ex"""
 
     o["embedding_near_dup"] = """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

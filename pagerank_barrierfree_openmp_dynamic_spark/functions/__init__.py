@@ -4,6 +4,7 @@ from .text import (  # noqa: F401
     lang_id,
     fingerprint,
     simhash,
+    simhash_blocks,
     simhash_near_dup_pairs,
 )
 from .dedup import (  # noqa: F401

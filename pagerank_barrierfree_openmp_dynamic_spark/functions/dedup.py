@@ -120,11 +120,12 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
     try:
         sig = minhash_signatures(sh, bands)
         cand = lsh_candidate_pairs(sig)
-        return jaccard_verify(sh, cand, threshold)
+        # Materialize the (small) verified-pairs output eagerly so the
+        # shingle cache can be released before returning — a lazy return
+        # would pin `sh` in the cache for the session's lifetime.
+        return jaccard_verify(sh, cand, threshold).localCheckpoint(eager=True)
     finally:
-        # lazily unpersisted by caller's action; persist() here only spans
-        # the two consumers above within one job when the plan is reused.
-        pass
+        sh.unpersist()
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

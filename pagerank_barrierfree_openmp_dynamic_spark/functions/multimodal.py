@@ -32,15 +32,33 @@ FEATURES_SCHEMA = "media_id long, feature array<float>, n_bytes long"
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 
-def _codec(payload: bytes, op: str, fake: bool):
-    """STUB: real decoders are not available in this container."""
+def _codec(payload: bytes, op: str, fake: bool) -> str:
+    """STUB: real decoders are not available in this container. Returns the
+    payload's md5 hexdigest — the seed of every deterministic fake output."""
     if not fake:
         raise NotImplementedError(
             f"media codec {op!r} requires image/audio libraries not present "
             "in this environment; pass fake=True for the deterministic stub"
         )
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
-    return np.random.default_rng(seed)
+    return hashlib.md5(payload).hexdigest()
+
+
+def _fake_rng(hexdigest: str) -> np.random.Generator:
+    return np.random.default_rng(int(hexdigest[:8], 16))
+
+
+def fake_feature(hexdigest: str, dim: int) -> np.ndarray:
+    """Deterministic fake feature vector from the payload's md5 hexdigest:
+    ``f[j] = ((ascii(hex[2j]) * 31 + ascii(hex[2j+1])) % 1000) / 1000`` —
+    chosen to be expressible in ANSI SQL (ascii/substring/modulo) so the
+    driver's DuckDB oracle can reproduce it exactly; see
+    ``__spark_entry__.oracle_sql()['media_features']``."""
+    h = hexdigest
+    return np.array(
+        [((ord(h[(2 * j) % 32]) * 31 + ord(h[(2 * j + 1) % 32])) % 1000) / 1000.0
+         for j in range(dim)],
+        dtype=np.float32,
+    )
 
 
 def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
@@ -58,9 +76,9 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> Data
                 if payload is None:
                     continue
                 raw = bytes(payload)
-                rng = _codec(raw, "feature", fake)
+                h = _codec(raw, "feature", fake)
                 ids.append(mid)
-                feats.append(rng.standard_normal(dim).astype(np.float32))
+                feats.append(fake_feature(h, dim))
                 sizes.append(len(raw))
             yield pd.DataFrame({"media_id": ids, "feature": feats, "n_bytes": sizes})
 
@@ -82,7 +100,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
                     continue
                 raw = bytes(payload)
                 n = min(32, max(1, int((dur or 0) // every_ms)))
-                rng = _codec(raw, "frame", fake)
+                rng = _fake_rng(_codec(raw, "frame", fake))
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)
@@ -106,7 +124,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                 if payload is None or kind != "image":
                     payloads.append(payload)
                     continue
-                rng = _codec(bytes(payload), "resize", fake)
+                rng = _fake_rng(_codec(bytes(payload), "resize", fake))
                 payloads.append(rng.integers(0, 256, width * height, dtype=np.uint8).tobytes())
             out["payload"] = payloads
             out["width"] = width

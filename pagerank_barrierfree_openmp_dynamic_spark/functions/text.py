@@ -133,30 +133,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) bit segments for SimHash blocking.
+
+    ``max_hamming + 1`` near-equal segments: a pair within Hamming distance
+    ``max_hamming`` differs in at most ``max_hamming`` segments, so by
+    pigeonhole it agrees EXACTLY on at least one — the guarantee the old
+    two-half scheme only gave for distance <= 1. Shared by the Spark
+    operator and the DuckDB oracle generator."""
+    nb = max_hamming + 1
+    if nb > bits:
+        raise ValueError(f"need bits >= max_hamming + 1 ({bits} < {nb})")
+    out, off = [], 0
+    for i in range(nb):
+        w = bits // nb + (1 if i < bits % nb else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_dup_pairs(sig: DataFrame, id_col: str = "doc_id",
                            max_hamming: int = 2, bits: int = 16) -> DataFrame:
-    """Near-duplicate candidate pairs by SimHash Hamming distance.
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
 
-    Block by signature halves (a pair within Hamming ``max_hamming<=bits/2``
-    of each other must agree on at least one half — pigeonhole), then verify
-    the exact Hamming distance with ``bit_count(xor)``. Avoids the full
-    cross join; the blocking join is an equi-join Spark shuffles by key.
+    Block on ``max_hamming + 1`` disjoint bit segments (pigeonhole: every
+    qualifying pair shares at least one segment — complete recall by
+    construction), explode to (block_idx, block_val) and equi-join on that
+    key — ONE shuffle, no cross join; ``bit_count(xor)`` verifies the exact
+    distance on candidates only. At 100-TB scale candidate volume is bounded
+    by per-(segment, value) bucket sizes, the LSH-banding shape.
     """
-    half = bits // 2
-    lo = (F.col("simhash") % (1 << half)).alias("blk_lo")
-    hi = (F.col("simhash") / (1 << half)).cast("long").alias("blk_hi")
-    s = sig.select(F.col(id_col).alias("id"), "simhash", lo, hi)
-    a = s.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"),
-                 "blk_lo", "blk_hi")
-    b = s.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"),
-                 F.col("blk_lo").alias("blk_lo_b"), F.col("blk_hi").alias("blk_hi_b"))
-    cand = (
-        a.join(b, (F.col("blk_lo") == F.col("blk_lo_b")) & (F.col("a") < F.col("b")))
-        .select("a", "b", "sig_a", "sig_b")
-        .unionByName(
-            a.join(b, (F.col("blk_hi") == F.col("blk_hi_b")) & (F.col("a") < F.col("b")))
-            .select("a", "b", "sig_a", "sig_b")
+    segs = simhash_blocks(bits, max_hamming)
+    blocks = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1)).cast("long").alias("val"),
         )
+        for i, (off, w) in enumerate(segs)
+    ]
+    ex = sig.select(
+        F.col(id_col).alias("id"), "simhash",
+        F.explode(F.array(*blocks)).alias("b"),
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a = ex.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "blk", "val")
+    b = ex.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "blk", "val")
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sig_a", "sig_b")
         .dropDuplicates(["a", "b"])
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

@@ -10,7 +10,11 @@ maps to Spark's parallel text scan). Semantics mirrored:
   (``mtx.hxx:61-63`` pre-adds them) — ``read_mtx`` returns the vertex
   DataFrame alongside the edges;
 - ``symmetric`` / ``skew-symmetric`` headers add the reverse edge
-  (``mtx.hxx:68-73``);
+  (``mtx.hxx:68-73``). For ``skew-symmetric`` weighted matrices the
+  reverse weight is NEGATED per the MatrixMarket spec (A[j,i] = -A[i,j]);
+  the reference folds skew into plain symmetric and copies the weight
+  unchanged (``mtx.hxx:42, 70-71``) — pass ``negate_skew=False`` to mirror
+  that bug-for-bug;
 - optional third column parsed as a double weight when ``weighted``.
 """
 
@@ -36,7 +40,8 @@ def read_mtx_header(spark: SparkSession, path: str) -> dict:
 
 
 def read_mtx(
-    spark: SparkSession, path: str, weighted: bool = False
+    spark: SparkSession, path: str, weighted: bool = False,
+    negate_skew: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Load an ``.mtx`` file -> (edges, vertices, header).
 
@@ -76,9 +81,11 @@ def read_mtx(
         .drop("_rn")
     )
     if hdr["symmetric"] or hdr["skew_symmetric"]:
+        negate = weighted and hdr["skew_symmetric"] and negate_skew
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"),
-            *([F.col("weight")] if weighted else []),
+            *([(-F.col("weight")).alias("weight") if negate
+               else F.col("weight")] if weighted else []),
         )
         edges = edges.unionByName(rev)
     vertices = spark.range(1, hdr["n"] + 1).select(F.col("id"))

@@ -27,6 +27,11 @@ class IncrementalPageRank:
     dense view, and converged ranks; every :meth:`update` applies one edge
     batch at O(batch) cost and re-ranks only the affected frontier."""
 
+    # bound on retained per-batch results: older entries are reduced to
+    # scalar summaries so a continuous stream cannot pin every batch's
+    # DataFrame lineage/broadcasts in memory
+    HISTORY_MAX = 8
+
     def __init__(self, graph: LinkGraph, opts: PageRankOptions | None = None):
         self.opts = opts or PageRankOptions()
         self.graph = graph
@@ -34,6 +39,12 @@ class IncrementalPageRank:
         res = pagerank_arrow(graph, self.opts, dense=self.dense, resident=True)
         self.ranks = res.ranks
         self.history: list[PageRankResult] = [res]
+        #: scalar per-batch summaries (unbounded but O(1) each)
+        self.summaries: list[dict] = [self._summary(res)]
+
+    @staticmethod
+    def _summary(res: PageRankResult) -> dict:
+        return dict(iterations=res.iterations, err=res.err, time_s=res.time_s)
 
     def update(self, batch: DataFrame) -> PageRankResult:
         if batch.isEmpty():
@@ -51,6 +62,8 @@ class IncrementalPageRank:
         )
         self.graph, self.dense, self.ranks = new_graph, new_dense, res.ranks
         self.history.append(res)
+        self.summaries.append(self._summary(res))
+        del self.history[: -self.HISTORY_MAX]
         return res
 
 

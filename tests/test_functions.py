@@ -298,3 +298,49 @@ def test_ivf_topk_recall_and_exact_at_full_probe(emb):
     again = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3).toPandas()
     assert (again.sort_values(["q_id", "rank"]).reset_index(drop=True)
             .equals(approx.sort_values(["q_id", "rank"]).reset_index(drop=True)))
+
+
+def test_simhash_near_dup_pigeonhole_recall(spark):
+    """Regression: a hamming-2 pair with one differing bit in EACH half was
+    silently dropped by the old two-half blocking; the max_hamming+1-block
+    pigeonhole must find every pair (checked vs brute force)."""
+    sigs = [(0, 0), (1, (1 << 0) | (1 << 8)), (2, (1 << 15) | (1 << 7))]
+    rng = np.random.default_rng(7)
+    sigs += [(10 + i, int(v)) for i, v in enumerate(rng.integers(0, 1 << 16, 40))]
+    sig = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = simhash_near_dup_pairs(sig, max_hamming=2).toPandas()
+    got_pairs = {(r.a, r.b) for r in got.itertuples()}
+    vals = dict(sigs)
+    want = {
+        (a, b)
+        for a in vals for b in vals
+        if a < b and bin(vals[a] ^ vals[b]).count("1") <= 2
+    }
+    assert (0, 1) in want  # the split-across-halves case is exercised
+    assert got_pairs == want
+    ham = got.set_index(["a", "b"])["hamming"]
+    for (a, b) in want:
+        assert ham.loc[(a, b)] == bin(vals[a] ^ vals[b]).count("1")
+
+
+def test_lang_id_tie_smallest_code_wins(spark):
+    """Argmax ties resolve to the smallest language code — in the Spark
+    impl, the NumPy oracle above, AND the driver's DuckDB oracle SQL."""
+    rows = [
+        (0, "the der"),        # en/de tie -> de
+        (1, "the the der"),    # en wins outright
+        (2, "xyzzy qwerty"),   # no markers -> und
+        (3, "el le the der"),  # 4-way tie -> de
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lang_id(df).toPandas().set_index("doc_id")
+    assert list(got.loc[[0, 1, 2, 3], "lang_pred"]) == ["de", "en", "und", "de"]
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    o = con.sql(entrymod.oracle_sql()["lang_id"]).df().set_index("doc_id")
+    assert list(o.loc[[0, 1, 2, 3], "lang_pred"]) == ["de", "en", "und", "de"]

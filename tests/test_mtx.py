@@ -87,3 +87,26 @@ def test_header(spark, tmp_path):
     hdr = read_mtx_header(spark, p)
     assert hdr["skew_symmetric"] and not hdr["symmetric"]
     assert hdr["n"] == 7 and hdr["nnz"] == 1
+
+
+def test_read_skew_symmetric_negates_weight(spark, tmp_path):
+    """MatrixMarket skew-symmetric: A[j,i] = -A[i,j] — the implied reverse
+    edge carries the NEGATED weight. (The reference folds skew into plain
+    symmetric and copies the weight unchanged, mtx.hxx:42,70-71;
+    negate_skew=False mirrors that.)"""
+    p = str(tmp_path / "sk.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real skew-symmetric\n")
+        f.write("3 3 2\n")
+        f.write("2 1 1.5\n")
+        f.write("3 1 -2.0\n")
+    e, v, hdr = read_mtx(spark, p, weighted=True)
+    assert hdr["skew_symmetric"] and not hdr["symmetric"]
+    got = {(r["src"], r["dst"]): r["weight"] for r in e.collect()}
+    assert got == {(2, 1): 1.5, (1, 2): -1.5, (3, 1): -2.0, (1, 3): 2.0}
+    assert v.count() == 3
+
+    # reference-compat mode: reverse edge keeps the original weight
+    e2, _, _ = read_mtx(spark, p, weighted=True, negate_skew=False)
+    got2 = {(r["src"], r["dst"]): r["weight"] for r in e2.collect()}
+    assert got2 == {(2, 1): 1.5, (1, 2): 1.5, (3, 1): -2.0, (1, 3): -2.0}
