@@ -172,12 +172,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_3iter"] = pagerank_3iter
 
     def pagerank_converged(spark, sf):
+        # tol 1e-12: ranks land within ~6e-12 of the fixed point, far inside
+        # the 6-d.p. rounding slack vs the 200-iteration unrolled SQL oracle
         g = _graph(spark, sf)
-        res = pagerank(g, PageRankOptions(tolerance=1e-6, check_every=4,
+        res = pagerank(g, PageRankOptions(tolerance=1e-12, check_every=4,
                                           metrics_level="none"))
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
-    q["pagerank_converged"] = pagerank_converged  # no SQL oracle (iterative)
+    q["pagerank_converged"] = pagerank_converged
 
     # -- weighted PageRank (MTX weighted column, src/mtx.hxx:68-73): rank
     # flows ∝ weight/Σ(out-weights); duplicate (src,dst) weights merge by SUM
@@ -224,18 +226,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank_topk"] = pagerank_topk
 
     def dynamic_frontier(spark, sf):
+        # tol 1e-12 (frontier expansion threshold D = 1e-15): the converged
+        # incremental re-rank matches the updated graph's fixed point within
+        # rounding slack — oracled by the unrolled recurrence on the batched
+        # edge table (the fixed point is init-independent)
         g = _graph(spark, sf)
-        prev = pagerank(g, PageRankOptions(tolerance=1e-6, check_every=4,
+        prev = pagerank(g, PageRankOptions(tolerance=1e-12, check_every=4,
                                            metrics_level="none"))
         batch = _batch(spark, sf)
         g2 = apply_batch(g, batch)
         res = pagerank_dynamic_frontier(
             g, g2, batch, prev.ranks,
-            PageRankOptions(tolerance=1e-6, metrics_level="none"),
+            PageRankOptions(tolerance=1e-12, metrics_level="none"),
         )
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
-    q["dynamic_frontier"] = dynamic_frontier  # no SQL oracle (iterative)
+    q["dynamic_frontier"] = dynamic_frontier
 
     # -- other kernels --
     q["connected_components"] = lambda spark, sf: connected_components(
@@ -388,17 +394,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- naive-dynamic (P7): converged re-rank seeded with previous ranks --
     def naive_dynamic(spark, sf):
         g = _graph(spark, sf)
-        prev = pagerank(g, PageRankOptions(tolerance=1e-6, check_every=4,
+        prev = pagerank(g, PageRankOptions(tolerance=1e-12, check_every=4,
                                            metrics_level="none"))
         g2 = apply_batch(g, _batch(spark, sf))
         res = pagerank(
-            g2, PageRankOptions(tolerance=1e-6, check_every=4,
+            g2, PageRankOptions(tolerance=1e-12, check_every=4,
                                 metrics_level="none"),
             init=prev.ranks,
         )
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
-    q["naive_dynamic"] = naive_dynamic  # no SQL oracle (iterative)
+    q["naive_dynamic"] = naive_dynamic
 
     # -- multimodal: documents -> synthetic media table (payload = utf-8
     # text bytes; kind cycles by doc_id) -> typed-metadata agg / stubbed
@@ -480,43 +486,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10,
                         n_planes=4, multiprobe=1)
 
-    q["lsh_ann_topk"] = lsh_ann_topk  # no SQL oracle (plane literals)
+    q["lsh_ann_topk"] = lsh_ann_topk
 
     def ivf_ann_topk(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.functions import ivf_topk
 
         emb = _emb(spark, sf)
+        # fixed seeded (data-independent) coarse centroids so the DuckDB
+        # oracle can embed them as literals; the k-means-trained quantizer
+        # (ivf_train_centroids) stays the library default and is covered by
+        # the pytest recall/determinism tests
         return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
-                        n_centroids=8, n_probe=3)
+                        n_centroids=8, n_probe=3,
+                        centroids=_ivf_centroids())
 
-    q["ivf_ann_topk"] = ivf_ann_topk  # no SQL oracle (k-means training)
+    q["ivf_ann_topk"] = ivf_ann_topk
 
     return q
+
+
+def _ivf_centroids():
+    """Seeded random coarse centroids for the driver's IVF query — identical
+    literals feed the DuckDB oracle (``oracle_sql()['ivf_ann_topk']``)."""
+    import numpy as np
+
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.similarity import (
+        _planes,
+    )
+
+    return np.asarray(_planes(64, 8, seed=777))
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL
 
 
-def _pagerank_3iter_sql() -> str:
+def _pagerank_sql(n_iters: int, digits: int, edge_cte: str = EDGES_SQL) -> str:
+    """Unrolled PageRank recurrence over the self-looped edge table.
+
+    For converged queries: the engine runs to tol 1e-12 L∞ (distance to the
+    fixed point <= tol·d/(1-d) ≈ 6e-12) while the unrolled SQL at 60
+    iterations is converged to <1e-12 on this fast-mixing dense graph
+    (measured: iterations 20 and 40 already agree at 12 d.p.) — both far
+    inside the ROUND(·, 6) slack, so the rounded ranks agree exactly.
+    Every CTE is MATERIALIZED: with plain (inlined) CTEs DuckDB re-plans
+    the whole upstream chain per reference, which blows past the binder's
+    expression-depth limit and makes planning quadratic in n_iters."""
     iters = []
-    for i in range(1, 4):
+    for i in range(1, n_iters + 1):
         iters.append(
-            f"r{i} AS (SELECT v.id, (1.0 - {DAMPING}) / nn.n + {DAMPING} * "
-            f"COALESCE(s.s, 0.0) AS rank FROM v CROSS JOIN nn LEFT JOIN ("
-            f"SELECT e.dst, SUM(r{i-1}.rank * deg.w) AS s FROM e "
-            f"JOIN r{i-1} ON e.src = r{i-1}.id JOIN deg ON e.src = deg.src "
-            f"GROUP BY e.dst) s ON s.dst = v.id)"
+            f"r{i} AS MATERIALIZED (SELECT v.id, "
+            f"(1.0 - {DAMPING}) / (SELECT n FROM nn) + {DAMPING} * "
+            f"COALESCE(s.s, 0.0) AS rank FROM v LEFT JOIN ("
+            f"SELECT t.dst, SUM(r{i-1}.rank * t.w) AS s FROM t "
+            f"JOIN r{i-1} ON t.src = r{i-1}.id "
+            f"GROUP BY t.dst) s ON s.dst = v.id)"
         )
     joined = ",\n".join(iters)
     return f"""
-WITH {G_CTES},
-nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
-e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
-deg AS (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),
-r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
+WITH e0 AS MATERIALIZED ({edge_cte}),
+v AS MATERIALIZED ({V_SQL}),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
+deg AS MATERIALIZED (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),
+t AS MATERIALIZED (SELECT e.src, e.dst, deg.w FROM e JOIN deg ON e.src = deg.src),
+r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),
 {joined}
-SELECT id, ROUND(rank, 9) AS rank FROM r3"""
+SELECT id, ROUND(rank, {digits}) AS rank FROM r{n_iters}"""
+
+
+# the updated edge set after the shared _batch (delete (src+dst)%5==0 rows,
+# re-insert them reversed) — the fixed point is init-independent, so both
+# naive-dynamic and dynamic-frontier converge to THIS graph's static ranks
+BATCHED_EDGES_SQL = f"""
+SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM (SELECT src, dst FROM ({EDGES_SQL})
+                        EXCEPT SELECT src, dst FROM ({EDGES_SQL})
+                        WHERE (src + dst) % 5 = 0)
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM ({EDGES_SQL}) WHERE (src + dst) % 5 = 0)"""
+
+
+def _pagerank_3iter_sql() -> str:
+    return _pagerank_sql(3, 9)
 
 
 def _pagerank_weighted_3iter_sql() -> str:
@@ -621,6 +673,24 @@ l0 AS (SELECT id, id AS label FROM v),
 SELECT id, label FROM l{iterations}"""
 
 
+def _lsh_bucket_sql(vcol: str, n_planes: int = 4, dim: int = 64,
+                    seed: int = 42) -> str:
+    """DuckDB expression for the random-hyperplane LSH bucket — the SAME
+    seeded plane literals the Spark operator builds JVM-side
+    (functions/similarity.add_lsh_bucket), so both engines compute identical
+    buckets (repr() round-trips doubles exactly)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.similarity import (
+        _planes,
+    )
+
+    terms = []
+    for i, p in enumerate(_planes(dim, n_planes, seed)):
+        lit = ", ".join(repr(x) for x in p)
+        terms.append(f"(CASE WHEN list_dot_product({vcol}, [{lit}]) > 0 "
+                     f"THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 def _simhash_expr(bits: int = 16, table: str = "tok") -> tuple[str, str]:
     """(sum-terms select list, signature expression from s0..s{bits-1})."""
     terms = ", ".join(
@@ -684,6 +754,9 @@ SELECT DISTINCT src, dst FROM (
   SELECT src, dst FROM kept UNION ALL SELECT dst AS src, src AS dst FROM dels)"""
 
     o["pagerank_3iter"] = _pagerank_3iter_sql()
+    o["pagerank_converged"] = _pagerank_sql(60, 6)
+    o["naive_dynamic"] = _pagerank_sql(60, 6, edge_cte=BATCHED_EDGES_SQL)
+    o["dynamic_frontier"] = o["naive_dynamic"]
     o["pagerank_weighted_3iter"] = _pagerank_weighted_3iter_sql()
     o["pagerank_personalized_3iter"] = _pagerank_personalized_3iter_sql()
     o["pagerank_topk"] = (
@@ -934,6 +1007,68 @@ s AS (SELECT q.q_id, c.n_id,
                    (sqrt(list_dot_product(q.v, q.v)) *
                     sqrt(list_dot_product(c.v, c.v))), 6) AS sim
       FROM q CROSS JOIN c WHERE q.q_id <> c.n_id)
+SELECT q_id, n_id, sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM s)
+WHERE rank <= 10"""
+
+    # hyperplane-LSH ANN: bucket = sign pattern of 4 seeded planes (exact
+    # literals shared with the Spark side); multiprobe=1 -> query probes its
+    # own bucket plus each single-plane flip (xor masks 1,2,4,8)
+    bucket = _lsh_bucket_sql("v")
+    o["lsh_ann_topk"] = f"""
+WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c0),
+qp AS (SELECT vec_id AS q_id, v AS qv, xor(bucket, t.m) AS bucket
+       FROM cb, UNNEST([0, 1, 2, 4, 8]) AS t(m) WHERE vec_id < 5),
+s AS (SELECT DISTINCT qp.q_id, cb.vec_id AS n_id,
+             ROUND(list_dot_product(qp.qv, cb.v) /
+                   (sqrt(list_dot_product(qp.qv, qp.qv)) *
+                    sqrt(list_dot_product(cb.v, cb.v))), 6) AS sim
+      FROM qp JOIN cb ON qp.bucket = cb.bucket AND qp.q_id <> cb.vec_id)
+SELECT q_id, n_id, sim, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM s)
+WHERE rank <= 10"""
+
+    o["embedding_near_dup_lsh"] = f"""
+WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {bucket} AS bucket FROM c0),
+s AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT a, b, sim FROM s WHERE sim >= 0.3"""
+
+    # IVF ANN with the driver's fixed seeded centroids (_ivf_centroids):
+    # corpus rows live in their nearest (cosine) cell, queries probe their 3
+    # nearest cells, exact cosine re-ranks — ties broken by cell id then id
+    cents = _ivf_centroids()
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    o["ivf_ann_topk"] = f"""
+WITH cents AS (SELECT * FROM (VALUES {cent_rows}) AS t(cell, cv)),
+c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (SELECT c0.vec_id, cents.cell,
+                list_dot_product(c0.v, cents.cv) /
+                (sqrt(list_dot_product(c0.v, c0.v)) *
+                 sqrt(list_dot_product(cents.cv, cents.cv))) AS csim
+         FROM c0 CROSS JOIN cents),
+ranked AS (SELECT vec_id, cell, ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM sims),
+cassign AS (SELECT r.vec_id AS n_id, r.cell, c0.v
+            FROM ranked r JOIN c0 ON r.vec_id = c0.vec_id WHERE r.rn = 1),
+qassign AS (SELECT r.vec_id AS q_id, r.cell, c0.v AS qv
+            FROM ranked r JOIN c0 ON r.vec_id = c0.vec_id
+            WHERE r.rn <= 3 AND r.vec_id < 5),
+s AS (SELECT DISTINCT q.q_id, c.n_id,
+             ROUND(list_dot_product(q.qv, c.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      FROM qassign q JOIN cassign c ON q.cell = c.cell AND q.q_id <> c.n_id)
 SELECT q_id, n_id, sim, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (
     PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM s)
