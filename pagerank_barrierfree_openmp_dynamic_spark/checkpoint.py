@@ -83,8 +83,13 @@ class CheckpointStore:
 
     def save_personalization(self, p: DataFrame) -> None:
         """Run-level (iteration-independent) teleport vector, so personalized
-        runs resume with the same recurrence."""
-        p.write.mode("overwrite").parquet(
+        runs resume with the same recurrence.
+
+        Eagerly materialized before the overwrite: a resumed run passes the
+        DataFrame *loaded from this very directory* back in, and writing
+        mode=overwrite to a path a lazy plan still reads from is a Spark
+        error ('Cannot overwrite a path that is also being read from')."""
+        p.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             os.path.join(self.root, "personalization"))
 
     def load_personalization(self, spark: SparkSession) -> DataFrame | None:

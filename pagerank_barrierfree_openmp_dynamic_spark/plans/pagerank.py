@@ -75,6 +75,22 @@ class PageRankOptions:
     frontier_tolerance_factor: float = 0.001  # D = factor * tolerance
     dead_end_teleport: bool = False  # DEAD=true variant (pagerank.hxx:158-184)
     contracting: bool = False  # skip converged vertices (approach-cfrontier)
+    # Asynchronous rank updates (reference ASYNC=true,
+    # src/pagerankBarrierfree.hxx:213-235, src/pagerank.hxx:446,491):
+    # within an update pass, later vertices read already-updated ranks, so
+    # convergence takes fewer iterations than synchronous Jacobi. Arrow
+    # resident kernel only. None = synchronous (Jacobi/BSP). "slice" =
+    # per-slice chunked Gauss-Seidel — cluster-safe: each task processes
+    # its dst-residue segment in ordered chunks and reads updated ranks
+    # for its OWN already-processed sources (freshness ~1/n_slices of the
+    # reference's shared-memory mix). "shared" = single-node barrier-free:
+    # the rank vector lives in one mmap'd buffer that every slice task
+    # updates in place and reads the freshest mix of old/new ranks from —
+    # the reference's OpenMP execution model verbatim (requires all
+    # executors on one host, the reference's own setting; use "slice" on
+    # a multi-node cluster). Both reach the same fixed point as Jacobi.
+    async_updates: str | None = None
+    async_chunks: int = 16  # Gauss-Seidel chunks per slice (freshness grain)
     salt_buckets: int = 0  # >0: salt rank⋈adj join against hub sources
     check_every: int = 1  # supersteps between convergence checks (barrier-free spirit)
     # Broadcast the rank state into the scatter/update joins when the vertex

@@ -223,13 +223,28 @@ class DenseGraph:
         :meth:`load` and skip the dictionary joins, degree scan, and slice
         write entirely. Returns the index directory."""
         import json
+        import os
+        import shutil
 
-        self.materialize(path)
-        d = self.resident_dir
+        if (path and self.resident_dir
+                and os.path.abspath(path) != os.path.abspath(self.resident_dir)):
+            # already materialized elsewhere (e.g. a tempdir): snapshot the
+            # slice files into the requested directory — materialize(path)
+            # would no-op and silently write the index into the OLD dir,
+            # which vanishes with the tempdir
+            os.makedirs(path, exist_ok=True)
+            for name in os.listdir(self.resident_dir):
+                shutil.copy2(os.path.join(self.resident_dir, name),
+                             os.path.join(path, name))
+            d = path
+        else:
+            self.materialize(path)
+            d = self.resident_dir
         np.save(f"{d}/ids.npy", self.ids)
         np.save(f"{d}/deg.npy", self.deg)
         with open(f"{d}/meta.json", "w") as f:
             json.dump({"epoch": self.epoch, "n": self.n,
+                       "m": self.graph.num_edges,
                        "n_slices": self.n_slices, "gen": self.gen,
                        "weighted": self.weighted}, f)
         return d
@@ -240,11 +255,28 @@ class DenseGraph:
         supplies the session and the (logical) edge/vertex tables; the
         kernel itself reads only the slice files. The loaded view does not
         own the files (unpersist is a no-op) and has no ``blocks``
-        DataFrame — streaming (non-resident) mode needs a fresh build."""
+        DataFrame — streaming (non-resident) mode needs a fresh build.
+
+        The index is validated against ``graph`` (vertex count, edge count,
+        weightedness): the kernel reads only the slice files, so a stale
+        index for a *different* graph would otherwise silently produce
+        ranks for the old edges."""
         import json
 
         with open(f"{path}/meta.json") as f:
             meta = json.load(f)
+        if int(meta["n"]) != graph.num_vertices:
+            raise ValueError(
+                f"dense index at {path} was built for n={meta['n']} vertices, "
+                f"graph has {graph.num_vertices} — rebuild the index")
+        if "m" in meta and int(meta["m"]) != graph.num_edges:
+            raise ValueError(
+                f"dense index at {path} was built for m={meta['m']} edges, "
+                f"graph has {graph.num_edges} — rebuild the index")
+        if bool(meta.get("weighted", False)) != graph.weighted:
+            raise ValueError(
+                f"dense index at {path} weighted={meta.get('weighted', False)} "
+                f"does not match graph.weighted={graph.weighted}")
         self = cls.__new__(cls)
         self.graph = graph
         self.epoch = meta["epoch"]
@@ -367,24 +399,34 @@ def _scatter_fn(epoch: str, n: int, q_bc, mask_bc):
     return fn
 
 
-def _load_slice(resident_dir: str, epoch: str, s: int, gen: int):
+def _load_slice(resident_dir: str, epoch: str, s: int, gen: int,
+                weighted: bool = False):
     """Worker-side: load (and process-cache) one edge slice — the base
     (src, dst[, w]) mmap arrays plus all delta overlays up to ``gen``.
-    Returns (base_src, base_dst, base_w_or_None, [(d_src, d_dst, sign), ...])."""
-    key = (epoch, "res", int(s), int(gen))
+    Returns (base_src, base_dst, base_w_or_None, [(d_src, d_dst, sign), ...]).
+
+    ``_write_slices`` backfills explicit EMPTY files for edge-less residues,
+    so a missing/corrupt base file is data loss and RAISES (silently
+    substituting an empty slice would drop that residue's in-edges and
+    produce wrong ranks with no error). Only delta-overlay files may be
+    legitimately absent (a generation that touched no edge in this slice).
+    A weighted graph whose ``_w`` file is missing while src/dst are
+    non-empty likewise hard-fails: scattering q with an implicit weight of
+    1.0 is badly wrong since weighted mode does not fold 1/outdeg into q."""
+    key = (epoch, "res", int(s), int(gen), bool(weighted))
     block = _BLOCK_CACHE.get(key)
     if block is None:
-        try:
-            base = (
-                np.load(f"{resident_dir}/slice_{int(s)}_src.npy", mmap_mode="r"),
-                np.load(f"{resident_dir}/slice_{int(s)}_dst.npy", mmap_mode="r"),
-            )
-        except (OSError, FileNotFoundError):
-            base = (np.empty(0, np.int32), np.empty(0, np.int32))
-        try:
-            base_w = np.load(f"{resident_dir}/slice_{int(s)}_w.npy",
-                             mmap_mode="r")
-        except (OSError, FileNotFoundError):
+        base = (
+            np.load(f"{resident_dir}/slice_{int(s)}_src.npy", mmap_mode="r"),
+            np.load(f"{resident_dir}/slice_{int(s)}_dst.npy", mmap_mode="r"),
+        )
+        if weighted:
+            if len(base[0]):
+                base_w = np.load(f"{resident_dir}/slice_{int(s)}_w.npy",
+                                 mmap_mode="r")
+            else:
+                base_w = np.empty(0, np.float64)
+        else:
             base_w = None
         deltas = []
         for g in range(1, gen + 1):
@@ -405,7 +447,8 @@ def _load_slice(resident_dir: str, epoch: str, s: int, gen: int):
 
 
 def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
-                         gen: int, q_bc, mask_bc, movers_bc=None):
+                         gen: int, q_bc, mask_bc, movers_bc=None,
+                         weighted: bool = False):
     """Scatter over resident slices: the input DataFrame carries only slice
     ids — zero edge bytes cross the JVM<->Python boundary after warmup.
     Slice ``s`` owns destination indices ``s, s+P, s+2P, ...`` and emits
@@ -429,7 +472,7 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                 s = int(s)
                 seg_len = len(range(s, n, P))
                 src_idx, dst_idx, base_w, deltas = _load_slice(
-                    resident_dir, epoch, s, gen)
+                    resident_dir, epoch, s, gen, weighted)
                 exp_idx = np.empty(0, np.int32)
                 if movers is not None:
                     # expansion walks live out-edges (base + inserted),
@@ -772,7 +815,8 @@ def pagerank_arrow(
                 parts = slice_df.mapInPandas(
                     _resident_scatter_fn(dg.resident_dir, dg.epoch, n,
                                          dg.n_slices, dg.gen, ranks_bc,
-                                         mask_bc, pending_movers_bc),
+                                         mask_bc, pending_movers_bc,
+                                         weighted=dg.weighted),
                     "slice int, acc binary, m long, exp binary",
                 ).toPandas()
                 P = dg.n_slices

@@ -137,3 +137,41 @@ def test_personalized_resume_equals_uninterrupted(spark, tiny_graph, tmp_path):
     # sanity: differs from the uniform-teleport fixed point
     uni = pagerank(tiny_graph, PageRankOptions(tolerance=1e-9, metrics_level="none"))
     assert not np.allclose(got, _ranks_array(uni, 10), atol=1e-6)
+
+
+def test_arrow_personalized_resume_equals_uninterrupted(spark, tiny_graph,
+                                                        tmp_path):
+    """resume_arrow of a personalized run re-saves the teleport vector it
+    just loaded from the store — the overwrite must not collide with the
+    lazy read path (checkpoint.save_personalization materializes first)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+        pagerank_arrow,
+        resume_arrow,
+    )
+
+    ckpt = str(tmp_path / "ckpt_ap")
+    pers = spark.range(3).select("id", (F.lit(1.0) + F.col("id")).alias("p"))
+
+    partial = pagerank_arrow(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-9, max_iterations=4, checkpoint_dir=ckpt),
+        personalization=pers,
+    )
+    assert partial.iterations == 4
+    resumed = resume_arrow(
+        tiny_graph,
+        PageRankOptions(tolerance=1e-9, max_iterations=500,
+                        checkpoint_dir=ckpt),
+    )
+    full = pagerank_arrow(
+        tiny_graph, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+        personalization=pers,
+    )
+    got = _ranks_array(resumed, 10)
+    assert np.allclose(got, _ranks_array(full, 10), atol=1e-12)
+    # sanity: differs from the uniform-teleport fixed point
+    uni = pagerank_arrow(tiny_graph,
+                         PageRankOptions(tolerance=1e-9, metrics_level="none"))
+    assert not np.allclose(got, _ranks_array(uni, 10), atol=1e-6)

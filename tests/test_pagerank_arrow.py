@@ -354,3 +354,113 @@ def test_dense_index_save_load_roundtrip(spark, tmp_path):
     finally:
         dense.unpersist()
         g.unpersist()
+
+
+def test_dense_index_save_after_materialize_snapshots_to_path(spark, tmp_path):
+    """save(path) after a prior materialize() (tempdir) must snapshot the
+    slice files into *path* — not silently write the index metadata into
+    the old tempdir (which vanishes on unpersist)."""
+    import os
+
+    n = 120
+    edges_pdf = datagen.synth_edges(n, seed=11)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g).materialize()  # tempdir residency first
+    try:
+        d = dense.save(str(tmp_path / "idx2"))
+        assert d == str(tmp_path / "idx2")
+        assert os.path.exists(os.path.join(d, "meta.json"))
+        golden, _ = pagerank_oracle(
+            n, list(map(tuple, edges_pdf.itertuples(index=False))),
+            tol=0.0, max_iter=4)
+        loaded = DenseGraph.load(g, d)
+        res = pagerank_arrow(
+            g, PageRankOptions(tolerance=0.0, max_iterations=4,
+                               metrics_level="none"),
+            dense=loaded, resident=True)
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-12)
+    finally:
+        dense.unpersist()
+        g.unpersist()
+
+
+def test_dense_index_load_validates_against_graph(spark, tmp_path):
+    """A persisted index for a DIFFERENT graph must fail loudly on load:
+    the kernel reads only the slice files, so a stale index would silently
+    rank the old edges."""
+    n = 100
+    edges_pdf = datagen.synth_edges(n, seed=13)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g)
+    try:
+        d = dense.save(str(tmp_path / "idx"))
+
+        # vertex-count mismatch
+        g_small = build_graph(
+            spark.createDataFrame(
+                edges_pdf[(edges_pdf["src"] < 50) & (edges_pdf["dst"] < 50)],
+                schema=datagen.EDGES_SCHEMA),
+            vertices=spark.range(50).select("id"),
+        )
+        with pytest.raises(ValueError, match="rebuild"):
+            DenseGraph.load(g_small, d)
+        g_small.unpersist()
+
+        # same vertex span, different edge set (edge-count mismatch)
+        g_fewer = build_graph(
+            spark.createDataFrame(edges_pdf.iloc[:-5],
+                                  schema=datagen.EDGES_SCHEMA),
+            vertices=spark.range(n).select("id"),
+        )
+        with pytest.raises(ValueError, match="rebuild"):
+            DenseGraph.load(g_fewer, d)
+        g_fewer.unpersist()
+    finally:
+        dense.unpersist()
+        g.unpersist()
+
+
+def test_weighted_missing_w_slice_hard_fails(spark):
+    """A weighted graph whose _w slice file is lost must hard-fail: silently
+    scattering with implicit weight 1.0 produces badly wrong ranks (weighted
+    mode does not fold 1/outdeg into the broadcast q)."""
+    import os
+
+    rng = np.random.default_rng(7)
+    n = 60
+    es = pd.DataFrame({
+        "src": rng.integers(0, n, 400),
+        "dst": rng.integers(0, n, 400),
+        "weight": rng.uniform(0.5, 2.0, 400),
+    }).drop_duplicates(["src", "dst"])
+    g = build_graph(
+        spark.createDataFrame(es, schema="src long, dst long, weight double"),
+        vertices=spark.range(n).select("id"),
+        weight_col="weight",
+    )
+    dense = DenseGraph(g).materialize()
+    try:
+        # remove the weight file of a slice that has edges
+        removed = False
+        for s in range(dense.n_slices):
+            src = np.load(f"{dense.resident_dir}/slice_{s}_src.npy")
+            wpath = f"{dense.resident_dir}/slice_{s}_w.npy"
+            if src.size and os.path.exists(wpath):
+                os.remove(wpath)
+                removed = True
+                break
+        assert removed
+        with pytest.raises(Exception, match="slice_.*_w.npy|No such file"):
+            pagerank_arrow(
+                g, PageRankOptions(tolerance=0.0, max_iterations=1,
+                                   metrics_level="none"),
+                dense=dense, resident=True)
+    finally:
+        dense.unpersist()
+        g.unpersist()
