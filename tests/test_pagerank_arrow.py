@@ -464,3 +464,124 @@ def test_weighted_missing_w_slice_hard_fails(spark):
     finally:
         dense.unpersist()
         g.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Asynchronous (Gauss-Seidel / barrier-free) update modes — reference
+# ASYNC=true (src/pagerankBarrierfree.hxx:213-235): same fixed point as the
+# synchronous kernel; with local sweeps (threads running ahead of the
+# barrier) in measurably FEWER distributed supersteps.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["slice", "shared"])
+def test_arrow_async_matches_golden(spark, mode):
+    n = 300
+    edges_pdf = datagen.synth_edges(n, seed=11)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    try:
+        golden, _ = pagerank_oracle(
+            n, list(edges_pdf.itertuples(index=False)), tol=1e-14)
+        sync = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+            resident=True)
+        res = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-9, metrics_level="none",
+                               async_updates=mode),
+            resident=True)
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-6)
+        # barrier-free acceleration: 2 local sweeps per superstep → fewer
+        # distributed supersteps (reference README.md:59-63 speed claim;
+        # the extra sweep is worker-local CPU, no extra job/barrier)
+        res2 = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-9, metrics_level="none",
+                               async_updates=mode, async_sweeps=2),
+            resident=True)
+        assert np.allclose(_ranks_array(res2, n), golden, atol=1e-6)
+        assert res2.iterations < sync.iterations
+    finally:
+        g.unpersist()
+
+
+def test_arrow_async_dynamic_frontier_matches_golden(spark):
+    """Async + dynamic frontier (the reference flagship combination,
+    pagerankBarrierfreeOmp<true> + Dynamic Frontier)."""
+    n = 200
+    rng = np.random.default_rng(23)
+    base = datagen.synth_edges(n, seed=23)
+    extra = pd.DataFrame({
+        "src": rng.integers(0, n, 12),
+        "dst": rng.integers(0, n, 12),
+    }).drop_duplicates()
+    full = (
+        pd.concat([base, extra]).drop_duplicates().reset_index(drop=True)
+    )
+    g_old = build_graph(
+        spark.createDataFrame(base, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    g_new = build_graph(
+        spark.createDataFrame(full, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    try:
+        old = pagerank_arrow(
+            g_old, PageRankOptions(tolerance=1e-10, metrics_level="none"),
+            resident=True)
+        golden, _ = pagerank_oracle(
+            n, list(full.itertuples(index=False)), tol=1e-14)
+        seeds = spark.createDataFrame(
+            pd.DataFrame({"id": pd.concat([extra["src"], extra["dst"]])
+                          .unique()}))
+        res = pagerank_arrow(
+            g_new,
+            PageRankOptions(tolerance=1e-9, metrics_level="none",
+                            async_updates="slice"),
+            init=old.ranks, frontier=seeds, resident=True)
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-6)
+    finally:
+        g_old.unpersist()
+        g_new.unpersist()
+
+
+def test_arrow_async_weighted_matches_sync(spark):
+    n = 120
+    rng = np.random.default_rng(31)
+    es = pd.DataFrame({
+        "src": rng.integers(0, n, 500),
+        "dst": rng.integers(0, n, 500),
+        "weight": rng.uniform(0.5, 2.0, 500),
+    }).drop_duplicates(["src", "dst"])
+    g = build_graph(
+        spark.createDataFrame(es, schema="src long, dst long, weight double"),
+        vertices=spark.range(n).select("id"),
+        weight_col="weight",
+    )
+    try:
+        sync = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-10, metrics_level="none"),
+            resident=True)
+        res = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-10, metrics_level="none",
+                               async_updates="slice"),
+            resident=True)
+        assert np.allclose(_ranks_array(res, n), _ranks_array(sync, n),
+                           atol=1e-8)
+    finally:
+        g.unpersist()
+
+
+def test_arrow_async_validation(spark, tiny_graph):
+    with pytest.raises(ValueError, match="resident"):
+        pagerank_arrow(
+            tiny_graph,
+            PageRankOptions(async_updates="slice", metrics_level="none"),
+            resident=False)
+    with pytest.raises(ValueError, match="slice.*shared|None"):
+        pagerank_arrow(
+            tiny_graph,
+            PageRankOptions(async_updates="bogus", metrics_level="none"),
+            resident=True)
