@@ -50,6 +50,9 @@ from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
 )
 from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
     build_graph,
+    remove_in_edges,
+    remove_out_edges,
+    remove_vertices,
     self_loop_count,
 )
 from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
@@ -161,6 +164,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return apply_batch(g, _batch(spark, sf)).edges
 
     q["apply_batch"] = apply_batch_q
+
+    def remove_edges_ops(spark, sf):
+        # M4 named operators (Graph.hxx:383-448): out-edge removal by
+        # DataFrame id set, in-edge removal by driver-side id list,
+        # vertex removal (edges both directions + vertex set shrink).
+        g = _graph(spark, sf, self_loops=False)
+        g = remove_out_edges(g, g.vertices.filter(F.col("id") % 7 == 0))
+        g = remove_in_edges(g, [i for i in range(100) if i % 11 == 3])
+        g = remove_vertices(g, g.vertices.filter(F.col("id") % 13 == 1))
+        return g.edges
+
+    q["remove_edges_ops"] = remove_edges_ops
 
     # -- PageRank (P1-P7) --
     def pagerank_3iter(spark, sf):
@@ -752,6 +767,11 @@ dels AS (SELECT src, dst FROM e0 WHERE (src + dst) % 5 = 0),
 kept AS (SELECT src, dst FROM e0 EXCEPT SELECT src, dst FROM dels)
 SELECT DISTINCT src, dst FROM (
   SELECT src, dst FROM kept UNION ALL SELECT dst AS src, src AS dst FROM dels)"""
+    o["remove_edges_ops"] = f"""
+WITH e0 AS ({EDGES_SQL}),
+e1 AS (SELECT src, dst FROM e0 WHERE src % 7 <> 0),
+e2 AS (SELECT src, dst FROM e1 WHERE dst % 11 <> 3)
+SELECT src, dst FROM e2 WHERE src % 13 <> 1 AND dst % 13 <> 1"""
 
     o["pagerank_3iter"] = _pagerank_3iter_sql()
     o["pagerank_converged"] = _pagerank_sql(60, 6)

@@ -17,6 +17,12 @@ and skew salting for web-graph degree distributions.
 __version__ = "0.1.0"
 
 from .session import get_spark  # noqa: F401
-from .operators.graph import LinkGraph, build_graph  # noqa: F401
+from .operators.graph import (  # noqa: F401
+    LinkGraph,
+    build_graph,
+    remove_in_edges,
+    remove_out_edges,
+    remove_vertices,
+)
 from .plans.pagerank import PageRankOptions, pagerank  # noqa: F401
 from .plans.pagerank_arrow import DenseGraph, pagerank_arrow  # noqa: F401

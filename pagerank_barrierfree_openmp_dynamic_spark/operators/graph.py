@@ -215,6 +215,76 @@ def build_graph(
     )
 
 
+def _ids_df(graph: LinkGraph, ids) -> tuple[DataFrame, bool]:
+    """Normalize a removal target to an (id,) DataFrame.
+
+    Returns (df, small): ``small`` is True for driver-side iterables —
+    those are broadcast into the anti-join (the common case: a handful of
+    vertices); a DataFrame target is left to Catalyst/AQE to size.
+    """
+    if isinstance(ids, DataFrame):
+        col = "id" if "id" in ids.columns else ids.columns[0]
+        return ids.select(F.col(col).cast("long").alias("id")), False
+    spark = graph.edges.sparkSession
+    return (
+        spark.createDataFrame([(int(i),) for i in ids], "id long"),
+        True,
+    )
+
+
+def remove_out_edges(graph: LinkGraph, ids) -> LinkGraph:
+    """``removeEdges(u)`` for a set of sources
+    (``/root/reference/src/Graph.hxx:383-404``): drop every out-edge of the
+    given vertices and commit (rebuild). The vertices themselves remain
+    (``vexists`` model); with ``self_loops`` the rebuild re-asserts their
+    normalization self-loop, exactly as the reference re-runs
+    ``selfLoopOmpU`` after structural updates (``main.cxx:84-85``).
+
+    One anti-join (broadcast for driver-side id lists) + the one-shuffle
+    rebuild — no full-graph scan beyond the filter.
+    """
+    idf, small = _ids_df(graph, ids)
+    key = F.broadcast(idf) if small else idf
+    e = graph.edges.join(
+        key.select(F.col("id").alias("src")), "src", "left_anti")
+    return build_graph(e, vertices=graph.vertices,
+                       add_self_loops=graph.self_loops,
+                       partitions=graph.partitions,
+                       weight_col="weight" if graph.weighted else None)
+
+
+def remove_in_edges(graph: LinkGraph, ids) -> LinkGraph:
+    """``removeInEdges(v)`` for a set of destinations
+    (``/root/reference/src/Graph.hxx:406-427``, via the transposed view):
+    drop every in-edge of the given vertices and commit."""
+    idf, small = _ids_df(graph, ids)
+    key = F.broadcast(idf) if small else idf
+    e = graph.edges.join(
+        key.select(F.col("id").alias("dst")), "dst", "left_anti")
+    return build_graph(e, vertices=graph.vertices,
+                       add_self_loops=graph.self_loops,
+                       partitions=graph.partitions,
+                       weight_col="weight" if graph.weighted else None)
+
+
+def remove_vertices(graph: LinkGraph, ids) -> LinkGraph:
+    """``removeVertex(u)`` for a set of vertices
+    (``/root/reference/src/Graph.hxx:429-448``): drop the vertices and every
+    incident edge (both directions), shrink the vertex set, and commit."""
+    idf, small = _ids_df(graph, ids)
+    key = F.broadcast(idf) if small else idf
+    e = (
+        graph.edges
+        .join(key.select(F.col("id").alias("src")), "src", "left_anti")
+        .join(key.select(F.col("id").alias("dst")), "dst", "left_anti")
+    )
+    v = graph.vertices.join(key, "id", "left_anti")
+    return build_graph(e, vertices=v,
+                       add_self_loops=graph.self_loops,
+                       partitions=graph.partitions,
+                       weight_col="weight" if graph.weighted else None)
+
+
 def self_loop_count(edges: DataFrame) -> int:
     """``selfLoopCount`` (``/root/reference/src/selfLoop.hxx:30-36``)."""
     return edges.filter(F.col("src") == F.col("dst")).count()

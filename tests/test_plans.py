@@ -83,3 +83,57 @@ def test_text_ops_stay_jvm_side(spark):
         plan = _plan(out)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_remove_edge_operators(spark):
+    """M4 named operators (reference Graph.hxx:383-448): out-edge / in-edge /
+    vertex removal with vexists semantics and self-loop re-assertion."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        remove_in_edges,
+        remove_out_edges,
+        remove_vertices,
+    )
+
+    g = build_graph(datagen.edges_df(spark, "tiny"),
+                    vertices=spark.range(10).select("id"))
+    edges0 = {(r.src, r.dst) for r in g.edges.collect()}
+
+    g1 = remove_out_edges(g, [0, 3])
+    e1 = {(r.src, r.dst) for r in g1.edges.collect()}
+    # non-loop out-edges of 0 and 3 gone; normalization self-loops re-added
+    assert e1 == {(s, d) for s, d in edges0 if s not in (0, 3) or s == d}
+    assert g1.num_vertices == 10  # vertices remain (vexists)
+
+    g2 = remove_in_edges(g, spark.createDataFrame([(5,)], "id long"))
+    e2 = {(r.src, r.dst) for r in g2.edges.collect()}
+    assert e2 == {(s, d) for s, d in edges0 if d != 5 or s == d}
+
+    g3 = remove_vertices(g, [7])
+    e3 = {(r.src, r.dst) for r in g3.edges.collect()}
+    assert e3 == {(s, d) for s, d in edges0 if s != 7 and d != 7}
+    assert g3.num_vertices == 9
+    assert g3.vertices.filter(F.col("id") == 7).count() == 0
+
+    for gg in (g1, g2, g3):
+        gg.unpersist()
+    g.unpersist()
+
+
+def test_remove_out_edges_weighted_preserves_other_weights(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        remove_out_edges,
+    )
+
+    pdf = [(0, 1, 2.0), (1, 2, 3.0), (2, 0, 4.0)]
+    g = build_graph(
+        spark.createDataFrame(pdf, "src long, dst long, weight double"),
+        vertices=spark.range(3).select("id"), weight_col="weight",
+    )
+    g1 = remove_out_edges(g, [0])
+    rows = {(r.src, r.dst): r.weight for r in g1.edges.collect()}
+    assert (0, 1) not in rows
+    assert rows[(1, 2)] == 3.0 and rows[(2, 0)] == 4.0
+    # 0 keeps a fresh weight-1.0 normalization loop
+    assert rows[(0, 0)] == 1.0
+    g1.unpersist()
+    g.unpersist()
