@@ -101,7 +101,17 @@ class PageRankOptions:
     # distributed supersteps (measured ~25% at 2, ~35% at 3 on synth webgraphs;
     # the cross-slice coupling bounds further gains). 1 = plain chunked GS.
     async_sweeps: int = 1
-    salt_buckets: int = 0  # >0: salt rank⋈adj join against hub sources
+    # Salt the rank⋈adj join against hub sources: >0 forces that many salt
+    # buckets, 0 disables, None (default) auto-detects — when the join is a
+    # shuffle join (N above broadcast_vertices) AND the graph's out-degree
+    # skew crosses salt_skew_threshold with an absolute hub of at least
+    # salt_min_degree out-edges, the loop turns on salt_auto_buckets. The
+    # stats come from one edges agg, amortized over every superstep; ranks
+    # are bitwise-identical either way (test_salted_scatter_same_result).
+    salt_buckets: int | None = None
+    salt_skew_threshold: float = 32.0  # max(outdeg)/avg(outdeg) trigger
+    salt_min_degree: int = 100_000  # absolute hub floor (rows per join task)
+    salt_auto_buckets: int = 8
     check_every: int = 1  # supersteps between convergence checks (barrier-free spirit)
     # Broadcast the rank state into the scatter/update joins when the vertex
     # count is at most this (the persisted, src-partitioned edge table then
@@ -154,6 +164,29 @@ def _dead_rank_sum(ranks: DataFrame, dead: DataFrame) -> float:
         .collect()[0][0]
         or 0.0
     )
+
+
+def _resolve_salt(graph: LinkGraph, o: PageRankOptions, small: bool) -> int:
+    """Resolve ``salt_buckets=None`` (auto) into a concrete bucket count.
+
+    Only a shuffle join can have a hot partition (the broadcast-rank plan
+    never shuffles adj), and only a genuinely skewed graph benefits — both
+    gates must pass before paying the rank-row replication. One edges agg,
+    amortized over every superstep of the run.
+    """
+    if o.salt_buckets is not None:
+        return o.salt_buckets
+    if small:
+        return 0
+    mx, avg = (
+        graph.edges.groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c"), F.avg("c"))
+        .collect()[0]
+    )
+    if (mx or 0) >= o.salt_min_degree and avg and mx / avg >= o.salt_skew_threshold:
+        return o.salt_auto_buckets
+    return 0
 
 
 def _scatter(
@@ -318,6 +351,8 @@ def _loop(
             # same teleport vector
             store.save_personalization(pvec)
 
+    salt = _resolve_salt(graph, o, small)
+
     ranks = ranks0.localCheckpoint(eager=True)
     frontier = (
         frontier0.distinct().localCheckpoint(eager=True) if frontier0 is not None else None
@@ -338,7 +373,7 @@ def _loop(
             t_it = time.monotonic()
             s_dead = _dead_rank_sum(ranks, dead) if dead_mode else 0.0
             scope = active if o.contracting else frontier  # None => full sweep
-            sums = _scatter(graph, ranks, scope, o.salt_buckets, small)
+            sums = _scatter(graph, ranks, scope, salt, small)
             if small:
                 sums = F.broadcast(sums)
             if pvec is None:

@@ -138,3 +138,46 @@ def test_dead_end_teleport_mode(spark):
         assert np.allclose(_ranks_array(res, n), r, atol=1e-12)
     finally:
         g.unpersist()
+
+
+def test_auto_salt_decision(spark):
+    """salt_buckets=None auto-enables only for shuffle joins on skewed
+    graphs (hub floor AND skew ratio), and never for broadcast plans."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+        _resolve_salt,
+    )
+
+    n = 60
+    # one hub source with out-edges to everyone, everyone else degree ~1
+    hub = [(0, i) for i in range(n)] + [(i, (i + 1) % n) for i in range(1, n)]
+    g = build_graph(
+        spark.createDataFrame(hub, "src long, dst long"),
+        vertices=spark.range(n).select("id"),
+    )
+    try:
+        tuned = PageRankOptions(salt_min_degree=10, salt_skew_threshold=4.0,
+                                salt_auto_buckets=5)
+        # broadcast plan (small=True): never salts
+        assert _resolve_salt(g, tuned, small=True) == 0
+        # shuffle plan + skew above both gates: salts
+        assert _resolve_salt(g, tuned, small=False) == 5
+        # absolute hub floor not met: no salt
+        assert _resolve_salt(
+            g, PageRankOptions(salt_min_degree=10_000), small=False) == 0
+        # explicit override wins both ways
+        assert _resolve_salt(
+            g, PageRankOptions(salt_buckets=3), small=True) == 3
+        assert _resolve_salt(
+            g, PageRankOptions(salt_buckets=0, salt_min_degree=1),
+            small=False) == 0
+        # end-to-end: auto-salted shuffle run matches the oracle exactly
+        golden, _ = pagerank_oracle(n, hub, tol=0.0, max_iter=4)
+        res = pagerank(
+            g,
+            PageRankOptions(tolerance=0.0, max_iterations=4,
+                            broadcast_vertices=0, salt_min_degree=10,
+                            salt_skew_threshold=4.0, metrics_level="none"),
+        )
+        assert np.allclose(_ranks_array(res, n), golden, atol=1e-12)
+    finally:
+        g.unpersist()
