@@ -196,6 +196,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_converged"] = pagerank_converged
 
+    def pagerank_async_converged(spark, sf):
+        # Barrier-free / Gauss-Seidel kernel (reference ASYNC=true, B1):
+        # per-slice chunked in-place updates with 2 local sweeps per
+        # distributed superstep. The fixed point is mode-independent, so
+        # the same unrolled-recurrence SQL oracle applies at 6 d.p.
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+            pagerank_arrow,
+        )
+
+        g = _graph(spark, sf)
+        res = pagerank_arrow(
+            g,
+            PageRankOptions(tolerance=1e-12, metrics_level="none",
+                            async_updates="slice", async_sweeps=2),
+            resident=True,
+        )
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+    q["pagerank_async_converged"] = pagerank_async_converged
+
     # -- weighted PageRank (MTX weighted column, src/mtx.hxx:68-73): rank
     # flows ∝ weight/Σ(out-weights); duplicate (src,dst) weights merge by SUM
     def pagerank_weighted_3iter(spark, sf):
@@ -775,6 +795,7 @@ SELECT src, dst FROM e2 WHERE src % 13 <> 1 AND dst % 13 <> 1"""
 
     o["pagerank_3iter"] = _pagerank_3iter_sql()
     o["pagerank_converged"] = _pagerank_sql(60, 6)
+    o["pagerank_async_converged"] = _pagerank_sql(60, 6)
     o["naive_dynamic"] = _pagerank_sql(60, 6, edge_cte=BATCHED_EDGES_SQL)
     o["dynamic_frontier"] = o["naive_dynamic"]
     o["pagerank_weighted_3iter"] = _pagerank_weighted_3iter_sql()

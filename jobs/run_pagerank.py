@@ -14,6 +14,23 @@ Cluster launch (north rule):
 On a real cluster the session comes from spark-submit's conf (executors,
 memory, AQE) — ``SparkSession.builder.getOrCreate()`` here inherits it; the
 ``local[N]`` factory in ``session.py`` is only the sandbox stand-in.
+
+Fault tolerance (the reference's sleep/crash fault-injection experiment,
+``/root/reference/main.cxx:137-178``, E3): Spark's task retry
+(``spark.task.maxFailures``, default 4) and stage re-execution subsume
+injected thread crashes — a failed slice task replays from the persisted
+edge blocks / resident slice files with no driver involvement, and
+``--checkpoint`` covers driver loss mid-convergence (``--resume``). For
+straggling (the "sleep" injection), enable speculative execution:
+
+    --conf spark.speculation=true \
+    --conf spark.speculation.multiplier=3 \
+    --conf spark.speculation.quantile=0.9
+
+Superstep kernels are pure functions of (broadcast ranks, immutable slice
+files), so a speculative duplicate of a slow task is always safe; the
+"shared" async mode is the one exception (worker-local mmap writes) — keep
+speculation off for ``async_updates='shared'``, which is single-host anyway.
 """
 
 from __future__ import annotations
@@ -67,6 +84,11 @@ def main(argv=None):
                          "index (loaded if present, else built and saved)")
     ap.add_argument("--tolerance", type=float, default=1e-10)
     ap.add_argument("--max-iterations", type=int, default=500)
+    ap.add_argument("--async-updates", choices=["slice", "shared"],
+                    help="arrow mode: barrier-free Gauss-Seidel updates "
+                         "(reference ASYNC=true); 'shared' is single-host")
+    ap.add_argument("--async-sweeps", type=int, default=1,
+                    help="local sweeps per distributed superstep (async)")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
 
@@ -101,11 +123,15 @@ def main(argv=None):
 
     pers = (spark.read.parquet(args.personalization)
             if args.personalization else None)
+    if args.async_updates and args.mode != "arrow":
+        ap.error("--async-updates requires --mode arrow")
     opts = PageRankOptions(
         tolerance=args.tolerance,
         max_iterations=args.max_iterations,
         checkpoint_dir=args.checkpoint,
         metrics_level="partition" if args.checkpoint else "iteration",
+        async_updates=args.async_updates,
+        async_sweeps=args.async_sweeps,
     )
     if args.resume:
         if not args.checkpoint:
@@ -123,8 +149,10 @@ def main(argv=None):
             else:
                 dense = DenseGraph(g)
                 dense.save(args.dense_index)
-        res = pagerank_arrow(g, opts, dense=dense, personalization=pers,
-                             resident=True if dense is not None else None)
+        res = pagerank_arrow(
+            g, opts, dense=dense, personalization=pers,
+            resident=(True if dense is not None or args.async_updates
+                      else None))
     else:
         res = pagerank(g, opts, personalization=pers)
 
