@@ -397,6 +397,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_windowed"] = events_windowed
 
+    def events_sessions(spark, sf):
+        # gap-based session windows (Structured Streaming session_window;
+        # batch plan here — same expression serves readStream)
+        from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+            sessionized_event_counts,
+        )
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        s = sessionized_event_counts(ev, gap="10 minutes")
+        return s.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"),
+            "n", "sum_value",
+        )
+
+    q["events_sessions"] = events_sessions
+
     # -- training-data pipeline: dedup / text / similarity --
     q["dedup_exact"] = lambda spark, sf: exact_duplicates(_docs(spark, sf))
     q["token_stats"] = lambda spark, sf: token_count(_docs(spark, sf))
@@ -425,6 +445,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_near_dup_pairs(_docs(spark, sf), threshold=0.5)
 
     q["minhash_near_dup"] = minhash_near_dup
+
+    def dedup_clusters(spark, sf):
+        # pairs -> duplicate clusters (CC kernel) -> canonical keep flag:
+        # the dedup pipeline's final step (filter(keep) = deduped corpus)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+            near_dup_clusters,
+        )
+
+        return near_dup_clusters(_docs(spark, sf), threshold=0.5)
+
+    q["dedup_clusters"] = dedup_clusters
 
     # -- naive-dynamic (P7): converged re-rank seeded with previous ranks --
     def naive_dynamic(spark, sf):
@@ -884,6 +915,30 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2, 3"""
 
+    # gaps-and-islands mirror of Spark session_window: sessions merge while
+    # windows overlap OR TOUCH — an event exactly at the previous session's
+    # end still merges (verified: test_session_windows_batch_semantics), so
+    # only a gap STRICTLY greater than the window gap starts a new session;
+    # session_end = last event + gap
+    o["events_sessions"] = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 10 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM g GROUP BY user_id, sid"""
+
     o["dedup_exact"] = """
 SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
 FROM documents GROUP BY 1"""
@@ -1002,6 +1057,30 @@ j AS (SELECT inter.a, inter.b,
       FROM inter JOIN sizes sa ON inter.a = sa.id
                  JOIN sizes sb ON inter.b = sb.id)
 SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5"""
+
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {MINHASH_CTES},
+cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+          AND a.id < b.id),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT cand.a, cand.b, COUNT(*) AS n_inter
+          FROM cand JOIN sh sa ON sa.id = cand.a
+                    JOIN sh sb ON sb.id = cand.b AND sa.shingle = sb.shingle
+          GROUP BY cand.a, cand.b),
+j AS (SELECT inter.a, inter.b,
+             ROUND(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+      FROM inter JOIN sizes sa ON inter.a = sa.id
+                 JOIN sizes sb ON inter.b = sb.id),
+pairs AS (SELECT a, b FROM j WHERE jaccard >= 0.5),
+docs_v AS (SELECT DISTINCT doc_id AS id FROM documents),
+und AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b AS s, a AS d FROM pairs),
+reach(id, via) AS (
+  SELECT id, id FROM docs_v
+  UNION
+  SELECT und.d, reach.via FROM reach JOIN und ON und.s = reach.id)
+SELECT id AS doc_id, MIN(via) AS cluster, id = MIN(via) AS keep
+FROM reach GROUP BY id"""
 
     o["media_stats"] = """
 WITH m AS (SELECT doc_id AS media_id,

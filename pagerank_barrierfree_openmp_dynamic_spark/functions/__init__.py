@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
     lsh_candidate_pairs,
     jaccard_verify,
     minhash_near_dup_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
 )
 from .similarity import (  # noqa: F401

@@ -128,6 +128,41 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
         sh.unpersist()
 
 
+def near_dup_clusters(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3, bands: int = 8,
+                      threshold: float = 0.5) -> DataFrame:
+    """Complete the dedup pipeline: near-dup PAIRS -> duplicate CLUSTERS ->
+    canonical-document selection.
+
+    MinHash-LSH pairs become an undirected graph over the documents; the
+    engine's connected-components kernel (min-label + pointer jumping)
+    assigns every document the smallest doc id in its duplicate cluster.
+    Returns (doc_id, cluster, keep): ``keep`` marks the canonical document
+    (the cluster minimum) — ``filter(keep)`` is the deduplicated corpus.
+
+    Scale shape: the pair graph is tiny relative to the corpus (candidates
+    only), the CC loop is O(log diameter) shuffles over it, and singleton
+    documents never enter a join — they are cluster roots by construction.
+    """
+    from ..operators.graph import build_graph
+    from ..plans.components import connected_components
+
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, n, bands, threshold)
+    vertices = df.select(F.col(id_col).alias("id")).distinct()
+    g = build_graph(pairs.select(F.col("a").alias("src"),
+                                 F.col("b").alias("dst")),
+                    vertices=vertices, symmetric=True, add_self_loops=False)
+    try:
+        cc = connected_components(g)
+        return cc.select(
+            F.col("id").alias(id_col),
+            F.col("comp").alias("cluster"),
+            (F.col("id") == F.col("comp")).alias("keep"),
+        )
+    finally:
+        g.unpersist()
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5) -> DataFrame:

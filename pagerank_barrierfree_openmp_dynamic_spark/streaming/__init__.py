@@ -3,4 +3,4 @@ from .batches import (  # noqa: F401
     IncrementalPageRank,
     stream_batches,
 )
-from .windows import windowed_event_counts  # noqa: F401
+from .windows import sessionized_event_counts, windowed_event_counts  # noqa: F401

@@ -47,3 +47,39 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, session) aggregation with gap-based session windows.
+
+    A session is a maximal run of a key's events where consecutive gaps are
+    strictly below ``gap``; ``session_end`` is last event time + gap (Spark
+    ``session_window`` semantics — a dynamic-length window, state merged
+    incrementally). Returns (``key_col``, session_start, session_end, n,
+    sum_value). Works identically on batch frames (the gaps-and-islands
+    equivalent) and streams (watermark bounds the session state; a session
+    emits once the watermark passes its end).
+    """
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = F.session_window(ts_col, gap)
+    return (
+        df.groupBy(win.alias("win"), key_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )

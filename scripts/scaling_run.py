@@ -34,7 +34,8 @@ from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (  # 
 from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import pages_to_edges  # noqa: E402
 
 
-def kernel_main(cpus: int, n_edges: int, n_vertices: int, iters: int):
+def kernel_main(cpus: int, n_edges: int, n_vertices: int, iters: int,
+                async_mode: str | None = None, sweeps: int = 1):
     """Kernel-only scaling point: JVM-generated skewed random graph (no
     Python datagen), resident Arrow supersteps. Sized so per-superstep
     compute dominates local-mode fixed costs."""
@@ -58,21 +59,21 @@ def kernel_main(cpus: int, n_edges: int, n_vertices: int, iters: int):
     # warmup (slice mmap + worker spin-up), then several measured repeats —
     # the sandbox shows intermittent 3-6x slow periods (noisy-neighbor VM),
     # so each data point is the BEST of 3 runs in one session
-    pagerank_arrow(g, PageRankOptions(tolerance=0.0, max_iterations=2,
-                                      metrics_level="none"),
+    opts = dict(tolerance=0.0, metrics_level="none",
+                async_updates=async_mode, async_sweeps=sweeps)
+    pagerank_arrow(g, PageRankOptions(max_iterations=2, **opts),
                    dense=dense, resident=True)
     runs = []
     for _ in range(3):
         t = time.monotonic()
-        res = pagerank_arrow(g, PageRankOptions(tolerance=0.0,
-                                                max_iterations=iters,
-                                                metrics_level="none"),
+        res = pagerank_arrow(g, PageRankOptions(max_iterations=iters, **opts),
                              dense=dense, resident=True)
         runs.append(time.monotonic() - t)
     dt = min(runs)
     phases["pagerank"] = round(dt, 3)
     print(json.dumps({
-        "cpus": cpus, "mode": "kernel", "n_vertices": g.num_vertices,
+        "cpus": cpus, "mode": f"kernel-{async_mode}" if async_mode else "kernel",
+        "n_vertices": g.num_vertices,
         "n_edges": g.num_edges, "supersteps": res.iterations, "phases": phases,
         "seconds": round(dt, 3), "all_runs": [round(x, 3) for x in runs],
         "sec_per_superstep": round(dt / res.iterations, 3),
@@ -119,11 +120,18 @@ def main():
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     mode = sys.argv[4] if len(sys.argv) > 4 else "arrow"
-    if mode == "kernel":
+    if mode in ("kernel", "kernel-async", "kernel-async-shared"):
         # argv[2] = edge count; argv[5] = avg out-degree (default 16 —
-        # use ~40 for reference-corpus-like web density, e.g. uk-2005)
+        # use ~40 for reference-corpus-like web density, e.g. uk-2005);
+        # kernel-async[-shared]: barrier-free Gauss-Seidel updates, argv[6]
+        # = local sweeps per superstep (default 2)
         deg = int(sys.argv[5]) if len(sys.argv) > 5 else 16
-        kernel_main(cpus, n_pages, max(1, n_pages // deg), iters)
+        am = None
+        if mode != "kernel":
+            am = "shared" if mode.endswith("shared") else "slice"
+        sweeps = int(sys.argv[6]) if len(sys.argv) > 6 else (2 if am else 1)
+        kernel_main(cpus, n_pages, max(1, n_pages // deg), iters,
+                    async_mode=am, sweeps=sweeps)
         return
     if mode == "extract":
         extract_main(cpus, n_pages,

@@ -344,3 +344,41 @@ def test_lang_id_tie_smallest_code_wins(spark):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     o = con.sql(entrymod.oracle_sql()["lang_id"]).df().set_index("doc_id")
     assert list(o.loc[[0, 1, 2, 3], "lang_pred"]) == ["de", "en", "und", "de"]
+
+
+def test_near_dup_clusters_transitive_and_canonical(spark, docs, docs_pdf):
+    """Clusters are the transitive closure of near-dup pairs; keep marks
+    exactly one canonical (minimum) doc per cluster; singletons keep."""
+    from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+
+    # chain A~B and B~C (A and C differ in two places -> may not pair
+    # directly, but must cluster together transitively)
+    t0 = docs_pdf.loc[docs_pdf.doc_id == 1, "text"].iloc[0]
+    toks = _toks(t0)
+    tb = list(toks)
+    tb[0] = "ALTERED"
+    tc = list(tb)
+    tc[-1] = "CHANGED"
+    extra = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [90001, 90002],
+                      "text": [" ".join(tb), " ".join(tc)]}))
+    both = (docs.filter(docs.doc_id < 40).select("doc_id", "text")
+            .unionByName(extra))
+    cl = near_dup_clusters(both, threshold=0.3).toPandas()
+    assert len(cl) == both.count()  # every doc labeled, incl. singletons
+    lab = dict(zip(cl.doc_id, cl.cluster))
+    assert lab[90001] == lab[1] == 1 and lab[90002] == lab[1]
+    keep = dict(zip(cl.doc_id, cl.keep))
+    assert keep[1] and not keep[90001] and not keep[90002]
+    # keep is exactly the cluster minimum, one per cluster
+    grp = cl.groupby("cluster").agg(mn=("doc_id", "min"),
+                                    kept=("keep", "sum"))
+    assert (grp["kept"] == 1).all()
+    assert set(cl[cl.keep]["doc_id"]) == set(grp["mn"])
+    # consistency: every directly-verified pair shares a cluster
+    pairs = minhash_near_dup_pairs(both, threshold=0.3).toPandas()
+    for r in pairs.itertuples():
+        assert lab[r.a] == lab[r.b]

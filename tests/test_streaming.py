@@ -120,3 +120,82 @@ def test_streamed_batches_converge_to_golden(spark, tmp_path):
         g.unpersist()
     except Exception:
         pass
+
+
+def test_session_windows_batch_semantics(spark):
+    """Gap-based sessionization: touching windows MERGE (an event exactly
+    at the previous session's end extends it — Spark session_window rule,
+    mirrored by the driver oracle's strict > gap split), session_end = last
+    event + gap, per-key isolation."""
+    from datetime import datetime
+
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+        sessionized_event_counts,
+    )
+
+    T = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    rows = [
+        # user 1: 10:00, 10:05 (merge), 10:15 (exactly at 10:05+10min ->
+        # touching, still MERGES), then 10:30 (gap > 10min -> new session)
+        (1, T(10, 0), 1.0), (1, T(10, 5), 2.0),
+        (1, T(10, 15), 4.0), (1, T(10, 30), 8.0),
+        # user 2: single event -> one session
+        (2, T(10, 3), 16.0),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "value"]))
+    out = sessionized_event_counts(ev, gap="10 minutes").toPandas()
+    got = {
+        (r.user_id, r.session_start.strftime("%H:%M"),
+         r.session_end.strftime("%H:%M")): (r.n, r.sum_value)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (1, "10:00", "10:25"): (3, 7.0),
+        (1, "10:30", "10:40"): (1, 8.0),
+        (2, "10:03", "10:13"): (1, 16.0),
+    }
+
+
+def test_session_windows_streaming_matches_batch(spark, tmp_path):
+    """The same session expression runs as a stream: sessions emit once the
+    watermark passes their end and match the batch result."""
+    from datetime import datetime
+
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+        sessionized_event_counts,
+    )
+
+    d = tmp_path / "sess_events"
+    d.mkdir()
+    T = lambda h, m: datetime(2026, 1, 1, h, m)  # noqa: E731
+    rows = [(1, T(10, 0), 1.0), (1, T(10, 5), 2.0), (2, T(10, 3), 4.0)]
+    pd.DataFrame(rows, columns=["user_id", "ts", "value"]).to_parquet(
+        d / "b0.parquet", coerce_timestamps="us",
+        allow_truncated_timestamps=True)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(str(d))
+    )
+    q = (
+        sessionized_event_counts(stream, gap="10 minutes",
+                                 watermark="5 minutes")
+        .writeStream.format("memory").queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .start()
+    )
+    q.processAllAvailable()
+    # advance the watermark past both sessions' ends
+    pd.DataFrame([(3, T(12, 0), 0.0)],
+                 columns=["user_id", "ts", "value"]).to_parquet(
+        d / "b1.parquet", coerce_timestamps="us",
+        allow_truncated_timestamps=True)
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM sess_out").toPandas()
+    got = {(r.user_id, r.session_start.strftime("%H:%M")): (r.n, r.sum_value)
+           for r in out.itertuples()}
+    assert got[(1, "10:00")] == (2, 3.0)
+    assert got[(2, "10:03")] == (1, 4.0)
