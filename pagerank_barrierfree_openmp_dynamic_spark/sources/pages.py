@@ -48,6 +48,54 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(_extract, schema=_LINKS_SCHEMA)
 
 
+def extract_links_arrow(pages: DataFrame) -> DataFrame:
+    """:func:`extract_links` on the ``mapInArrow`` fast path — byte-identical
+    output, less copying.
+
+    The pandas path materializes every html payload as a Python ``bytes``
+    (one boxing + one copy per page). Here the regex runs on ZERO-COPY
+    ``memoryview`` slices of the Arrow binary data buffer (``re`` accepts
+    any buffer-protocol object), so per batch the only per-page Python cost
+    is an offset slice; page bytes are never copied out of the Arrow
+    buffer. Same regex, same match semantics, same output schema.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def _extract(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            urls = rb.column(0)
+            html = rb.column(1)
+            n = len(html)
+            out_u: list[str] = []
+            out_d: list[str] = []
+            if n:
+                u_list = urls.to_pylist()
+                valid = (html.is_valid().to_numpy(zero_copy_only=False)
+                         if html.null_count else None)
+                bufs = html.buffers()  # [validity, offsets, data]
+                odt = (np.int64 if pa.types.is_large_binary(html.type)
+                       else np.int32)
+                offs = np.frombuffer(
+                    bufs[1], dtype=odt, count=n + 1,
+                    offset=html.offset * np.dtype(odt).itemsize)
+                data = memoryview(bufs[2])
+                for i in range(n):
+                    if valid is not None and not valid[i]:
+                        continue
+                    lo, hi = offs[i], offs[i + 1]
+                    if hi <= lo:
+                        continue
+                    for m in _HREF_RE.findall(data[lo:hi]):
+                        out_u.append(u_list[i])
+                        out_d.append(m.decode("utf-8", "replace"))
+            yield pa.record_batch(
+                [pa.array(out_u, pa.string()), pa.array(out_d, pa.string())],
+                names=["src_url", "dst_url"])
+
+    return pages.select("url", "html").mapInArrow(_extract, schema=_LINKS_SCHEMA)
+
+
 def url_dictionary(pages: DataFrame) -> DataFrame:
     """Assign dense long ids ``[0, N)`` to urls, deterministically (ordered by
     url). Dense ids let kernels use array-backed per-partition layouts, the
@@ -78,7 +126,9 @@ def pages_to_edges(
     (``/root/reference/src/_bitset.hxx:179-201``).
     """
     d = dictionary if dictionary is not None else url_dictionary(pages)
-    links = extract_links(pages)
+    # mapInArrow extractor: byte-identical to extract_links, measured
+    # equal-or-faster (zero-copy page slices; the gap widens with page size)
+    links = extract_links_arrow(pages)
     src_d = d.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
     dst_d = d.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
     edges = (

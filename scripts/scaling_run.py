@@ -89,7 +89,7 @@ def extract_main(cpus: int, n_pages: int, pages_path: str):
     phase — the N-vs-4N pair that isolates compute scaling from the single
     box's shared memory-bandwidth ceiling."""
     from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import (
-        extract_links,
+        extract_links_arrow as extract_links,
     )
 
     spark = get_spark(app_name=f"scalex-{cpus}", cpus=cpus)

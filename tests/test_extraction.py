@@ -51,3 +51,31 @@ def test_small_scale_extraction_roundtrip(spark):
     }
     got = {(r["src"], r["dst"]) for r in edges.collect()}
     assert got == truth
+
+
+def test_extract_links_arrow_byte_identical(spark):
+    """mapInArrow fast path emits exactly the pandas path's rows (same
+    multiset — order within a page preserved per partition)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import (
+        extract_links,
+        extract_links_arrow,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark import datagen
+
+    pages = datagen.pages_df(spark, "small")
+    # add a null-html and an empty-html page to exercise the mask/slice paths
+    import pandas as pd
+
+    extra = spark.createDataFrame(pd.DataFrame({
+        "url": ["x://null", "x://empty"],
+        "warc_ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+        "html": [None, b""],
+        "text": ["", ""],
+        "lang": ["en", "en"],
+    }), schema=pages.schema)
+    pages = pages.unionByName(extra)
+    a = extract_links(pages).toPandas()
+    b = extract_links_arrow(pages).toPandas()
+    key = lambda d: sorted(map(tuple, d.to_numpy()))  # noqa: E731
+    assert key(a) == key(b)
+    assert len(a) > 0
