@@ -109,9 +109,9 @@ class PageRankOptions:
     # stats come from one edges agg, amortized over every superstep; ranks
     # are bitwise-identical either way (test_salted_scatter_same_result).
     salt_buckets: int | None = None
-    salt_skew_threshold: float = 32.0  # max(outdeg)/avg(outdeg) trigger
+    salt_skew_threshold: float = 8.0  # hub outdeg vs per-task |E|/P trigger
     salt_min_degree: int = 100_000  # absolute hub floor (rows per join task)
-    salt_auto_buckets: int = 8
+    salt_auto_buckets: int = 8  # cap on auto-chosen buckets
     check_every: int = 1  # supersteps between convergence checks (barrier-free spirit)
     # Broadcast the rank state into the scatter/update joins when the vertex
     # count is at most this (the persisted, src-partitioned edge table then
@@ -166,27 +166,45 @@ def _dead_rank_sum(ranks: DataFrame, dead: DataFrame) -> float:
     )
 
 
-def _resolve_salt(graph: LinkGraph, o: PageRankOptions, small: bool) -> int:
-    """Resolve ``salt_buckets=None`` (auto) into a concrete bucket count.
+def _resolve_salt(
+    graph: LinkGraph, o: PageRankOptions, small: bool
+) -> tuple[int, list[int] | None]:
+    """Resolve ``salt_buckets=None`` (auto) into (buckets, hub id list).
 
     Only a shuffle join can have a hot partition (the broadcast-rank plan
-    never shuffles adj), and only a genuinely skewed graph benefits — both
-    gates must pass before paying the rank-row replication. One edges agg,
-    amortized over every superstep of the run.
+    never shuffles adj), and only a hub whose out-edge count dwarfs the
+    per-task average (|E|/partitions) creates a straggler. Auto mode salts
+    the HUB KEYS ONLY: the hub rows' rank entries are replicated R ways and
+    everyone else keeps one row — measured on this box, replicating the
+    whole rank table costs more than the straggler it removes even at 9x
+    hot-partition skew, while key-subset salting adds only |hubs|·R rows.
+    One edges agg + a tiny hub collect, amortized over every superstep.
+
+    Explicit ``salt_buckets=k`` keeps the uniform all-key salting (hub_ids
+    None) for forced/benchmark use; auto mode returns buckets=0 plus the
+    hub id list — the loop handles hubs by SPLITTING them out of the
+    co-partitioned join instead of salting (see ``_loop``): a two-key
+    (src, _salt) join would forfeit adj's persisted src-partitioning and
+    re-shuffle the whole edge table every superstep, which measures slower
+    than the straggler it removes.
     """
     if o.salt_buckets is not None:
-        return o.salt_buckets
+        return o.salt_buckets, None
     if small:
-        return 0
-    mx, avg = (
+        return 0, None
+    per_task = max(1.0, graph.num_edges / max(1, graph.partitions))
+    floor = max(o.salt_min_degree, o.salt_skew_threshold * per_task)
+    hubs = (
         graph.edges.groupBy("src")
         .agg(F.count("*").alias("c"))
-        .agg(F.max("c"), F.avg("c"))
-        .collect()[0]
+        .filter(F.col("c") >= floor)
+        .orderBy(F.col("c").desc())
+        .limit(1024)
+        .collect()
     )
-    if (mx or 0) >= o.salt_min_degree and avg and mx / avg >= o.salt_skew_threshold:
-        return o.salt_auto_buckets
-    return 0
+    if not hubs:
+        return 0, None
+    return 0, [int(r["src"]) for r in hubs]
 
 
 def _scatter(
@@ -195,33 +213,53 @@ def _scatter(
     dst_filter: DataFrame | None,
     salt_buckets: int,
     small: bool = False,
+    hub_split: tuple | None = None,
 ) -> DataFrame:
     """Contribution gather: SUM over in-edges of rank/outdeg, grouped by dst.
 
     Returns (dst, s). ``dst_filter`` (id,) restricts output to an affected
     set by semi-joining the edge table before the shuffle (frontier mode —
-    the frontier side is broadcast). ``salt_buckets > 0`` replicates each
-    rank row across R salt keys so one hub source's out-edges spread over R
-    join tasks; the ``groupBy(dst)`` partial aggregation recombines them.
+    the frontier side is broadcast). ``salt_buckets > 0`` (forced) salts
+    every key: rank rows replicate R ways and the join key becomes
+    (src, _salt). ``hub_split`` (auto skew handling) is
+    ``(adj_rest, adj_hub, hub_ids)``: adj_rest keeps the persisted
+    src-partitioning for the co-partitioned join, adj_hub is the hubs'
+    adjacency spread EVENLY by round-robin and joined against a BROADCAST
+    of just the hub ranks — no straggler task, no adj re-shuffle, extra
+    volume = |hubs| broadcast rows. The ``groupBy(dst)`` partial agg
+    recombines both branches.
     """
-    adj = graph.adj
+    if hub_split is not None:
+        adj_rest, adj_hub, hub_ids = hub_split
+    else:
+        adj_rest, adj_hub = graph.adj, None
     if dst_filter is not None:
-        adj = adj.join(F.broadcast(dst_filter), adj.dst == dst_filter.id, "left_semi")
+        adj_rest = adj_rest.join(
+            F.broadcast(dst_filter), adj_rest.dst == dst_filter.id, "left_semi")
+        if adj_hub is not None:
+            adj_hub = adj_hub.join(
+                F.broadcast(dst_filter), adj_hub.dst == dst_filter.id,
+                "left_semi")
     r = ranks.select(F.col("id").alias("_rid"), F.col("rank").alias("_r"))
     if salt_buckets > 0:
-        adj = adj.withColumn(
+        adj_rest = adj_rest.withColumn(
             "_salt", F.pmod(F.xxhash64("src", "dst"), F.lit(salt_buckets))
         )
-        r = r.withColumn(
+        rs = r.withColumn(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
         )
         if small:
-            r = F.broadcast(r)
-        joined = adj.join(r, (adj.src == r._rid) & (adj._salt == r._salt))
+            rs = F.broadcast(rs)
+        joined = adj_rest.join(
+            rs, (adj_rest.src == rs._rid) & (adj_rest._salt == rs._salt))
     else:
-        if small:
-            r = F.broadcast(r)
-        joined = adj.join(r, adj.src == F.col("_rid"))
+        rr = F.broadcast(r) if small else r
+        joined = adj_rest.join(rr, adj_rest.src == F.col("_rid"))
+    if adj_hub is not None:
+        r_hub = F.broadcast(r.filter(F.col("_rid").isin(hub_ids)))
+        joined = joined.select("dst", "_r", "w").unionByName(
+            adj_hub.join(r_hub, adj_hub.src == F.col("_rid"))
+            .select("dst", "_r", "w"))
     return joined.groupBy("dst").agg(F.sum(F.col("_r") * F.col("w")).alias("s"))
 
 
@@ -351,7 +389,23 @@ def _loop(
             # same teleport vector
             store.save_personalization(pvec)
 
-    salt = _resolve_salt(graph, o, small)
+    salt, hub_ids = _resolve_salt(graph, o, small)
+    hub_split = None
+    adj_hub = None
+    if hub_ids:
+        # Split detected hubs out of the co-partitioned join ONCE: their
+        # adjacency spread evenly (round-robin), persisted for the run;
+        # their (few) ranks broadcast per superstep. adj_rest's filter
+        # preserves the persisted src-partitioning, so the main join still
+        # plans with no adj exchange.
+        adj_rest = graph.adj.filter(~F.col("src").isin(hub_ids))
+        adj_hub = (
+            graph.adj.filter(F.col("src").isin(hub_ids))
+            .repartition(graph.partitions)
+            .persist()
+        )
+        adj_hub.count()
+        hub_split = (adj_rest, adj_hub, hub_ids)
 
     ranks = ranks0.localCheckpoint(eager=True)
     frontier = (
@@ -373,7 +427,7 @@ def _loop(
             t_it = time.monotonic()
             s_dead = _dead_rank_sum(ranks, dead) if dead_mode else 0.0
             scope = active if o.contracting else frontier  # None => full sweep
-            sums = _scatter(graph, ranks, scope, salt, small)
+            sums = _scatter(graph, ranks, scope, salt, small, hub_split)
             if small:
                 sums = F.broadcast(sums)
             if pvec is None:
@@ -504,6 +558,8 @@ def _loop(
             if o.contracting and rows == 0:
                 break
 
+    if adj_hub is not None:
+        adj_hub.unpersist()
     return PageRankResult(
         ranks=ranks,
         iterations=it - start_iteration,

@@ -155,28 +155,33 @@ def test_auto_salt_decision(spark):
         vertices=spark.range(n).select("id"),
     )
     try:
-        tuned = PageRankOptions(salt_min_degree=10, salt_skew_threshold=4.0,
+        # hub deg 61 vs per-task |E|/P = 44.5 (4 shuffle partitions in
+        # tests): threshold 1.0 puts the floor right below the hub
+        tuned = PageRankOptions(salt_min_degree=10, salt_skew_threshold=1.0,
                                 salt_auto_buckets=5)
         # broadcast plan (small=True): never salts
-        assert _resolve_salt(g, tuned, small=True) == 0
-        # shuffle plan + skew above both gates: salts
-        assert _resolve_salt(g, tuned, small=False) == 5
+        assert _resolve_salt(g, tuned, small=True) == (0, None)
+        # shuffle plan + hub above per-task floor: hub-split mode (no salt
+        # keys — the hub's adjacency leaves the co-partitioned join)
+        buckets, hubs = _resolve_salt(g, tuned, small=False)
+        assert buckets == 0 and hubs == [0]
         # absolute hub floor not met: no salt
         assert _resolve_salt(
-            g, PageRankOptions(salt_min_degree=10_000), small=False) == 0
-        # explicit override wins both ways
+            g, PageRankOptions(salt_min_degree=10_000),
+            small=False) == (0, None)
+        # explicit override wins both ways (uniform all-key salting)
         assert _resolve_salt(
-            g, PageRankOptions(salt_buckets=3), small=True) == 3
+            g, PageRankOptions(salt_buckets=3), small=True) == (3, None)
         assert _resolve_salt(
             g, PageRankOptions(salt_buckets=0, salt_min_degree=1),
-            small=False) == 0
+            small=False) == (0, None)
         # end-to-end: auto-salted shuffle run matches the oracle exactly
         golden, _ = pagerank_oracle(n, hub, tol=0.0, max_iter=4)
         res = pagerank(
             g,
             PageRankOptions(tolerance=0.0, max_iterations=4,
                             broadcast_vertices=0, salt_min_degree=10,
-                            salt_skew_threshold=4.0, metrics_level="none"),
+                            salt_skew_threshold=1.0, metrics_level="none"),
         )
         assert np.allclose(_ranks_array(res, n), golden, atol=1e-12)
     finally:
