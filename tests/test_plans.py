@@ -137,3 +137,57 @@ def test_remove_out_edges_weighted_preserves_other_weights(spark):
     assert rows[(0, 0)] == 1.0
     g1.unpersist()
     g.unpersist()
+
+
+def test_hub_split_scatter_plan_no_adj_exchange(spark, g):
+    """The hub-split design's core plan property: filtering hubs out of adj
+    PRESERVES its persisted src-partitioning (join plans with the same
+    exchange count as the unfiltered join), whereas any two-key
+    (src, _salt) salted join forces an extra Exchange of the edge table —
+    the measured reason salting loses. Plus: hub ranks enter as a
+    broadcast, and the split scatter's sums match the plain scatter."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+        _scatter,
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        ranks = g.vertices.select("id", F.lit(1.0 / 300).alias("rank"))
+        r = ranks.select(F.col("id").alias("_rid"), F.col("rank").alias("_r"))
+        hub_ids = [0]
+
+        j_base = g.adj.join(r, g.adj.src == F.col("_rid"))
+        adj_rest = g.adj.filter(~F.col("src").isin(hub_ids))
+        j_rest = adj_rest.join(r, adj_rest.src == F.col("_rid"))
+        assert (_plan(j_rest).count("Exchange")
+                == _plan(j_base).count("Exchange"))
+
+        adj_salt = g.adj.withColumn(
+            "_salt", F.pmod(F.xxhash64("src", "dst"), F.lit(3)))
+        r_salt = r.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(3)])))
+        j_salt = adj_salt.join(
+            r_salt, (adj_salt.src == r_salt._rid)
+            & (adj_salt._salt == r_salt._salt))
+        assert (_plan(j_salt).count("Exchange")
+                > _plan(j_base).count("Exchange"))
+
+        adj_hub = g.adj.filter(F.col("src").isin(hub_ids)).repartition(4)
+        split = _plan(_scatter(g, ranks, None, 0, small=False,
+                               hub_split=(adj_rest, adj_hub, hub_ids)))
+        # the hub ranks go in as a broadcast even with auto-broadcast off
+        assert "BroadcastHashJoin" in split
+        # and both plans produce identical sums
+        a = (_scatter(g, ranks, None, 0, small=False)
+             .toPandas().sort_values("dst"))
+        b = (_scatter(g, ranks, None, 0, small=False,
+                      hub_split=(adj_rest, adj_hub, hub_ids))
+             .toPandas().sort_values("dst"))
+        import numpy as np
+
+        assert list(a["dst"]) == list(b["dst"])
+        assert np.allclose(a["s"].to_numpy(), b["s"].to_numpy(), atol=1e-15)
+    finally:
+        spark.conf.set(key, prev)
