@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""The reference's ``runExperiment`` protocol (``/root/reference/main.cxx:
+181-229``), re-expressed over the Spark engine: for each batch fraction,
+apply a seeded random batch (deletions of existing edges + insertions of
+new random edges, ``main.cxx:30-66``), compute golden ranks ``s0`` on the
+updated graph, then run the SIX techniques
+
+    static / naive-dynamic / dynamic-frontier  x  synchronous / barrier-free
+
+and log one JSON line per run: iterations, wall seconds, L-inf error vs
+``s0`` (the reference's ``flog``, ``main.cxx:197-205``). Dead ends are
+handled by self-loop normalization as everywhere else; the barrier-free
+column uses ``async_updates="slice"`` with ``async_sweeps=2`` (cluster-safe
+chunked Gauss-Seidel with local runahead).
+
+Usage: python scripts/run_experiment.py [CPUS] [N_EDGES] [FRAC ...]
+Defaults: 32 cpus, 700k-edge lineitem-style graph, fracs 1e-4 1e-3 1e-2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from pagerank_barrierfree_openmp_dynamic_spark.session import get_spark  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (  # noqa: E402
+    apply_batch_dense,
+    batch_endpoints_frontier,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import PageRankOptions  # noqa: E402
+from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (  # noqa: E402
+    DenseGraph,
+    pagerank_arrow,
+)
+
+TOL = 1e-10          # technique tolerance ({repeat} runs, main.cxx:207-225)
+GOLD_TOL = 1e-13     # golden s0/r0 tolerance (the 1e-100-style reference run)
+
+
+def _ranks(res) -> np.ndarray:
+    pdf = res.ranks.toPandas().sort_values("id")
+    return pdf["rank"].to_numpy()
+
+
+def main():
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_edges = int(sys.argv[2]) if len(sys.argv) > 2 else 700_000
+    fracs = [float(x) for x in sys.argv[3:]] or [1e-4, 1e-3, 1e-2]
+    spark = get_spark(app_name="runexp", cpus=cpus)
+
+    n_vertices = max(1, n_edges // 7)
+    h1 = F.abs(F.xxhash64(F.col("id")))
+    h2 = F.abs(F.xxhash64(F.col("id") + 1_000_000_007))
+    dst = F.when(h1 % 10 == 0, h2 % max(1, n_vertices // 1000)).otherwise(
+        h2 % n_vertices)
+    raw = spark.range(n_edges).select(
+        (h1 % n_vertices).alias("src"), dst.alias("dst"))
+    g = build_graph(raw)
+    dense = DenseGraph(g).materialize()
+    print(json.dumps({"graph": {"n": g.num_vertices, "m": g.num_edges,
+                                "cpus": cpus}}), flush=True)
+
+    # r0: golden ranks on the ORIGINAL graph (main.cxx:191)
+    r0 = pagerank_arrow(g, PageRankOptions(tolerance=GOLD_TOL,
+                                           metrics_level="none"),
+                        dense=dense, resident=True)
+
+    edges_pdf = (g.edges.filter(F.col("src") != F.col("dst"))
+                 .select("src", "dst").toPandas())
+    rng = np.random.default_rng(42)
+    rows = []
+    for frac in fracs:
+        k = max(1, int(g.num_edges * frac))
+        # deletions: existing non-loop edges; insertions: new random edges
+        idx = rng.choice(len(edges_pdf), size=k, replace=False)
+        dels = edges_pdf.iloc[idx][["src", "dst"]].copy()
+        dels["op"] = "del"
+        ids = np.asarray(dense.ids)
+        ins = pd.DataFrame({
+            "src": rng.choice(ids, size=k),
+            "dst": rng.choice(ids, size=k),
+        }).drop_duplicates()
+        ins["op"] = "ins"
+        batch = spark.createDataFrame(pd.concat([dels, ins]),
+                                      schema="src long, dst long, op string")
+        g2, dense2 = apply_batch_dense(g, dense, batch)
+        frontier = batch_endpoints_frontier(g, g2, batch)
+
+        s0 = pagerank_arrow(g2, PageRankOptions(tolerance=GOLD_TOL,
+                                                metrics_level="none"),
+                            dense=dense2, resident=True)
+        gold = _ranks(s0)
+
+        techniques = []
+        for async_mode, tag in [(None, "WithBarrier"), ("slice", "BarrierFree")]:
+            o = dict(tolerance=TOL, metrics_level="none",
+                     async_updates=async_mode,
+                     async_sweeps=2 if async_mode else 1)
+            techniques += [
+                (f"pagerankStatic{tag}", dict(), o),
+                (f"pagerankNaiveDynamic{tag}", dict(init=r0.ranks), o),
+                (f"pagerankDynamicFrontier{tag}",
+                 dict(init=r0.ranks, frontier=frontier), o),
+            ]
+        for name, kwargs, o in techniques:
+            t = time.monotonic()
+            ans = pagerank_arrow(g2, PageRankOptions(**o), dense=dense2,
+                                 resident=True, **kwargs)
+            dt = time.monotonic() - t
+            err = float(np.abs(_ranks(ans) - gold).max())
+            row = dict(batchf=frac, technique=name,
+                       iterations=ans.iterations,
+                       seconds=round(dt, 3), err_linf=err)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        dense2.unpersist()
+
+    # summary table (the reference README's speedup claims, README.md:47-63)
+    print("\n| batchf | technique | iters | sec | err vs golden |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['batchf']:.0e} | {r['technique']} | {r['iterations']} "
+              f"| {r['seconds']} | {r['err_linf']:.2e} |")
+    g.unpersist()
+    dense.unpersist()
+
+
+if __name__ == "__main__":
+    main()
