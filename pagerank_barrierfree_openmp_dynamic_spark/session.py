@@ -41,6 +41,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Keep stdout clean for harnesses that parse the last JSON line.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Iterative jobs: keep broadcast refs from piling up.
         .config("spark.cleaner.referenceTracking.blocking", "false")
