@@ -3,4 +3,8 @@ from .batches import (  # noqa: F401
     IncrementalPageRank,
     stream_batches,
 )
+from .state import (  # noqa: F401
+    DEGREE_STATE_SCHEMA,
+    streaming_degree_state,
+)
 from .windows import sessionized_event_counts, windowed_event_counts  # noqa: F401

@@ -199,3 +199,55 @@ def test_session_windows_streaming_matches_batch(spark, tmp_path):
            for r in out.itertuples()}
     assert got[(1, "10:00")] == (2, 3.0)
     assert got[(2, "10:03")] == (1, 4.0)
+
+
+def test_streaming_degree_state_tracks_running_out_degree(spark, tmp_path):
+    """applyInPandasWithState frontier tracker: per-src running out-degree
+    accumulates across micro-batches, deletions subtract, net-zero batches
+    emit nothing, and the final state equals a batch group-by over all
+    events."""
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+        streaming_degree_state,
+    )
+
+    d = tmp_path / "edge_events"
+    d.mkdir()
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["src", "op"]).astype("int64").to_parquet(
+            d / name)
+
+    # batch 0: src 1 gains 2 edges, src 2 gains 1
+    write("b0.parquet", [(1, 1), (1, 1), (2, 1)])
+
+    stream = spark.readStream.schema("src long, op long").parquet(str(d))
+    q = (
+        streaming_degree_state(stream)
+        .writeStream.format("memory")
+        .queryName("deg_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_deg"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 1: src 1 loses 1 edge; src 2 has +1/-1 (net zero -> no emit);
+    # src 3 appears
+    write("b1.parquet", [(1, -1), (2, 1), (2, -1), (3, 1)])
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT * FROM deg_state").toPandas()
+    # update-mode memory sink appends each micro-batch's emissions; the
+    # LAST row per src is its current state.
+    latest = out.groupby("src").last()
+    assert latest.loc[1, "out_degree"] == 1          # 2 - 1
+    assert latest.loc[1, "events"] == 3
+    assert latest.loc[2, "out_degree"] == 1          # batch 1 was net zero
+    assert latest.loc[3, "out_degree"] == 1
+    # src 2's net-zero micro-batch emitted nothing: exactly one row ever
+    assert (out["src"] == 2).sum() == 1
+    # cross-check against a batch group-by over the full event log
+    full = pd.concat([pd.read_parquet(d / f) for f in ("b0.parquet", "b1.parquet")])
+    want = full.groupby("src")["op"].sum()
+    for s in (1, 2, 3):
+        assert latest.loc[s, "out_degree"] == want.loc[s]
