@@ -25,6 +25,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from pagerank_barrierfree_openmp_dynamic_spark.functions import (
     brute_force_topk,
@@ -416,6 +417,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_sessions"] = events_sessions
+
+    def edge_event_degree_state(spark, sf):
+        # runs the REAL stateful streaming operator (applyInPandasWithState
+        # per-vertex degree tracker, streaming/state.py) over a 2-file edge
+        # event stream derived from lineitem, then returns the final state.
+        # Insert-only events make the terminal row per src (the max-`events`
+        # emission) invariant to how the file source coalesces micro-batches,
+        # so the result is deterministic and SQL-oracle-able.
+        import tempfile
+        import uuid
+
+        from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+            streaming_degree_state,
+        )
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            F.lit(1).cast("long").alias("op"),
+            (F.col("l_orderkey") % 2 == 0).alias("first_half"),
+        )
+        d = tempfile.mkdtemp(prefix="edge_events_")
+        for i, flag in enumerate((True, False)):
+            li.filter(F.col("first_half") == flag).select("src", "op") \
+                .toPandas().to_parquet(f"{d}/b{i}.parquet")
+        name = "deg_state_" + uuid.uuid4().hex[:8]
+        stream = spark.readStream.schema("src long, op long").parquet(d)
+        query = (
+            streaming_degree_state(stream)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        w = Window.partitionBy("src").orderBy(F.desc("events"))
+        return (
+            spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src", "out_degree", "events")
+        )
+
+    q["edge_event_degree_state"] = edge_event_degree_state
 
     # -- training-data pipeline: dedup / text / similarity --
     q["dedup_exact"] = lambda spark, sf: exact_duplicates(_docs(spark, sf))
@@ -938,6 +983,14 @@ SELECT user_id,
                 '%Y-%m-%d %H:%M:%S') AS session_end,
        COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
 FROM g GROUP BY user_id, sid"""
+
+    # final stateful-tracker state for insert-only events == plain count:
+    # out_degree and events both equal the per-supplier lineitem row count
+    o["edge_event_degree_state"] = """
+SELECT CAST(l_suppkey AS BIGINT) AS src,
+       COUNT(*) AS out_degree,
+       COUNT(*) AS events
+FROM lineitem GROUP BY 1"""
 
     o["dedup_exact"] = """
 SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
