@@ -9,10 +9,13 @@ vertex's running out-degree over an unbounded stream of edge events
 (insertions ``op=+1`` / deletions ``op=-1``) and emits, per micro-batch,
 the vertices whose degree changed together with the change magnitude.
 
-The emitted rows ARE a dynamic-frontier seed: ``pagerank_dynamic_frontier``
-initializes its affected set from exactly these (src, delta) endpoints, so
-``stream -> degree state -> incremental re-rank`` composes without a full
-graph rescan per micro-batch.
+The emitted rows are the scatter side of a dynamic-frontier seed: the
+sources whose out-degree changed are exactly the vertices whose outgoing
+contribution must be re-scattered (``pagerank_dynamic_frontier`` seeds
+from batch src AND dst endpoints; the dst half needs no state and comes
+straight off the raw event stream). ``stream -> degree state ->
+incremental re-rank`` therefore composes without a full graph rescan per
+micro-batch.
 
 Scale shape: state is one (long, long, long) triple per DISTINCT source
 vertex — O(V) across the cluster, hash-partitioned by Spark's streaming
