@@ -584,7 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_near_dup_pairs(_emb(spark, sf), dim=64,
                                         threshold=0.3, n_planes=4)
 
-    q["embedding_near_dup_lsh"] = embedding_near_dup_lsh  # no SQL oracle (planes)
+    q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
 
     def embedding_topk(spark, sf):
         emb = _emb(spark, sf)

@@ -6,6 +6,14 @@ from .pagerank import (  # noqa: F401
 )
 from .pagerank_arrow import DenseGraph, pagerank_arrow, resume_arrow  # noqa: F401
 from .traversal import pagerank_dynamic_traversal, reachable_set  # noqa: F401
-from .components import connected_components  # noqa: F401
-from .labelprop import label_propagation  # noqa: F401
+from .components import (  # noqa: F401
+    connected_components,
+    connected_components_arrow,
+    resume_connected_components_arrow,
+)
+from .labelprop import (  # noqa: F401
+    label_propagation,
+    label_propagation_arrow,
+    resume_label_propagation_arrow,
+)
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401

@@ -77,7 +77,8 @@ def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFra
 
 
 def connected_components_arrow(
-    graph: LinkGraph, *, dense=None, max_iterations: int = 200
+    graph: LinkGraph, *, dense=None, max_iterations: int = 200,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Dense Arrow-kernel connected components (same output as
     :func:`connected_components`): labels live in one driver-side int64
@@ -101,11 +102,55 @@ def connected_components_arrow(
                 return new
             new = j
 
+    store = None
+    if checkpoint_dir is not None:
+        from ..checkpoint import CheckpointStore
+
+        store = CheckpointStore(checkpoint_dir)
     dg, lab = dense_label_loop(
         graph, dense,
         lambda dg, lab_bc: _cc_min_fn(dg.resident_dir, dg.epoch,
                                       dg.n_slices, lab_bc),
         post=jump, max_iterations=max_iterations,
+        store=store, mode="cc-arrow",
+    )
+    spark = graph.edges.sparkSession
+    out = spark.createDataFrame(
+        pd.DataFrame({"id": dg.ids, "comp": dg.ids[lab]}))
+    if dense is None:
+        dg.unpersist()
+    return out
+
+
+def resume_connected_components_arrow(
+    graph: LinkGraph, checkpoint_dir: str, *, dense=None,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """Continue :func:`connected_components_arrow` from its latest committed
+    superstep (north rule: runs resume mid-convergence). The label state is
+    deterministic, so resumed output is identical to an uninterrupted run;
+    further supersteps keep appending to the same checkpoint directory with
+    the original run_id."""
+    from ..checkpoint import CheckpointStore
+    from .pagerank_arrow import _cc_min_fn, dense_label_loop, load_label_checkpoint
+
+    store = CheckpointStore(checkpoint_dir)
+    dg, init, it, run_id = load_label_checkpoint(graph, dense, store)
+
+    def jump(new: np.ndarray) -> np.ndarray:
+        while True:
+            j = new[new]
+            if np.array_equal(j, new):
+                return new
+            new = j
+
+    dg, lab = dense_label_loop(
+        graph, dg,
+        lambda dg, lab_bc: _cc_min_fn(dg.resident_dir, dg.epoch,
+                                      dg.n_slices, lab_bc),
+        post=jump, max_iterations=max(0, max_iterations - it),
+        store=store, mode="cc-arrow", init=init, start_iter=it,
+        run_id=run_id,
     )
     spark = graph.edges.sparkSession
     out = spark.createDataFrame(

@@ -51,7 +51,8 @@ def label_propagation(graph: LinkGraph, iterations: int = 5) -> DataFrame:
 
 
 def label_propagation_arrow(
-    graph: LinkGraph, iterations: int = 5, *, dense=None
+    graph: LinkGraph, iterations: int = 5, *, dense=None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Dense Arrow-kernel label propagation — same synchronous rounds and
     (max count, smallest label) tie-break as :func:`label_propagation`,
@@ -63,11 +64,47 @@ def label_propagation_arrow(
     order, so the smallest-label tie-break agrees across domains."""
     from .pagerank_arrow import _lpa_vote_fn, dense_label_loop
 
+    store = None
+    if checkpoint_dir is not None:
+        from ..checkpoint import CheckpointStore
+
+        store = CheckpointStore(checkpoint_dir)
     dg, lab = dense_label_loop(
         graph, dense,
         lambda dg, lab_bc: _lpa_vote_fn(dg.resident_dir, dg.epoch, dg.n,
                                         dg.n_slices, lab_bc),
-        rounds=iterations,
+        rounds=iterations, store=store, mode="lpa-arrow",
+    )
+    spark = graph.edges.sparkSession
+    out = spark.createDataFrame(
+        pd.DataFrame({"id": dg.ids, "label": dg.ids[lab]}))
+    if dense is None:
+        dg.unpersist()
+    return out
+
+
+def resume_label_propagation_arrow(
+    graph: LinkGraph, checkpoint_dir: str, iterations: int = 5, *, dense=None
+) -> DataFrame:
+    """Continue :func:`label_propagation_arrow` from its latest committed
+    round up to ``iterations`` TOTAL rounds. Synchronous rounds with a total
+    tie-break order are deterministic, so the resumed output is identical
+    to an uninterrupted ``iterations``-round run."""
+    from ..checkpoint import CheckpointStore
+    from .pagerank_arrow import (
+        _lpa_vote_fn,
+        dense_label_loop,
+        load_label_checkpoint,
+    )
+
+    store = CheckpointStore(checkpoint_dir)
+    dg, init, it, run_id = load_label_checkpoint(graph, dense, store)
+    dg, lab = dense_label_loop(
+        graph, dg,
+        lambda dg, lab_bc: _lpa_vote_fn(dg.resident_dir, dg.epoch, dg.n,
+                                        dg.n_slices, lab_bc),
+        rounds=max(0, iterations - it), store=store, mode="lpa-arrow",
+        init=init, start_iter=it, run_id=run_id,
     )
     spark = graph.edges.sparkSession
     out = spark.createDataFrame(

@@ -742,7 +742,8 @@ def _lpa_vote_fn(resident_dir: str, epoch: str, n: int, n_slices: int, lab_bc):
 
 
 def dense_label_loop(graph, dense, make_fn, *, post=None, rounds=None,
-                     max_iterations=200):
+                     max_iterations=200, store=None, mode="labels",
+                     init=None, start_iter=0, run_id=None):
     """Shared driver for dense label-vector kernels (CC, LPA): per round,
     broadcast the int64 label vector, run ``make_fn(dg, lab_bc)`` as one
     narrow job over the resident slices, reassemble the compact segments,
@@ -750,7 +751,18 @@ def dense_label_loop(graph, dense, make_fn, *, post=None, rounds=None,
     ``rounds`` rounds or stop at the fixpoint. Requires gen-0 slices
     (label propagation cannot subtract deleted edges). Returns
     (dg, labels); the caller owns ``dg`` cleanup when it passed
-    ``dense=None``."""
+    ``dense=None``.
+
+    Checkpoint/resume (same contract as the rank loop): pass a
+    ``CheckpointStore`` as ``store`` and every completed round commits the
+    label state (id, label) plus a metrics row (labels-changed count in
+    ``delta_linf``) under ``iter=K``. To resume, pass ``init`` (the dense
+    label-index vector reconstructed from the last committed state) and
+    ``start_iter`` so round numbering continues; ``rounds``/
+    ``max_iterations`` count REMAINING rounds, as in ``resume_arrow``."""
+    import time as _time
+    import uuid as _uuid
+
     from ..session import adaptive_execution
 
     dg = dense or DenseGraph(graph)
@@ -764,10 +776,18 @@ def dense_label_loop(graph, dense, make_fn, *, post=None, rounds=None,
     sc = spark.sparkContext
     n, P = dg.n, dg.n_slices
     slice_df = spark.range(0, P, 1, P)
-    lab = np.arange(n, dtype=np.int64)
+    if init is not None:
+        lab = np.asarray(init, dtype=np.int64).copy()
+        if lab.shape != (n,):
+            raise ValueError(
+                f"resume labels have {lab.shape[0]} entries, graph has {n}")
+    else:
+        lab = np.arange(n, dtype=np.int64)
+    rid = run_id or _uuid.uuid4().hex[:12]
     limit = rounds if rounds is not None else max_iterations
     with adaptive_execution(spark, False):
-        for _ in range(limit):
+        for k in range(limit):
+            t0 = _time.monotonic()
             lab_bc = sc.broadcast(lab)
             parts = slice_df.mapInPandas(
                 make_fn(dg, lab_bc), "slice int, seg binary"
@@ -778,10 +798,54 @@ def dense_label_loop(graph, dense, make_fn, *, post=None, rounds=None,
             lab_bc.destroy()
             if post is not None:
                 new = post(new)
-            if rounds is None and np.array_equal(new, lab):
+            changed = int((new != lab).sum())
+            if store is not None:
+                from ..checkpoint import METRICS_SCHEMA
+
+                it = start_iter + k + 1
+                ldf = spark.createDataFrame(
+                    pd.DataFrame({"id": dg.ids, "label": dg.ids[new]}))
+                mdf = spark.createDataFrame(
+                    [(rid, mode, it, -1, n, graph.num_edges, float(changed),
+                      (_time.monotonic() - t0) * 1000.0)],
+                    METRICS_SCHEMA,
+                )
+                store.save(it, ldf, metrics=mdf,
+                           extra={"run_id": rid, "mode": mode, "n": n,
+                                  "changed": changed})
+            if rounds is None and changed == 0:
                 break
             lab = new
     return dg, lab
+
+
+def load_label_checkpoint(graph, dense, store):
+    """Reconstruct (dense graph, init label-index vector, last committed
+    iteration, run_id) from a label-kernel checkpoint written by
+    :func:`dense_label_loop`. Validates the committed vertex count against
+    the graph so a stale checkpoint fails loudly instead of silently
+    relabeling a different graph."""
+    it = store.latest()
+    if it is None:
+        raise FileNotFoundError(f"no committed iteration under {store.root}")
+    info = store.commit_info(it)
+    dg = dense or DenseGraph(graph)
+    dg.materialize()
+    if info.get("n") is not None and int(info["n"]) != dg.n:
+        raise ValueError(
+            f"checkpoint has n={info['n']} vertices but the graph has "
+            f"{dg.n} — refusing to resume against a different graph")
+    spark = graph.edges.sparkSession
+    pdf = store.load_ranks(spark, it).toPandas().sort_values("id")
+    if not np.array_equal(pdf["id"].to_numpy(), dg.ids):
+        raise ValueError(
+            "checkpointed vertex ids differ from the graph's — refusing to "
+            "resume against a different graph")
+    lab_ids = pdf["label"].to_numpy()
+    init = np.searchsorted(dg.ids, lab_ids)
+    if not np.array_equal(dg.ids[init], lab_ids):
+        raise ValueError("checkpointed labels reference unknown vertex ids")
+    return dg, init, it, info.get("run_id")
 
 
 def _resident_expand_fn(resident_dir: str, epoch: str, gen: int, movers_bc):

@@ -175,3 +175,74 @@ def test_arrow_personalized_resume_equals_uninterrupted(spark, tiny_graph,
     uni = pagerank_arrow(tiny_graph,
                          PageRankOptions(tolerance=1e-9, metrics_level="none"))
     assert not np.allclose(got, _ranks_array(uni, 10), atol=1e-6)
+
+
+def test_cc_arrow_resume_equals_uninterrupted(spark, tmp_path):
+    """Label-kernel checkpointing: interrupt CC after 1 superstep, resume to
+    the fixpoint; components equal an uninterrupted run and the union-find
+    oracle, metrics rows carry the labels-changed counts, and resuming
+    against a different graph fails loudly."""
+    from oracle import cc_oracle
+
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+        connected_components_arrow,
+        resume_connected_components_arrow,
+    )
+
+    n = 60
+    edges_pdf = datagen.synth_edges(n, seed=5)
+    g = build_graph(spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+                    vertices=spark.range(n).select("id"))
+    ckpt = str(tmp_path / "cc_ckpt")
+
+    # interrupted: exactly one committed superstep
+    connected_components_arrow(g, max_iterations=1, checkpoint_dir=ckpt)
+    store = CheckpointStore(ckpt)
+    assert store.latest() == 1
+
+    resumed = resume_connected_components_arrow(g, ckpt)
+    full = connected_components_arrow(g)
+    rp = resumed.toPandas().sort_values("id")["comp"].to_numpy()
+    fp = full.toPandas().sort_values("id")["comp"].to_numpy()
+    assert (rp == fp).all()
+    want = cc_oracle(
+        n, list(map(tuple, edges_pdf[["src", "dst"]].itertuples(index=False))))
+    assert (rp == np.asarray(want)).all()
+
+    # per-superstep lineage: metrics rows exist, changed counts decrease to 0
+    m = store.load_metrics(spark).toPandas().sort_values("iteration")
+    assert (m["mode"] == "cc-arrow").all()
+    assert m["delta_linf"].iloc[-1] == 0.0 or store.latest() >= 2
+
+    # a graph with a different vertex count must be rejected
+    g2 = build_graph(spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+                     vertices=spark.range(n + 3).select("id"))
+    with pytest.raises(ValueError, match="refusing to resume"):
+        resume_connected_components_arrow(g2, ckpt)
+    g.unpersist()
+    g2.unpersist()
+
+
+def test_lpa_arrow_resume_equals_uninterrupted(spark, tmp_path):
+    """LPA rounds are deterministic, so 1 checkpointed round + resume to 3
+    total rounds equals an uninterrupted 3-round run exactly."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.labelprop import (
+        label_propagation_arrow,
+        resume_label_propagation_arrow,
+    )
+
+    n = 60
+    edges_pdf = datagen.synth_edges(n, seed=6)
+    g = build_graph(spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+                    vertices=spark.range(n).select("id"))
+    ckpt = str(tmp_path / "lpa_ckpt")
+
+    label_propagation_arrow(g, iterations=1, checkpoint_dir=ckpt)
+    assert CheckpointStore(ckpt).latest() == 1
+
+    resumed = resume_label_propagation_arrow(g, ckpt, iterations=3)
+    full = label_propagation_arrow(g, iterations=3)
+    rp = resumed.toPandas().sort_values("id")["label"].to_numpy()
+    fp = full.toPandas().sort_values("id")["label"].to_numpy()
+    assert (rp == fp).all()
+    g.unpersist()
