@@ -292,6 +292,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components_arrow(_graph(spark, sf))
 
     q["connected_components_arrow"] = connected_components_arrow_q
+
+    def connected_components_resumed(spark, sf):
+        # exercises the label-kernel checkpoint/resume path under the
+        # driver: 1 committed superstep, then resume to the fixpoint —
+        # identical output to an uninterrupted run, same SQL oracle
+        import tempfile
+
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+            connected_components_arrow,
+            resume_connected_components_arrow,
+        )
+
+        g = _graph(spark, sf)
+        ckpt = tempfile.mkdtemp(prefix="cc_ckpt_")
+        connected_components_arrow(g, max_iterations=1, checkpoint_dir=ckpt)
+        return resume_connected_components_arrow(g, ckpt)
+
+    q["connected_components_resumed"] = connected_components_resumed
     q["label_propagation_2iter"] = lambda spark, sf: label_propagation(
         _graph(spark, sf), iterations=2
     )
@@ -891,6 +909,7 @@ reach(id, via) AS (
   SELECT und.dst, reach.via FROM reach JOIN und ON und.src = reach.id)
 SELECT id, MIN(via) AS comp FROM reach GROUP BY id"""
     o["connected_components_arrow"] = o["connected_components"]
+    o["connected_components_resumed"] = o["connected_components"]
     o["label_propagation_2iter"] = _lpa_sql(2)
     o["label_propagation_arrow_2iter"] = _lpa_sql(2)
     o["triangle_count"] = f"""
