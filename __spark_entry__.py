@@ -304,10 +304,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             resume_connected_components_arrow,
         )
 
+        import shutil
+
         g = _graph(spark, sf)
         ckpt = tempfile.mkdtemp(prefix="cc_ckpt_")
-        connected_components_arrow(g, max_iterations=1, checkpoint_dir=ckpt)
-        return resume_connected_components_arrow(g, ckpt)
+        try:
+            connected_components_arrow(g, max_iterations=1,
+                                       checkpoint_dir=ckpt)
+            out = resume_connected_components_arrow(g, ckpt)
+            # the result is a driver-local createDataFrame — safe to drop
+            # the checkpoint tree before returning (repeated driver/bench
+            # runs must not accumulate state in /tmp)
+            return out
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
     q["connected_components_resumed"] = connected_components_resumed
     q["label_propagation_2iter"] = lambda spark, sf: label_propagation(
@@ -471,12 +481,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query.processAllAvailable()
         query.stop()
         w = Window.partitionBy("src").orderBy(F.desc("events"))
-        return (
+        out = (
             spark.table(name)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("src", "out_degree", "events")
         )
+        # memory-sink rows live in driver memory, not in the temp files —
+        # localCheckpoint pins them and the event/state dirs can go (bench
+        # reruns must not accumulate parquet + state stores in /tmp)
+        out = out.localCheckpoint(eager=True)
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        return out
 
     q["edge_event_degree_state"] = edge_event_degree_state
 

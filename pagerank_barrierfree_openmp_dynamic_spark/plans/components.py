@@ -135,7 +135,8 @@ def resume_connected_components_arrow(
     from .pagerank_arrow import _cc_min_fn, dense_label_loop, load_label_checkpoint
 
     store = CheckpointStore(checkpoint_dir)
-    dg, init, it, run_id = load_label_checkpoint(graph, dense, store)
+    dg, init, it, run_id = load_label_checkpoint(graph, dense, store,
+                                                 expect_mode="cc-arrow")
 
     def jump(new: np.ndarray) -> np.ndarray:
         while True:

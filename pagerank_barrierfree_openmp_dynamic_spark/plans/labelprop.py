@@ -98,7 +98,16 @@ def resume_label_propagation_arrow(
     )
 
     store = CheckpointStore(checkpoint_dir)
-    dg, init, it, run_id = load_label_checkpoint(graph, dense, store)
+    dg, init, it, run_id = load_label_checkpoint(graph, dense, store,
+                                                 expect_mode="lpa-arrow")
+    if iterations < it:
+        if dense is None:
+            dg.unpersist()
+        raise ValueError(
+            f"checkpoint already committed {it} rounds > requested total "
+            f"{iterations}; LPA labels are not monotone, so an earlier "
+            "round cannot be recovered from a later checkpoint — rerun "
+            "from scratch instead")
     dg, lab = dense_label_loop(
         graph, dg,
         lambda dg, lab_bc: _lpa_vote_fn(dg.resident_dir, dg.epoch, dg.n,

@@ -812,39 +812,60 @@ def dense_label_loop(graph, dense, make_fn, *, post=None, rounds=None,
                 )
                 store.save(it, ldf, metrics=mdf,
                            extra={"run_id": rid, "mode": mode, "n": n,
-                                  "changed": changed})
+                                  "m": graph.num_edges, "changed": changed})
             if rounds is None and changed == 0:
                 break
             lab = new
     return dg, lab
 
 
-def load_label_checkpoint(graph, dense, store):
+def load_label_checkpoint(graph, dense, store, expect_mode=None):
     """Reconstruct (dense graph, init label-index vector, last committed
     iteration, run_id) from a label-kernel checkpoint written by
-    :func:`dense_label_loop`. Validates the committed vertex count against
-    the graph so a stale checkpoint fails loudly instead of silently
-    relabeling a different graph."""
+    :func:`dense_label_loop`. Fails loudly instead of silently relabeling
+    when the checkpoint does not match: wrong kernel (``expect_mode`` vs
+    the committed ``mode`` — CC labels are not an LPA state and vice
+    versa), different vertex count/ids, different edge count (same
+    vertices but a changed edge set invalidates label monotonicity), or
+    labels referencing unknown ids."""
     it = store.latest()
     if it is None:
         raise FileNotFoundError(f"no committed iteration under {store.root}")
     info = store.commit_info(it)
-    dg = dense or DenseGraph(graph)
-    dg.materialize()
-    if info.get("n") is not None and int(info["n"]) != dg.n:
+    if expect_mode is not None and info.get("mode") not in (None, expect_mode):
+        raise ValueError(
+            f"checkpoint was written by a {info['mode']!r} run — refusing "
+            f"to resume a {expect_mode!r} kernel from it")
+    # cheap scalar checks BEFORE materializing the dense view (a mismatch
+    # must not leave freshly-built slice files / a persisted frame behind)
+    if info.get("n") is not None and int(info["n"]) != graph.num_vertices:
         raise ValueError(
             f"checkpoint has n={info['n']} vertices but the graph has "
-            f"{dg.n} — refusing to resume against a different graph")
-    spark = graph.edges.sparkSession
-    pdf = store.load_ranks(spark, it).toPandas().sort_values("id")
-    if not np.array_equal(pdf["id"].to_numpy(), dg.ids):
+            f"{graph.num_vertices} — refusing to resume against a "
+            "different graph")
+    if info.get("m") is not None and int(info["m"]) != graph.num_edges:
         raise ValueError(
-            "checkpointed vertex ids differ from the graph's — refusing to "
-            "resume against a different graph")
-    lab_ids = pdf["label"].to_numpy()
-    init = np.searchsorted(dg.ids, lab_ids)
-    if not np.array_equal(dg.ids[init], lab_ids):
-        raise ValueError("checkpointed labels reference unknown vertex ids")
+            f"checkpoint has m={info['m']} edges but the graph has "
+            f"{graph.num_edges} — refusing to resume against a different "
+            "graph (same vertices, changed edge set)")
+    dg = dense or DenseGraph(graph)
+    try:
+        dg.materialize()
+        spark = graph.edges.sparkSession
+        pdf = store.load_ranks(spark, it).toPandas().sort_values("id")
+        if not np.array_equal(pdf["id"].to_numpy(), dg.ids):
+            raise ValueError(
+                "checkpointed vertex ids differ from the graph's — refusing "
+                "to resume against a different graph")
+        lab_ids = pdf["label"].to_numpy()
+        init = np.minimum(np.searchsorted(dg.ids, lab_ids), dg.n - 1)
+        if not np.array_equal(dg.ids[init], lab_ids):
+            raise ValueError(
+                "checkpointed labels reference unknown vertex ids")
+    except Exception:
+        if dense is None:
+            dg.unpersist()
+        raise
     return dg, init, it, info.get("run_id")
 
 

@@ -74,7 +74,11 @@ def _update_degree_state(
         deg0, ev0 = 0, 0
     deg = deg0 + delta
     state.update((deg, ev0 + events))
-    if delta != 0:
+    # Emit whenever the group was TOUCHED (events > 0), not only when the
+    # net degree moved: a batch like [(u,+1),(u,-1)] leaves deg(u) unchanged
+    # but u's out-neighborhood DID change, and the frontier contract
+    # (re-scatter every source whose edge set changed) must include u.
+    if events > 0:
         yield pd.DataFrame({
             "src": [key[0]],
             "out_degree": [deg],
@@ -93,8 +97,9 @@ def streaming_degree_state(
     ``edge_events`` is a streaming DataFrame with at least (``src_col``
     long, ``op_col`` long) where op is +1 for an inserted out-edge and -1
     for a removed one. Emits (src, out_degree, delta, events) in UPDATE
-    mode for every vertex whose degree changed in the micro-batch — the
-    frontier seed for incremental re-ranking.
+    mode for every vertex that saw any edge event in the micro-batch
+    (including net-zero batches — the edge SET changed even when the
+    degree didn't) — the frontier seed for incremental re-ranking.
 
     State never times out: a web-graph vertex stays live for the lifetime
     of the stream (degree must survive arbitrarily long quiet periods).

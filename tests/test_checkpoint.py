@@ -246,3 +246,43 @@ def test_lpa_arrow_resume_equals_uninterrupted(spark, tmp_path):
     fp = full.toPandas().sort_values("id")["label"].to_numpy()
     assert (rp == fp).all()
     g.unpersist()
+
+
+def test_label_checkpoint_guards(spark, tmp_path):
+    """Stale/mismatched label checkpoints fail loudly: wrong kernel mode,
+    same vertices but changed edge set, and an LPA resume asking for fewer
+    total rounds than already committed."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+        connected_components_arrow,
+        resume_connected_components_arrow,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.labelprop import (
+        label_propagation_arrow,
+        resume_label_propagation_arrow,
+    )
+
+    n = 40
+    edges_pdf = datagen.synth_edges(n, seed=7)
+    g = build_graph(spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+                    vertices=spark.range(n).select("id"))
+    cc_ckpt = str(tmp_path / "cc")
+    connected_components_arrow(g, max_iterations=1, checkpoint_dir=cc_ckpt)
+
+    # wrong kernel: LPA resume from a CC checkpoint
+    with pytest.raises(ValueError, match="cc-arrow"):
+        resume_label_propagation_arrow(g, cc_ckpt, iterations=3)
+
+    # same vertex set, one edge dropped -> edge-count mismatch
+    e2 = edges_pdf.iloc[1:]
+    g2 = build_graph(spark.createDataFrame(e2, schema=datagen.EDGES_SCHEMA),
+                     vertices=spark.range(n).select("id"))
+    with pytest.raises(ValueError, match="changed edge set"):
+        resume_connected_components_arrow(g2, cc_ckpt)
+
+    # LPA: requesting fewer total rounds than committed is unrecoverable
+    lpa_ckpt = str(tmp_path / "lpa")
+    label_propagation_arrow(g, iterations=4, checkpoint_dir=lpa_ckpt)
+    with pytest.raises(ValueError, match="not monotone"):
+        resume_label_propagation_arrow(g, lpa_ckpt, iterations=2)
+    g.unpersist()
+    g2.unpersist()

@@ -237,15 +237,20 @@ def test_streaming_degree_state_tracks_running_out_degree(spark, tmp_path):
     q.stop()
 
     out = spark.sql("SELECT * FROM deg_state").toPandas()
-    # update-mode memory sink appends each micro-batch's emissions; the
-    # LAST row per src is its current state.
-    latest = out.groupby("src").last()
+    # update-mode memory sink appends each micro-batch's emissions with no
+    # guaranteed row order; `events` is strictly increasing per src, so the
+    # max-events row is the current state.
+    latest = out.sort_values("events").groupby("src").last()
     assert latest.loc[1, "out_degree"] == 1          # 2 - 1
     assert latest.loc[1, "events"] == 3
     assert latest.loc[2, "out_degree"] == 1          # batch 1 was net zero
     assert latest.loc[3, "out_degree"] == 1
-    # src 2's net-zero micro-batch emitted nothing: exactly one row ever
-    assert (out["src"] == 2).sum() == 1
+    # src 2's net-zero micro-batch still emits (its edge SET changed — the
+    # frontier must re-scatter it): two rows, the later with delta=0
+    rows2 = out[out["src"] == 2].sort_values("events")
+    assert len(rows2) == 2
+    assert rows2["delta"].tolist() == [1, 0]
+    assert rows2["out_degree"].tolist() == [1, 1]
     # cross-check against a batch group-by over the full event log
     full = pd.concat([pd.read_parquet(d / f) for f in ("b0.parquet", "b1.parquet")])
     want = full.groupby("src")["op"].sum()
