@@ -256,3 +256,53 @@ def test_streaming_degree_state_tracks_running_out_degree(spark, tmp_path):
     want = full.groupby("src")["op"].sum()
     for s in (1, 2, 3):
         assert latest.loc[s, "out_degree"] == want.loc[s]
+
+
+_deg_state_runs = [0]
+
+
+def test_streaming_degree_state_property(spark, tmp_path):
+    """Property (seeded cases, not hypothesis — each case spins a real
+    streaming query): for ARBITRARY insert/delete event batchings, the
+    max-`events` emission per src equals the batch group-by over the full
+    event log — out_degree = sum(op), events = count(*). Holds because the
+    tracker emits on every touched batch (including net-zero ones)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+        streaming_degree_state,
+    )
+
+    rng = np.random.default_rng(23)
+    for case in range(3):
+        _deg_state_runs[0] += 1
+        tag = _deg_state_runs[0]
+        d = tmp_path / f"ev{tag}"
+        d.mkdir()
+        n_batches = int(rng.integers(2, 5))
+        frames = []
+        for b in range(n_batches):
+            k = int(rng.integers(1, 20))
+            pdf = pd.DataFrame({
+                "src": rng.integers(0, 6, size=k),
+                "op": rng.choice([1, -1], size=k),
+            }).astype("int64")
+            frames.append(pdf)
+            pdf.to_parquet(d / f"b{b}.parquet")
+        stream = spark.readStream.schema("src long, op long").parquet(str(d))
+        q = (
+            streaming_degree_state(stream)
+            .writeStream.format("memory").queryName(f"deg_prop_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql(f"SELECT * FROM deg_prop_{tag}").toPandas()
+        latest = out.sort_values("events").groupby("src").last()
+        full = pd.concat(frames)
+        want_deg = full.groupby("src")["op"].sum()
+        want_ev = full.groupby("src")["op"].count()
+        assert set(latest.index) == set(want_deg.index)
+        for s in want_deg.index:
+            assert latest.loc[s, "out_degree"] == want_deg.loc[s], (case, s)
+            assert latest.loc[s, "events"] == want_ev.loc[s], (case, s)
