@@ -87,14 +87,21 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs; keep >= threshold.
 
-    |A ∩ B| via the shingle equi-join restricted to candidates; |A ∪ B| =
-    |A| + |B| − |∩|. Returns (a, b, jaccard) rounded to 6 places.
+    |A ∩ B| is computed CANDIDATE-BOUNDED: join the pairs to side a's
+    shingles, then equi-join side b on (b, shingle). Cost is
+    Σ_pairs |shingles(a)| — never the global shingle co-occurrence square
+    (a shingle→shingle self-join pruned by a later semi-join still
+    materializes k² rows for a shingle shared by k documents; one
+    stop-word shingle at web scale makes that a job-killer, and Catalyst
+    cannot push the semi-join below the self-join because the (a, b) keys
+    only exist above it). |A ∪ B| = |A| + |B| − |∩|. Returns
+    (a, b, jaccard) rounded to 6 places; zero-intersection candidates drop
+    (they cannot reach any threshold > 0).
     """
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
-        sh.select(F.col("id").alias("a"), "shingle")
-        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
-        .join(pairs, ["a", "b"], "left_semi")
+        pairs.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
