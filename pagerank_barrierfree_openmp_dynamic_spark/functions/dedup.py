@@ -71,9 +71,27 @@ def minhash_signatures(sh: DataFrame, bands: int = 8) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame,
+                        max_bucket: int | None = None) -> DataFrame:
     """Docs sharing any (band, sig) bucket: (a, b) with a < b, distinct.
-    Equi-join on the bucket key — shuffle by (band, sig), no cross join."""
+    Equi-join on the bucket key — shuffle by (band, sig), no cross join.
+
+    ``max_bucket`` caps the bucket-join blowup at scale: a degenerate
+    bucket of k members (boilerplate pages, empty docs) still yields k²
+    candidate rows from the self-join. Buckets larger than ``max_bucket``
+    are skipped for pair GENERATION (their members still pair through any
+    non-degenerate band, so near-dup recall degrades only for documents
+    whose EVERY band is hot — which at sane band counts means the corpus
+    slice is itself degenerate and wants exact dedup, not MinHash).
+    Default None = exact candidate set (the SQL-oracle-checked path)."""
+    if max_bucket is not None:
+        ok = (
+            sig.groupBy("band", "sig")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("band", "sig")
+        )
+        sig = sig.join(ok, ["band", "sig"], "left_semi")
     left = sig.select(F.col("id").alias("a"), "band", "sig")
     right = sig.select(F.col("id").alias("b"), "band", "sig")
     return (

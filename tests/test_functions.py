@@ -382,3 +382,27 @@ def test_near_dup_clusters_transitive_and_canonical(spark, docs, docs_pdf):
     pairs = minhash_near_dup_pairs(both, threshold=0.3).toPandas()
     for r in pairs.itertuples():
         assert lab[r.a] == lab[r.b]
+
+
+def test_lsh_max_bucket_cap(spark):
+    """Hot-bucket capping: oversized (band, sig) buckets stop generating
+    pairs; members still pair through their non-degenerate bands; cap=None
+    is the exact candidate set."""
+    rows = []
+    # band 0: docs 1..4 share one hot bucket (size 4); band 1: only (1,2)
+    # share a small bucket, everyone else unique
+    for i in (1, 2, 3, 4):
+        rows.append((i, 0, "HOT"))
+    rows += [(1, 1, "S12"), (2, 1, "S12"), (3, 1, "s3"), (4, 1, "s4")]
+    sig = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "band", "sig"]))
+
+    exact = {tuple(r) for r in
+             lsh_candidate_pairs(sig).toPandas().itertuples(index=False)}
+    assert exact == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+    capped = {tuple(r) for r in
+              lsh_candidate_pairs(sig, max_bucket=3)
+              .toPandas().itertuples(index=False)}
+    # the hot band-0 bucket is skipped; (1,2) survives via band 1
+    assert capped == {(1, 2)}
