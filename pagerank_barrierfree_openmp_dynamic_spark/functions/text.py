@@ -153,7 +153,8 @@ def simhash_blocks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
 
 
 def simhash_near_dup_pairs(sig: DataFrame, id_col: str = "doc_id",
-                           max_hamming: int = 2, bits: int = 16) -> DataFrame:
+                           max_hamming: int = 2, bits: int = 16,
+                           max_block: int | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
 
     Block on ``max_hamming + 1`` disjoint bit segments (pigeonhole: every
@@ -176,6 +177,16 @@ def simhash_near_dup_pairs(sig: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"), "simhash",
         F.explode(F.array(*blocks)).alias("b"),
     ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    if max_block is not None:
+        # hot-(blk, val) cap: a segment value shared by k docs yields k²
+        # candidate rows; skip degenerate blocks for pair generation —
+        # members still pair through their other max_hamming segments
+        # (same knob as lsh_candidate_pairs(max_bucket=...)).
+        ok = (
+            ex.groupBy("blk", "val").agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= max_block).select("blk", "val")
+        )
+        ex = ex.join(ok, ["blk", "val"], "left_semi")
     a = ex.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "blk", "val")
     b = ex.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "blk", "val")
     cand = (

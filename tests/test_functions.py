@@ -406,3 +406,36 @@ def test_lsh_max_bucket_cap(spark):
               .toPandas().itertuples(index=False)}
     # the hot band-0 bucket is skipped; (1,2) survives via band 1
     assert capped == {(1, 2)}
+
+
+def test_hot_block_caps_simhash_and_embedding(spark):
+    """The k² caps on the SimHash and embedding-LSH bucket joins: capped
+    results are a subset of the exact ones, and cap=None stays exact."""
+    import pagerank_barrierfree_openmp_dynamic_spark.functions as fn
+
+    # SimHash: 5 identical docs (all blocks hot) + one hamming-1 neighbor pair
+    rows = [(i, 0b1010101010101010) for i in range(5)]
+    rows += [(10, 0b1111000011110000), (11, 0b1111000011110001)]
+    sig = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "simhash"]))
+    exact = fn.simhash_near_dup_pairs(sig, max_hamming=2)
+    capped = fn.simhash_near_dup_pairs(sig, max_hamming=2, max_block=4)
+    e = {tuple(r) for r in exact.toPandas().itertuples(index=False)}
+    c = {tuple(r) for r in capped.toPandas().itertuples(index=False)}
+    assert c <= e
+    assert (10, 11, 1) in c          # small blocks unaffected
+    assert not any(a < 5 and b < 5 for a, b, _ in c)  # hot clique skipped
+
+    # embedding LSH: identical vectors land in one bucket
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)]
+    vecs += [(20, [0.0, 1.0, 0.0, 0.0]), (21, [0.0, 1.0, 0.001, 0.0])]
+    emb = spark.createDataFrame(
+        pd.DataFrame(vecs, columns=["vec_id", "embedding"]))
+    exact_e = fn.embedding_near_dup_pairs(emb, dim=4, threshold=0.9,
+                                          n_planes=6)
+    capped_e = fn.embedding_near_dup_pairs(emb, dim=4, threshold=0.9,
+                                           n_planes=6, max_bucket=3)
+    ee = {(r.a, r.b) for r in exact_e.toPandas().itertuples(index=False)}
+    ce = {(r.a, r.b) for r in capped_e.toPandas().itertuples(index=False)}
+    assert ce <= ee
+    assert not any(a < 4 and b < 4 for a, b in ce)
