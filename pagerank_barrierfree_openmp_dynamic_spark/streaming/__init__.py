@@ -3,6 +3,7 @@ from .batches import (  # noqa: F401
     IncrementalPageRank,
     stream_batches,
 )
+from .dedup import streaming_exact_dedup  # noqa: F401
 from .state import (  # noqa: F401
     DEGREE_STATE_SCHEMA,
     streaming_degree_state,
