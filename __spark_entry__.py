@@ -45,6 +45,7 @@ from pagerank_barrierfree_openmp_dynamic_spark.functions import (
 )
 from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import apply_batch
 from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
+    graph_stats,
     in_degrees,
     out_degrees,
     top_k,
@@ -159,6 +160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["graph_normalize"] = graph_normalize
+
+    def graph_stats_q(spark, sf):
+        g = _graph(spark, sf)
+        return graph_stats(g.edges, g.vertices)
+
+    q["graph_stats"] = graph_stats_q
 
     def apply_batch_q(spark, sf):
         g = _graph(spark, sf, self_loops=False)
@@ -893,6 +900,21 @@ e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v)
 SELECT (SELECT COUNT(*) FROM v) AS n_vertices,
        (SELECT COUNT(*) FROM e) AS n_edges,
        (SELECT COUNT(*) FROM e WHERE src = dst) AS n_self_loops"""
+    o["graph_stats"] = f"""
+WITH {G_CTES},
+e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
+od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+idg AS (SELECT dst, COUNT(*) AS d FROM e GROUP BY dst)
+SELECT (SELECT COUNT(*) FROM v) AS n_vertices,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM e WHERE src = dst) AS n_self_loops,
+       (SELECT MAX(d) FROM od) AS max_out_degree,
+       (SELECT MAX(d) FROM idg) AS max_in_degree,
+       ROUND(CAST((SELECT COUNT(*) FROM e) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v), 6) AS avg_out_degree,
+       (SELECT COUNT(*) FROM v)
+       - (SELECT COUNT(DISTINCT src) FROM e) AS n_dead_ends"""
+
     o["apply_batch"] = f"""
 WITH e0 AS ({EDGES_SQL}),
 dels AS (SELECT src, dst FROM e0 WHERE (src + dst) % 5 = 0),

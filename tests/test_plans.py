@@ -191,3 +191,26 @@ def test_hub_split_scatter_plan_no_adj_exchange(spark, g):
         assert np.allclose(a["s"].to_numpy(), b["s"].to_numpy(), atol=1e-15)
     finally:
         spark.conf.set(key, prev)
+
+
+def test_graph_stats_summary(spark):
+    """graph_stats on a hand-checkable graph WITHOUT self-loops: dead ends
+    and degree maxima are exact."""
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
+        graph_stats,
+    )
+
+    # 0->1, 0->2, 1->2, 3->3 (self-loop); vertex 2 and 4 have no out-edges
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 0, 1, 3], "dst": [1, 2, 2, 3]}))
+    v = spark.range(5).select("id")
+    row = graph_stats(e, v).collect()[0]
+    assert row.n_vertices == 5
+    assert row.n_edges == 4
+    assert row.n_self_loops == 1
+    assert row.max_out_degree == 2      # vertex 0
+    assert row.max_in_degree == 2       # vertex 2
+    assert row.avg_out_degree == 0.8    # 4 / 5
+    assert row.n_dead_ends == 2         # vertices 2 and 4
