@@ -364,3 +364,51 @@ def test_streaming_exact_dedup(spark, tmp_path):
                       for f in ("b0.parquet", "b1.parquet", "b2.parquet")])
     bdf = streaming_exact_dedup(spark.createDataFrame(full))
     assert bdf.count() == 4       # AAA, BBB, CCC, ZZZ
+
+
+def test_degree_state_composes_with_batch_stream(spark, tmp_path):
+    """Composition contract: over the SAME (src, dst, op) batch files that
+    drive incremental re-ranking, the degree tracker's emitted sources are
+    exactly the union of batch src endpoints (the scatter half of the
+    frontier seed) and its final degrees equal the final edge set's
+    out-degrees."""
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+        streaming_degree_state,
+    )
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "batches"
+    d.mkdir()
+    # batch 0 inserts, batch 1 deletes a subset + inserts new
+    b0 = pd.DataFrame({"src": [0, 0, 1, 2], "dst": [1, 2, 2, 0],
+                       "op": ["ins"] * 4})
+    b1 = pd.DataFrame({"src": [0, 3], "dst": [1, 0], "op": ["del", "ins"]})
+    b0.to_parquet(d / "b0.parquet")
+    b1.to_parquet(d / "b1.parquet")
+
+    stream = (
+        spark.readStream.schema("src long, dst long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    ev = stream.select(
+        "src",
+        F.when(F.col("op") == "ins", F.lit(1)).otherwise(F.lit(-1))
+        .cast("long").alias("op"),
+    )
+    q = (
+        streaming_degree_state(ev)
+        .writeStream.format("memory").queryName("deg_compose")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT * FROM deg_compose").toPandas()
+    # every batch src endpoint appeared in the emissions (frontier cover)
+    assert set(out["src"]) == {0, 1, 2, 3}
+    # final degrees match the net edge set {0->2, 1->2, 2->0, 3->0}
+    latest = out.sort_values("events").groupby("src").last()
+    assert latest["out_degree"].to_dict() == {0: 1, 1: 1, 2: 1, 3: 1}
