@@ -138,13 +138,15 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, threshold: float = 0.5) -> D
 
 def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 3, bands: int = 8,
-                           threshold: float = 0.5) -> DataFrame:
+                           threshold: float = 0.5,
+                           max_bucket: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> band-minhash ->
-    bucket join -> exact-Jaccard verify. Returns (a, b, jaccard)."""
+    bucket join -> exact-Jaccard verify. Returns (a, b, jaccard).
+    ``max_bucket`` forwards the degenerate-bucket k² cap to the LSH join."""
     sh = shingles(df, text_col, id_col, n).persist()
     try:
         sig = minhash_signatures(sh, bands)
-        cand = lsh_candidate_pairs(sig)
+        cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
         # Materialize the (small) verified-pairs output eagerly so the
         # shingle cache can be released before returning — a lazy return
         # would pin `sh` in the cache for the session's lifetime.
@@ -155,7 +157,8 @@ def minhash_near_dup_pairs(df: DataFrame, text_col: str = "text",
 
 def near_dup_clusters(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket: int | None = None) -> DataFrame:
     """Complete the dedup pipeline: near-dup PAIRS -> duplicate CLUSTERS ->
     canonical-document selection.
 
@@ -172,7 +175,8 @@ def near_dup_clusters(df: DataFrame, text_col: str = "text",
     from ..operators.graph import build_graph
     from ..plans.components import connected_components
 
-    pairs = minhash_near_dup_pairs(df, text_col, id_col, n, bands, threshold)
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, n, bands, threshold,
+                                   max_bucket=max_bucket)
     vertices = df.select(F.col(id_col).alias("id")).distinct()
     g = build_graph(pairs.select(F.col("a").alias("src"),
                                  F.col("b").alias("dst")),

@@ -439,3 +439,31 @@ def test_hot_block_caps_simhash_and_embedding(spark):
     ce = {(r.a, r.b) for r in capped_e.toPandas().itertuples(index=False)}
     assert ce <= ee
     assert not any(a < 4 and b < 4 for a, b in ce)
+
+
+def test_run_dedup_job_cli(spark, tmp_path, docs):
+    """jobs/run_dedup.py end-to-end: the minhash method writes the
+    canonical set (keep-only) and reports consistent counts."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_dedup
+
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    out = str(tmp_path / "dedup_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_dedup.main(["--docs", src, "--output", out,
+                        "--method", "minhash", "--keep-only",
+                        "--threshold", "0.5"])
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    kept = spark.read.parquet(out)
+    assert stats["n_kept"] == kept.count()
+    assert 0 < stats["n_kept"] <= stats["n_docs"]
+    # canonical set is a subset of the input ids
+    in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in kept.select("doc_id").collect()} <= in_ids
