@@ -473,6 +473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("l_orderkey") % 2 == 0).alias("first_half"),
         )
         d = tempfile.mkdtemp(prefix="edge_events_")
+        # checkpoint state lives in a SIBLING dir: putting it inside the
+        # streamed source directory risks the file source's recursive
+        # listing picking up non-parquet state files as inputs
+        ckpt = tempfile.mkdtemp(prefix="edge_events_ckpt_")
         for i, flag in enumerate((True, False)):
             li.filter(F.col("first_half") == flag).select("src", "op") \
                 .toPandas().to_parquet(f"{d}/b{i}.parquet")
@@ -482,7 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             streaming_degree_state(stream)
             .writeStream.format("memory").queryName(name)
             .outputMode("update")
-            .option("checkpointLocation", f"{d}/ckpt")
+            .option("checkpointLocation", ckpt)
             .start()
         )
         query.processAllAvailable()
@@ -501,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
         return out
 
     q["edge_event_degree_state"] = edge_event_degree_state

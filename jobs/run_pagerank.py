@@ -125,6 +125,17 @@ def main(argv=None):
             if args.personalization else None)
     if args.async_updates and args.mode != "arrow":
         ap.error("--async-updates requires --mode arrow")
+    if args.async_updates == "shared":
+        # the mmap'd shared rank buffer is only write-coherent when every
+        # executor shares one host's page cache (the reference's own
+        # shared-memory setting) — over NFS on a multi-node cluster the
+        # barrier-free mix silently degrades; refuse instead
+        master = spark.sparkContext.master or ""
+        if not master.startswith("local"):
+            ap.error(
+                "--async-updates shared requires a single-host (local[*]) "
+                f"master — got {master!r}; use --async-updates slice on "
+                "multi-node clusters (cluster-safe chunked Gauss-Seidel)")
     opts = PageRankOptions(
         tolerance=args.tolerance,
         max_iterations=args.max_iterations,

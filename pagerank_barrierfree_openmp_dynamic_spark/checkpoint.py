@@ -25,6 +25,20 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
+def _iceberg_available() -> bool:
+    """True when the Iceberg runtime classes are on the live session's JVM
+    classpath (the sandbox ships none — gated, not assumed)."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.hadoop.HadoopTables")
+        return True
+    except Exception:
+        return False
+
+
 METRICS_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType()),
@@ -43,9 +57,24 @@ class CheckpointStore:
     def __init__(self, root: str, fmt: str = "parquet"):
         if fmt not in ("parquet", "iceberg"):
             raise ValueError(f"unsupported checkpoint format {fmt!r}")
+        if fmt == "iceberg" and not _iceberg_available():
+            # fail LOUDLY at construction instead of silently writing
+            # parquet: the sandbox ships no iceberg-spark-runtime jar. On a
+            # cluster with the jar + a catalog configured, the same
+            # path-based layout writes through format("iceberg").
+            raise NotImplementedError(
+                "CheckpointStore(fmt='iceberg') needs the "
+                "iceberg-spark-runtime jar on the session classpath "
+                "(spark-submit --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-...); not present in this build — "
+                "use fmt='parquet' (same directory layout and resume "
+                "contract)")
         self.root = root
         self.fmt = fmt
         os.makedirs(root, exist_ok=True)
+
+    def _write(self, df: DataFrame, path: str) -> None:
+        df.write.mode("overwrite").format(self.fmt).save(path)
 
     def _iter_dir(self, it: int) -> str:
         return os.path.join(self.root, f"iter={it}")
@@ -59,11 +88,11 @@ class CheckpointStore:
         extra: dict | None = None,
     ) -> None:
         d = self._iter_dir(it)
-        ranks.write.mode("overwrite").parquet(os.path.join(d, "ranks"))
+        self._write(ranks, os.path.join(d, "ranks"))
         if frontier is not None:
-            frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+            self._write(frontier, os.path.join(d, "frontier"))
         if metrics is not None:
-            metrics.write.mode("overwrite").parquet(os.path.join(d, "metrics"))
+            self._write(metrics, os.path.join(d, "metrics"))
         with open(os.path.join(d, "_COMMIT"), "w") as f:
             json.dump({"iteration": it, **(extra or {})}, f)
 
@@ -89,19 +118,21 @@ class CheckpointStore:
         DataFrame *loaded from this very directory* back in, and writing
         mode=overwrite to a path a lazy plan still reads from is a Spark
         error ('Cannot overwrite a path that is also being read from')."""
-        p.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            os.path.join(self.root, "personalization"))
+        self._write(p.localCheckpoint(eager=True),
+                    os.path.join(self.root, "personalization"))
 
     def load_personalization(self, spark: SparkSession) -> DataFrame | None:
         d = os.path.join(self.root, "personalization")
-        return spark.read.parquet(d) if os.path.isdir(d) else None
+        return (spark.read.format(self.fmt).load(d)
+                if os.path.isdir(d) else None)
 
     def load_ranks(self, spark: SparkSession, it: int) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._iter_dir(it), "ranks"))
+        return spark.read.format(self.fmt).load(
+            os.path.join(self._iter_dir(it), "ranks"))
 
     def load_frontier(self, spark: SparkSession, it: int) -> DataFrame | None:
         p = os.path.join(self._iter_dir(it), "frontier")
-        return spark.read.parquet(p) if os.path.isdir(p) else None
+        return spark.read.format(self.fmt).load(p) if os.path.isdir(p) else None
 
     def load_metrics(self, spark: SparkSession) -> DataFrame:
         paths = [
@@ -109,4 +140,4 @@ class CheckpointStore:
             for n in sorted(os.listdir(self.root))
             if n.startswith("iter=") and os.path.isdir(os.path.join(self.root, n, "metrics"))
         ]
-        return spark.read.parquet(*paths)
+        return spark.read.format(self.fmt).load(paths)

@@ -29,28 +29,44 @@ def graph_stats(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     over all vertices, and dead-end count (vertices with no out-edge —
     what the teleport correction pays for).
 
-    Shape: two partial aggregations (by src, by dst) reduced to scalars
-    plus scalar counts — every stage is a map-side-combinable hash-agg, no
-    row explosion, safe at any scale.
+    Shape: ONE pass over the edge table — per-endpoint degree partials via
+    an explode into (vertex, is_src) pairs, two chained map-side-combinable
+    hash-aggs reduced to a single scalar row — plus one vertex count. No
+    row explosion beyond 2×|E| pre-combine, safe at any scale.
     """
     n = vertices.count()
-    od = out_degrees(edges).agg(
-        F.max("deg").alias("max_out_degree"),
-        F.count("*").alias("_n_src"),
-        F.sum("deg").alias("_m"),
+    per_vertex = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("v"), F.lit(1).alias("is_src")),
+                    F.struct(F.col("dst").alias("v"), F.lit(0).alias("is_src")),
+                )
+            ).alias("e"),
+            (F.col("src") == F.col("dst")).cast("long").alias("loop"),
+        )
+        .groupBy(F.col("e.v").alias("v"))
+        .agg(
+            F.sum("e.is_src").alias("od"),
+            F.sum(1 - F.col("e.is_src")).alias("id_"),
+            # each self-loop contributes its loop flag twice (src+dst row)
+            (F.sum(F.col("e.is_src") * F.col("loop"))).alias("loops"),
+        )
     )
-    spark = edges.sparkSession
-    row = od.collect()[0]
-    in_row = in_degrees(edges).agg(F.max("deg").alias("mi")).collect()[0]
-    m = int(row["_m"] or 0)
-    n_src = int(row["_n_src"] or 0)
-    self_loops = edges.filter(F.col("src") == F.col("dst")).count()
-    return spark.createDataFrame(
+    row = per_vertex.agg(
+        F.max("od").alias("mo"),
+        F.max("id_").alias("mi"),
+        F.sum("od").alias("m"),
+        F.sum("loops").alias("sl"),
+        F.sum((F.col("od") > 0).cast("long")).alias("n_src"),
+    ).collect()[0]
+    m = int(row["m"] or 0)
+    return edges.sparkSession.createDataFrame(
         [(
-            int(n), m, int(self_loops),
-            int(row["max_out_degree"] or 0), int(in_row["mi"] or 0),
+            int(n), m, int(row["sl"] or 0),
+            int(row["mo"] or 0), int(row["mi"] or 0),
             round(m / n, 6) if n else 0.0,
-            int(n - n_src),
+            int(n - int(row["n_src"] or 0)),
         )],
         "n_vertices long, n_edges long, n_self_loops long, "
         "max_out_degree long, max_in_degree long, avg_out_degree double, "

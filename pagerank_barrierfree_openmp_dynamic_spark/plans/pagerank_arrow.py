@@ -42,9 +42,30 @@ from ..operators.graph import LinkGraph
 from ..session import adaptive_execution
 from .pagerank import PageRankOptions, PageRankResult
 
-# worker-process cache: (epoch, partition_id) -> (src_idx, dst_idx, w)
-_BLOCK_CACHE: dict = {}
-_BLOCK_CACHE_MAX = 64
+# worker-process cache: (epoch, kind, ...) -> per-slice edge arrays.
+# Per-key LRU: a hit refreshes the key, inserts evict the LEAST-recently-used
+# entry only. A worker that accumulates res+gs+rev+lpa keys across many
+# slices (slice->task assignment is not sticky) evicts cold foreign-epoch
+# entries one at a time instead of dumping the whole cache and redoing the
+# per-slice argsort/divide work every superstep.
+from collections import OrderedDict  # noqa: E402
+
+_BLOCK_CACHE: OrderedDict = OrderedDict()
+_BLOCK_CACHE_MAX = 192
+
+
+def _cache_get(key):
+    blk = _BLOCK_CACHE.get(key)
+    if blk is not None:
+        _BLOCK_CACHE.move_to_end(key)
+    return blk
+
+
+def _cache_put(key, blk):
+    _BLOCK_CACHE[key] = blk
+    _BLOCK_CACHE.move_to_end(key)
+    while len(_BLOCK_CACHE) > _BLOCK_CACHE_MAX:
+        _BLOCK_CACHE.popitem(last=False)
 
 
 class DenseGraph:
@@ -225,6 +246,7 @@ class DenseGraph:
         write entirely. Returns the index directory."""
         import json
         import os
+        import re
         import shutil
 
         if (path and self.resident_dir
@@ -234,7 +256,21 @@ class DenseGraph:
             # would no-op and silently write the index into the OLD dir,
             # which vanishes with the tempdir
             os.makedirs(path, exist_ok=True)
+            # copy only the files load()/the kernels actually read: base +
+            # reverse slices, delta overlays up to THIS view's generation,
+            # and the reverse-done marker — never in-flight async rank
+            # buffers or later generations from sibling views
+            keep = re.compile(
+                r"^(slice_\d+_(src|dst|w)\.npy"
+                r"|rslice_\d+_(src|dst)\.npy"
+                r"|_rev_done"
+                r"|delta(\d+)_slice_\d+_(ins|del)_(src|dst)\.npy)$")
             for name in os.listdir(self.resident_dir):
+                m = keep.match(name)
+                if not m:
+                    continue
+                if m.group(4) is not None and int(m.group(4)) > self.gen:
+                    continue
                 shutil.copy2(os.path.join(self.resident_dir, name),
                              os.path.join(path, name))
             d = path
@@ -367,7 +403,7 @@ def _scatter_fn(epoch: str, n: int, q_bc, mask_bc):
 
         pid = TaskContext.get().partitionId()
         key = (epoch, pid)
-        block = _BLOCK_CACHE.get(key)
+        block = _cache_get(key)
         if block is None:
             srcs, dsts, ws = [], [], []
             for pdf in batches:
@@ -380,9 +416,7 @@ def _scatter_fn(epoch: str, n: int, q_bc, mask_bc):
                          np.concatenate(ws) if ws else None)
             else:
                 block = (np.empty(0, np.int32), np.empty(0, np.int32), None)
-            if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
-                _BLOCK_CACHE.clear()
-            _BLOCK_CACHE[key] = block
+            _cache_put(key, block)
         else:
             for _ in batches:  # drain the Arrow stream
                 pass
@@ -415,7 +449,7 @@ def _load_slice(resident_dir: str, epoch: str, s: int, gen: int,
     non-empty likewise hard-fails: scattering q with an implicit weight of
     1.0 is badly wrong since weighted mode does not fold 1/outdeg into q."""
     key = (epoch, "res", int(s), int(gen), bool(weighted))
-    block = _BLOCK_CACHE.get(key)
+    block = _cache_get(key)
     if block is None:
         base = (
             np.load(f"{resident_dir}/slice_{int(s)}_src.npy", mmap_mode="r"),
@@ -441,10 +475,49 @@ def _load_slice(resident_dir: str, epoch: str, s: int, gen: int,
                 except (OSError, FileNotFoundError):
                     pass
         block = (base[0], base[1], base_w, deltas)
-        if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
-            _BLOCK_CACHE.clear()
-        _BLOCK_CACHE[key] = block
+        _cache_put(key, block)
     return block
+
+
+def _load_scatter_slice(resident_dir: str, epoch: str, s: int, gen: int,
+                        n_slices: int, weighted: bool):
+    """Worker-side: slice ``s``'s edge components with the owner index
+    ``own = dst_idx // P`` precomputed once per (slice, generation) instead
+    of re-divided every superstep — the bincount key array is graph-static.
+    Returns ``[(src, dst, own, w_or_None, sign), ...]`` (base first, then
+    delta overlays)."""
+    key = (epoch, "own", int(s), int(gen), bool(weighted))
+    comps = _cache_get(key)
+    if comps is None:
+        bs, bd, bw, deltas = _load_slice(resident_dir, epoch, s, gen, weighted)
+        bd = np.asarray(bd)
+        comps = [(bs, bd, (bd // n_slices).astype(np.int32), bw, 1.0)]
+        for dsrc, ddst, sign in deltas:
+            comps.append((dsrc, ddst, (ddst // n_slices).astype(np.int32),
+                          None, float(sign)))
+        _cache_put(key, comps)
+    return comps
+
+
+def _load_update_slice(resident_dir: str, epoch: str, s: int, gen: int,
+                       n_slices: int, weighted: bool, ivd: np.ndarray | None):
+    """Worker-side: slice ``s``'s edges prepared for the FUSED update kernel:
+    per-edge scatter factor ``f`` pre-gathered (transition weight ``w`` on
+    weighted graphs, ``1/outdeg[src]`` otherwise — graph-static per
+    generation, so gathered once instead of broadcasting q = r/outdeg and
+    re-multiplying on the driver every superstep). Returns
+    ``[(src, own, f, sign), ...]``."""
+    key = (epoch, "upd", int(s), int(gen), bool(weighted))
+    comps = _cache_get(key)
+    if comps is None:
+        comps = []
+        for src, _dst, own, w, sign in _load_scatter_slice(
+                resident_dir, epoch, s, gen, n_slices, weighted):
+            src = np.asarray(src)
+            f = np.asarray(w) if weighted else ivd[src]
+            comps.append((src, own, f, float(sign)))
+        _cache_put(key, comps)
+    return comps
 
 
 def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
@@ -472,18 +545,15 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
             for s in pdf["id"].to_numpy():
                 s = int(s)
                 seg_len = len(range(s, n, P))
-                src_idx, dst_idx, base_w, deltas = _load_slice(
-                    resident_dir, epoch, s, gen, weighted)
+                comps = _load_scatter_slice(
+                    resident_dir, epoch, s, gen, P, weighted)
                 exp_idx = np.empty(0, np.int32)
                 if movers is not None:
                     # expansion walks live out-edges (base + inserted),
                     # matching _resident_expand_fn
                     outs = [
                         dd[movers[ds]]
-                        for ds, dd, sg in (
-                            [(src_idx, dst_idx, 1.0)]
-                            + [(a, b, g) for a, b, g in deltas]
-                        )
+                        for ds, dd, _own, _w, sg in comps
                         if sg > 0 and ds.size
                     ]
                     outs = [e for e in outs if e.size]
@@ -496,25 +566,66 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                     exp_seg[exp_idx // P] = True
                 seg = np.zeros(seg_len)
                 m_edges = 0
-                for ds, dd, ww, sign in (
-                    [(src_idx, dst_idx, base_w, 1.0)]
-                    + [(a, b, None, sg) for a, b, sg in deltas]
-                ):
+                for ds, dd, own, ww, sign in comps:
                     if mask is not None and dd.size:
                         keep = mask[dd]
                         if exp_seg is not None:
-                            keep = keep | exp_seg[dd // P]
-                        ds, dd = ds[keep], dd[keep]
+                            keep = keep | exp_seg[own]
+                        ds, own = ds[keep], own[keep]
                         if ww is not None:
                             ww = ww[keep]
-                    if dd.size:
+                    if own.size:
                         contrib = q[ds] if ww is None else q[ds] * ww
-                        seg += sign * np.bincount(dd // P, weights=contrib,
+                        seg += sign * np.bincount(own, weights=contrib,
                                                   minlength=seg_len)
-                        m_edges += int(dd.size)
+                        m_edges += int(own.size)
                 yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()],
                                     "m": [m_edges],
                                     "exp": [exp_idx.tobytes()]})
+
+    return fn
+
+
+def _resident_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
+                        gen: int, weighted: bool, d: float, c0: float,
+                        r_bc, ivd_bc):
+    """FUSED full-sweep superstep (static / naive-dynamic, uniform teleport):
+    each slice scatters its in-edges AND applies the rank update + error
+    reduction for its owned dst-residue segment, emitting the NEW rank
+    segment plus partial L1/L2/L∞ norms. The driver's per-superstep work
+    shrinks to segment placement + P-way scalar norm combine — the O(N)
+    driver-side ``new_r = c0 + d*acc`` / ``|new - old|`` / norm passes (the
+    measured serial term of the N-vs-4N scaling pairs) run inside the
+    parallel stage instead. Per-edge scatter factors (w or 1/outdeg) are
+    pre-gathered per slice (``_load_update_slice``), so the driver no longer
+    computes q = r·ivd before each broadcast either. Same math, same FP
+    order as the accumulator path: identical ranks."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = r_bc.value
+        ivd = ivd_bc.value if ivd_bc is not None else None
+        P = n_slices
+        for pdf in batches:
+            for s in pdf["id"].to_numpy():
+                s = int(s)
+                seg_len = len(range(s, n, P))
+                comps = _load_update_slice(
+                    resident_dir, epoch, s, gen, P, weighted, ivd)
+                acc = np.zeros(seg_len)
+                m_edges = 0
+                for src, own, f, sign in comps:
+                    if src.size:
+                        acc += sign * np.bincount(
+                            own, weights=r[src] * f, minlength=seg_len)
+                        m_edges += int(src.size)
+                new = c0 + d * acc
+                delta = np.abs(new - r[s::P])
+                yield pd.DataFrame({
+                    "slice": [s], "acc": [new.tobytes()], "m": [m_edges],
+                    "e1": [float(delta.sum())],
+                    "e2": [float(np.dot(delta, delta))],
+                    "ei": [float(delta.max()) if delta.size else 0.0],
+                })
 
     return fn
 
@@ -526,9 +637,17 @@ def _load_gs_slice(resident_dir: str, epoch: str, s: int, gen: int,
     owned-source overlay index precomputed. Cached per worker process like
     the base slices."""
     key = (epoch, "gs", int(s), int(gen), bool(weighted))
-    blk = _BLOCK_CACHE.get(key)
+    blk = _cache_get(key)
     if blk is None:
         bs, bd, bw, deltas = _load_slice(resident_dir, epoch, s, gen, weighted)
+        if weighted and deltas:
+            # apply_batch_dense rejects weighted graphs, so this is
+            # unreachable today — but a future weighted-delta path would
+            # otherwise crash on a numpy index mismatch below (delta
+            # overlays carry no per-edge weights)
+            raise ValueError(
+                "weighted graphs cannot carry delta overlays — rebuild the "
+                "dense index after weighted batches")
         P = n_slices
         srcs = [np.asarray(bs, dtype=np.int64)]
         dsts = [np.asarray(bd, dtype=np.int64)]
@@ -550,9 +669,7 @@ def _load_gs_slice(resident_dir: str, epoch: str, s: int, gen: int,
         own_src = src % P == s          # sources this slice itself owns
         src_loc = np.where(own_src, src // P, 0)
         blk = (src, own, sgn, w, own_src, src_loc)
-        if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
-            _BLOCK_CACHE.clear()
-        _BLOCK_CACHE[key] = blk
+        _cache_put(key, blk)
     return blk
 
 
@@ -650,15 +767,13 @@ def _load_rslice(resident_dir: str, epoch: str, s: int):
     every slice (empty residues get empty files), so a missing file is
     loss/corruption and raises instead of silently dropping out-edges."""
     key = (epoch, "rev", int(s))
-    rev = _BLOCK_CACHE.get(key)
+    rev = _cache_get(key)
     if rev is None:
         rev = (
             np.load(f"{resident_dir}/rslice_{int(s)}_src.npy", mmap_mode="r"),
             np.load(f"{resident_dir}/rslice_{int(s)}_dst.npy", mmap_mode="r"),
         )
-        if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
-            _BLOCK_CACHE.clear()
-        _BLOCK_CACHE[key] = rev
+        _cache_put(key, rev)
     return rev
 
 
@@ -702,7 +817,7 @@ def _lpa_vote_fn(resident_dir: str, epoch: str, n: int, n_slices: int, lab_bc):
             for s in pdf["id"].to_numpy():
                 s = int(s)
                 key = (epoch, "lpa", s)
-                pairs = _BLOCK_CACHE.get(key)
+                pairs = _cache_get(key)
                 if pairs is None:
                     src_idx, dst_idx, _w, _d = _load_slice(
                         resident_dir, epoch, s, 0)
@@ -723,9 +838,7 @@ def _lpa_vote_fn(resident_dir: str, epoch: str, n: int, n_slices: int, lab_bc):
                         pairs = (uniq // n, uniq % n)  # (owner_seg, neighbor)
                     else:
                         pairs = (np.empty(0, np.int64), np.empty(0, np.int64))
-                    if len(_BLOCK_CACHE) >= _BLOCK_CACHE_MAX:
-                        _BLOCK_CACHE.clear()
-                    _BLOCK_CACHE[key] = pairs
+                    _cache_put(key, pairs)
                 owner, nbr = pairs
                 seg = lab[s::P].copy()
                 if owner.size:
@@ -1016,14 +1129,19 @@ def pagerank_arrow(
     # vector is graph-static — broadcast ONCE per run, not per superstep;
     # shared mode additionally publishes the rank vector as an mmap'd
     # buffer next to the slice files (single host, like the reference)
+    # FUSED full-sweep path (static/naive-dynamic, uniform teleport): the
+    # slice tasks apply the rank update + norm reduction themselves
+    # (_resident_update_fn) — the driver only places segments and combines
+    # P scalars, shrinking the per-superstep serial term.
+    fused = bool(resident and gs_mode is None and frontier is None
+                 and personalization is None)
     ivd_bc = None
     shared_path = None
-    if gs_mode:
-        if not dg.weighted:
-            ivd_bc = sc.broadcast(inv_deg)
-        if gs_mode == "shared":
-            shared_path = f"{dg.resident_dir}/async_r_{run_id}.npy"
-            np.save(shared_path, r)
+    if (gs_mode or fused) and not dg.weighted:
+        ivd_bc = sc.broadcast(inv_deg)
+    if gs_mode == "shared":
+        shared_path = f"{dg.resident_dir}/async_r_{run_id}.npy"
+        np.save(shared_path, r)
     # resident dynamic mode fuses frontier expansion into the NEXT
     # superstep's scatter (one distributed job per superstep instead of
     # two); this broadcast carries the previous superstep's movers mask
@@ -1042,14 +1160,15 @@ def pagerank_arrow(
             # from the run-static ivd broadcast so it can keep updating its
             # own sources mid-pass); shared mode ships NO rank state at all
             # — workers read/write the mmap'd buffer.
-            if gs_mode:
+            if gs_mode or fused:
                 ranks_bc = (sc.broadcast(r) if shared_path is None else None)
             else:
                 ranks_bc = sc.broadcast(r if dg.weighted else r * inv_deg)
             scope = active if o.contracting and active is not None else affected
             mask_bc = sc.broadcast(scope) if scope is not None else None
-            acc = np.zeros(n)
+            acc = np.zeros(n) if not fused else None
             new_r: np.ndarray | None = None
+            fused_norms: tuple[float, float, float] | None = None
             slice_edges: dict[int, int] = {}
             if resident:
                 if gs_mode:
@@ -1058,14 +1177,19 @@ def pagerank_arrow(
                         dg.weighted, d, float(c0) if pv is None else 0.0,
                         ranks_bc, ivd_bc, mask_bc, pending_movers_bc,
                         o.async_chunks, shared_path, o.async_sweeps)
+                elif fused:
+                    kernel = _resident_update_fn(
+                        dg.resident_dir, dg.epoch, n, dg.n_slices, dg.gen,
+                        dg.weighted, d, float(c0), ranks_bc, ivd_bc)
                 else:
                     kernel = _resident_scatter_fn(
                         dg.resident_dir, dg.epoch, n, dg.n_slices, dg.gen,
                         ranks_bc, mask_bc, pending_movers_bc,
                         weighted=dg.weighted)
-                parts = slice_df.mapInPandas(
-                    kernel, "slice int, acc binary, m long, exp binary",
-                ).toPandas()
+                schema = ("slice int, acc binary, m long, e1 double, "
+                          "e2 double, ei double") if fused else (
+                    "slice int, acc binary, m long, exp binary")
+                parts = slice_df.mapInPandas(kernel, schema).toPandas()
                 P = dg.n_slices
                 if gs_mode:
                     # async kernels emit NEW rank segments, not accumulators
@@ -1074,6 +1198,15 @@ def pagerank_arrow(
                                             parts["m"]):
                         new_r[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
                         slice_edges[int(s)] = int(m_e)
+                elif fused:
+                    new_r = np.empty(n)
+                    for s, blob, m_e in zip(parts["slice"], parts["acc"],
+                                            parts["m"]):
+                        new_r[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
+                        slice_edges[int(s)] = int(m_e)
+                    fused_norms = (float(parts["e1"].sum()),
+                                   float(parts["e2"].sum()),
+                                   float(parts["ei"].max()))
                 else:
                     for s, blob, m_e in zip(parts["slice"], parts["acc"],
                                             parts["m"]):
@@ -1107,13 +1240,21 @@ def pagerank_arrow(
                 delta = np.abs(new_full - r)
                 rows = int(upd.sum())
                 new_r = new_full
+            elif fused_norms is not None:
+                delta = None  # norms reduced inside the parallel stage
+                rows = n
             else:
                 delta = np.abs(new_r - r)
                 rows = n
             it += 1
-            err = _norm(delta[scope] if affected is not None else delta,
-                        o.tolerance_norm)
-            linf = float(np.max(delta)) if delta.size else 0.0
+            if fused_norms is not None:
+                e1, e2, ei = fused_norms
+                err = {"L1": e1, "L2": e2, "Li": ei}[o.tolerance_norm]
+                linf = ei
+            else:
+                err = _norm(delta[scope] if affected is not None else delta,
+                            o.tolerance_norm)
+                linf = float(np.max(delta)) if delta.size else 0.0
 
             if affected is not None:
                 movers_mask = delta > D

@@ -4,6 +4,12 @@ from .batches import (  # noqa: F401
     stream_batches,
 )
 from .dedup import streaming_exact_dedup  # noqa: F401
+from .pipeline import (  # noqa: F401
+    EDGE_EVENT_SCHEMA,
+    StreamingReRank,
+    stream_rerank,
+    streaming_edge_degree_state,
+)
 from .state import (  # noqa: F401
     DEGREE_STATE_SCHEMA,
     streaming_degree_state,

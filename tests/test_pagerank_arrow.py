@@ -585,3 +585,91 @@ def test_arrow_async_validation(spark, tiny_graph):
             tiny_graph,
             PageRankOptions(async_updates="bogus", metrics_level="none"),
             resident=True)
+
+
+def test_fused_resident_matches_streaming_and_oracle(spark):
+    """The FUSED resident update kernel (worker-side rank update + norm
+    reduction, _resident_update_fn) must produce the same ranks and the
+    same iteration count as the streaming accumulator path and converge to
+    the NumPy oracle."""
+    n = 300
+    edges_pdf = datagen.synth_edges(n, seed=7)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g)
+    try:
+        dense.materialize()
+        opts = PageRankOptions(tolerance=1e-9, metrics_level="none")
+        res_f = pagerank_arrow(g, opts, dense=dense, resident=True)
+        res_s = pagerank_arrow(g, opts, dense=dense, resident=False)
+        assert res_f.iterations == res_s.iterations
+        assert np.allclose(_ranks_array(res_f, n), _ranks_array(res_s, n),
+                           atol=1e-13)
+        golden, _ = pagerank_oracle(
+            n, list(edges_pdf.itertuples(index=False)), tol=1e-14)
+        assert np.allclose(_ranks_array(res_f, n), golden, atol=1e-6)
+    finally:
+        dense.unpersist()
+        g.unpersist()
+
+
+def test_fused_resident_dead_end_teleport(spark):
+    """Fused kernel under dead-end teleport: the per-superstep scalar c0
+    (driver-computed dead mass) flows into the worker-side update."""
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    n, iters = 4, 10
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]),
+                               schema=datagen.EDGES_SCHEMA)
+    g = build_graph(df, vertices=spark.range(n).select("id"),
+                    add_self_loops=False)
+    try:
+        opts = PageRankOptions(tolerance=0.0, max_iterations=iters,
+                               dead_end_teleport=True, metrics_level="none")
+        res_f = pagerank_arrow(g, opts, resident=True)
+        res_s = pagerank_arrow(g, opts, resident=False)
+        assert np.allclose(_ranks_array(res_f, n), _ranks_array(res_s, n),
+                           atol=1e-14)
+    finally:
+        g.unpersist()
+
+
+def test_block_cache_lru_evicts_oldest_first():
+    """Per-key LRU: touched keys survive inserts; eviction removes the
+    least-recently-used entry, never the whole cache (the round-2 clear-all
+    dumped every slice's argsort work when one run exceeded the cap)."""
+    import importlib
+
+    pa = importlib.import_module(
+        "pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow")
+
+    saved = dict(pa._BLOCK_CACHE)
+    pa._BLOCK_CACHE.clear()
+    try:
+        cap = pa._BLOCK_CACHE_MAX
+        for i in range(cap):
+            pa._cache_put(("e", "res", i), i)
+        assert len(pa._BLOCK_CACHE) == cap
+        # touch key 0 -> key 1 becomes LRU
+        assert pa._cache_get(("e", "res", 0)) == 0
+        pa._cache_put(("e", "res", cap), cap)
+        assert len(pa._BLOCK_CACHE) == cap
+        assert pa._cache_get(("e", "res", 0)) == 0      # refreshed: kept
+        assert pa._cache_get(("e", "res", 1)) is None   # LRU: evicted
+        assert pa._cache_get(("e", "res", 2)) == 2      # everything else kept
+    finally:
+        pa._BLOCK_CACHE.clear()
+        pa._BLOCK_CACHE.update(saved)
+
+
+def test_checkpoint_iceberg_gated(tmp_path, spark):
+    """fmt='iceberg' is a loud NotImplementedError while the Iceberg runtime
+    jar is absent (this sandbox) instead of an accepted-but-dead flag that
+    silently writes parquet."""
+    import pytest as _pytest
+
+    from pagerank_barrierfree_openmp_dynamic_spark.checkpoint import CheckpointStore
+
+    with _pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        CheckpointStore(str(tmp_path / "ck"), fmt="iceberg")

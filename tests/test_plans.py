@@ -214,3 +214,63 @@ def test_graph_stats_summary(spark):
     assert row.max_in_degree == 2       # vertex 2
     assert row.avg_out_degree == 0.8    # 4 / 5
     assert row.n_dead_ends == 2         # vertices 2 and 4
+
+
+def test_sortmerge_scale_path_matches_arrow(spark):
+    """The >broadcast_vertices scale path (broadcast_vertices=0 forces the
+    co-partitioned sort-merge superstep) computes THE SAME ranks as the
+    arrow dense kernel — the correctness half of the BENCH_r03
+    pagerank_joinagg_sortmerge section."""
+    import numpy as np
+
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+        PageRankOptions,
+        pagerank,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+        pagerank_arrow,
+    )
+
+    gr = build_graph(
+        spark.createDataFrame(datagen.synth_edges(400, seed=9),
+                              schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(400).select("id"),
+    )
+    try:
+        o = dict(tolerance=0.0, max_iterations=5, metrics_level="none")
+        res_sm = pagerank(gr, PageRankOptions(check_every=5,
+                                              broadcast_vertices=0, **o))
+        res_a = pagerank_arrow(gr, PageRankOptions(**o))
+        a = res_a.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+        b = res_sm.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+        assert np.allclose(a, b, atol=1e-12)
+    finally:
+        gr.unpersist()
+
+
+def test_sortmerge_scatter_no_adj_exchange(spark, g):
+    """On the sort-merge scale path the persisted src-partitioned adj table
+    must NOT re-shuffle: the scatter plan's only shuffle exchanges are the
+    rank side's hash partitioning and the groupBy(dst) aggregation. An adj
+    Exchange here would re-shuffle the 100-TB edge table every superstep."""
+    from pyspark.sql import functions as F2
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        ranks = g.vertices.select("id", F2.lit(1.0 / 300).alias("rank"))
+        plan = _plan(_scatter(g, ranks, None, 0, small=False))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # the adj (left) branch of the join reads STRAIGHT off the persisted
+        # cache — no Exchange, no Sort (persisted pre-partitioned/sorted by
+        # src). The first line under the join must be the cache scan.
+        join_at = plan.find("SortMergeJoin")
+        lines = plan[join_at:].splitlines()
+        assert lines[1].strip().startswith(":- InMemoryTableScan"), plan
+        # above the join: exactly ONE shuffle exchange (the groupBy(dst)
+        # partial agg); the plan text below the join line includes cached
+        # build internals, so count only the live region above it
+        assert plan[:join_at].count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set(key, prev)

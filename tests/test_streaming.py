@@ -412,3 +412,72 @@ def test_degree_state_composes_with_batch_stream(spark, tmp_path):
     # final degrees match the net edge set {0->2, 1->2, 2->0, 3->0}
     latest = out.sort_values("events").groupby("src").last()
     assert latest["out_degree"].to_dict() == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_stream_rerank_full_pipeline_matches_golden(spark, tmp_path):
+    """The COMPOSED pipeline (state.py's promised loop): edge-event stream
+    -> stateful degree tracking (applyInPandasWithState, real state store)
+    -> frontier seed from the state-emitted changed sources -> O(batch)
+    delta overlay -> dynamic-frontier re-rank. Final streamed ranks must
+    equal the NumPy golden on the final edge set at 1e-6, and the stateful
+    operator's running degrees must match the final graph's out-degrees."""
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+        StreamingReRank,
+        stream_rerank,
+    )
+
+    n = 150
+    edges_pdf = datagen.synth_edges(n, seed=23)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    engine = StreamingReRank(
+        g, PageRankOptions(tolerance=1e-9, metrics_level="none"))
+
+    rng = np.random.default_rng(11)
+    es = set(map(tuple, edges_pdf[["src", "dst"]].itertuples(index=False)))
+    event_dir = tmp_path / "events"
+    event_dir.mkdir()
+    for b in range(3):
+        cur = sorted(es)
+        idx = rng.choice(len(cur), size=5, replace=False)
+        dels = [cur[i] for i in idx]
+        ins = []
+        for _ in range(5):
+            s = int(rng.integers(0, n))
+            t = (s + 1 + int(rng.integers(0, n - 1))) % n
+            if (s, t) not in es and s != t:
+                ins.append((s, t))
+        pdf = pd.DataFrame(
+            [(s, t, -1) for s, t in dels] + [(s, t, 1) for s, t in ins],
+            columns=["src", "dst", "op"],
+        )
+        pdf.to_parquet(event_dir / f"batch_{b}.parquet")
+        es -= set(dels)
+        es |= set(ins)
+
+    q = stream_rerank(
+        spark, str(event_dir), engine, str(tmp_path / "ckpt_sr"),
+        available_now=True)
+    q.awaitTermination(300)
+
+    golden, _ = pagerank_oracle(n, sorted(es), tol=1e-14)
+    pdf = engine.ranks.toPandas().sort_values("id")
+    assert np.allclose(pdf["rank"].to_numpy(), golden, atol=1e-6)
+    assert len(engine.summaries) >= 2  # initial static + >=1 incremental
+
+    # the engine's final edge set is the streamed-through edge set
+    got = set(map(tuple, engine.graph.edges.filter("src != dst")
+                  .toPandas()[["src", "dst"]].itertuples(index=False)))
+    assert got == es
+
+    # checkpoint_dir inside event_dir is refused loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sibling"):
+        stream_rerank(spark, str(event_dir), engine,
+                      str(event_dir / "ckpt"), available_now=True)
+    try:
+        g.unpersist()
+    except Exception:
+        pass
