@@ -34,28 +34,68 @@ from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (  # 
 from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import pages_to_edges  # noqa: E402
 
 
+def _stub_graph(spark, meta: dict, partitions: int):
+    """Session-anchored LinkGraph shell for a LOADED dense index: resident
+    supersteps never read the logical edge/vertex tables (the kernel reads
+    only the slice files), so the shell carries counts + the session."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        LinkGraph,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    return LinkGraph(
+        edges=empty,
+        vertices=spark.createDataFrame([], "id long"),
+        adj=None,
+        num_vertices=int(meta["n"]),
+        num_edges=int(meta["m"]),
+        partitions=partitions,
+        self_loops=True,
+        weighted=bool(meta.get("weighted", False)),
+    )
+
+
 def kernel_main(cpus: int, n_edges: int, n_vertices: int, iters: int,
                 async_mode: str | None = None, sweeps: int = 1):
     """Kernel-only scaling point: JVM-generated skewed random graph (no
     Python datagen), resident Arrow supersteps. Sized so per-superstep
-    compute dominates local-mode fixed costs."""
+    compute dominates local-mode fixed costs.
+
+    $SPARK_GRAFT_INDEX_DIR: persist/reuse the dense index across sessions —
+    the first session builds the graph and saves the index; later sessions
+    (the other parallelism level, the other interleaved pairs) load it and
+    measure ONLY supersteps. Same physical input bytes at every level, and
+    the N-vs-4N pair is not diluted by a single-core graph build that a
+    real cluster performs once."""
+    import json as _json
+
     from pyspark.sql import functions as F
 
     spark = get_spark(app_name=f"scalek-{cpus}", cpus=cpus)
     phases = {}
+    index_dir = os.environ.get("SPARK_GRAFT_INDEX_DIR")
     t = time.monotonic()
-    h1 = F.abs(F.xxhash64(F.col("id")))
-    h2 = F.abs(F.xxhash64(F.col("id") + 1_000_000_007))
-    # 10% of edges point into a 0.1% hub set -> web-like in-degree skew
-    dst = F.when(h1 % 10 == 0, h2 % max(1, n_vertices // 1000)).otherwise(
-        h2 % n_vertices)
-    raw = spark.range(n_edges).select(
-        (h1 % n_vertices).alias("src"), dst.alias("dst"))
-    g = build_graph(raw)
-    phases["build"] = round(time.monotonic() - t, 3)
-    t = time.monotonic()
-    dense = DenseGraph(g).materialize()
-    phases["dense_build"] = round(time.monotonic() - t, 3)
+    if index_dir and os.path.exists(os.path.join(index_dir, "meta.json")):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = _json.load(f)
+        g = _stub_graph(spark, meta, cpus)
+        dense = DenseGraph.load(g, index_dir)
+        phases["index_load"] = round(time.monotonic() - t, 3)
+    else:
+        h1 = F.abs(F.xxhash64(F.col("id")))
+        h2 = F.abs(F.xxhash64(F.col("id") + 1_000_000_007))
+        # 10% of edges point into a 0.1% hub set -> web-like in-degree skew
+        dst = F.when(h1 % 10 == 0, h2 % max(1, n_vertices // 1000)).otherwise(
+            h2 % n_vertices)
+        raw = spark.range(n_edges).select(
+            (h1 % n_vertices).alias("src"), dst.alias("dst"))
+        g = build_graph(raw)
+        phases["build"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        dense = DenseGraph(g).materialize()
+        if index_dir:
+            dense.save(index_dir)
+        phases["dense_build"] = round(time.monotonic() - t, 3)
     # warmup (slice mmap + worker spin-up), then several measured repeats —
     # the sandbox shows intermittent 3-6x slow periods (noisy-neighbor VM),
     # so each data point is the BEST of 3 runs in one session
