@@ -140,8 +140,20 @@ class DenseGraph:
         # graphs keep the full partition width for compute parallelism
         self.n_slices = int(
             min(graph.partitions, max(4, graph.num_edges // 100_000)))
-        self.gen = 0  # delta-overlay generation (apply_delta bumps it)
+        # delta-overlay chain: one UNIQUE tag per applied batch. The tag —
+        # not a sequential generation number — names the overlay files and
+        # keys the worker block cache, so two sibling views derived from
+        # the same base (e.g. different experiment batches over one graph)
+        # can never read each other's deltas from disk or from a worker's
+        # cache (the bug a sequential gen number had: both siblings were
+        # "gen 1" with identical file names and cache keys).
+        self.overlays: tuple[str, ...] = ()
         self._owns_files = True
+
+    @property
+    def gen(self) -> int:
+        """Number of stacked delta-overlay generations (0 = base slices)."""
+        return len(self.overlays)
 
     def _write_slices(self, key_col: str, prefix: str, with_w: bool) -> None:
         """Distributively write per-residue ``.npy`` slice files from
@@ -264,13 +276,13 @@ class DenseGraph:
                 r"^(slice_\d+_(src|dst|w)\.npy"
                 r"|rslice_\d+_(src|dst)\.npy"
                 r"|_rev_done"
-                r"|delta(\d+)_slice_\d+_(ins|del)_(src|dst)\.npy)$")
+                r"|delta_([0-9a-f]+)_slice_\d+_(ins|del)_(src|dst)\.npy)$")
             for name in os.listdir(self.resident_dir):
                 m = keep.match(name)
                 if not m:
                     continue
-                if m.group(4) is not None and int(m.group(4)) > self.gen:
-                    continue
+                if m.group(4) is not None and m.group(4) not in self.overlays:
+                    continue  # sibling views' overlays are not this index
                 shutil.copy2(os.path.join(self.resident_dir, name),
                              os.path.join(path, name))
             d = path
@@ -283,6 +295,7 @@ class DenseGraph:
             json.dump({"epoch": self.epoch, "n": self.n,
                        "m": self.graph.num_edges,
                        "n_slices": self.n_slices, "gen": self.gen,
+                       "overlays": list(self.overlays),
                        "weighted": self.weighted}, f)
         return d
 
@@ -319,7 +332,11 @@ class DenseGraph:
         self.epoch = meta["epoch"]
         self.n = int(meta["n"])
         self.n_slices = int(meta["n_slices"])
-        self.gen = int(meta["gen"])
+        self.overlays = tuple(meta.get("overlays", ()))
+        if int(meta.get("gen", 0)) != len(self.overlays):
+            raise ValueError(
+                f"dense index at {path} was saved with an incompatible "
+                "overlay format — rebuild the index")
         self.weighted = bool(meta.get("weighted", False))
         self.ids = np.load(f"{path}/ids.npy")
         self.deg = np.load(f"{path}/deg.npy")
@@ -357,7 +374,9 @@ class DenseGraph:
             )
         if self.resident_dir is None:
             self.materialize()
-        g = self.gen + 1
+        ov = uuid.uuid4().hex[:12]  # unique overlay tag (never a sequence
+        # number: sibling views built from the same base must not share
+        # file names or worker-cache keys)
         P = self.n_slices
         for arr, sign in ((net_ins, 1), (net_del, -1)):
             if arr.size == 0:
@@ -366,12 +385,14 @@ class DenseGraph:
             for s in np.unique(sl):
                 m = sl == s
                 tag = "ins" if sign > 0 else "del"
-                np.save(f"{self.resident_dir}/delta{g}_slice_{int(s)}_{tag}_src.npy",
-                        arr[m, 0].astype(np.int32))
-                np.save(f"{self.resident_dir}/delta{g}_slice_{int(s)}_{tag}_dst.npy",
-                        arr[m, 1].astype(np.int32))
+                np.save(
+                    f"{self.resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_src.npy",
+                    arr[m, 0].astype(np.int32))
+                np.save(
+                    f"{self.resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_dst.npy",
+                    arr[m, 1].astype(np.int32))
         new = copy.copy(self)
-        new.gen = g
+        new.overlays = self.overlays + (ov,)
         new.deg = self.deg.copy()
         if net_ins.size:
             np.add.at(new.deg, net_ins[:, 0], 1.0)
@@ -434,10 +455,11 @@ def _scatter_fn(epoch: str, n: int, q_bc, mask_bc):
     return fn
 
 
-def _load_slice(resident_dir: str, epoch: str, s: int, gen: int,
-                weighted: bool = False):
+def _load_slice(resident_dir: str, epoch: str, s: int,
+                overlays: tuple = (), weighted: bool = False):
     """Worker-side: load (and process-cache) one edge slice — the base
-    (src, dst[, w]) mmap arrays plus all delta overlays up to ``gen``.
+    (src, dst[, w]) mmap arrays plus the view's delta overlays (one unique
+    tag per applied batch, in application order).
     Returns (base_src, base_dst, base_w_or_None, [(d_src, d_dst, sign), ...]).
 
     ``_write_slices`` backfills explicit EMPTY files for edge-less residues,
@@ -448,7 +470,7 @@ def _load_slice(resident_dir: str, epoch: str, s: int, gen: int,
     A weighted graph whose ``_w`` file is missing while src/dst are
     non-empty likewise hard-fails: scattering q with an implicit weight of
     1.0 is badly wrong since weighted mode does not fold 1/outdeg into q."""
-    key = (epoch, "res", int(s), int(gen), bool(weighted))
+    key = (epoch, "res", int(s), tuple(overlays), bool(weighted))
     block = _cache_get(key)
     if block is None:
         base = (
@@ -464,13 +486,13 @@ def _load_slice(resident_dir: str, epoch: str, s: int, gen: int,
         else:
             base_w = None
         deltas = []
-        for g in range(1, gen + 1):
+        for ov in overlays:
             for tag, sign in (("ins", 1.0), ("del", -1.0)):
                 try:
                     dsrc = np.load(
-                        f"{resident_dir}/delta{g}_slice_{int(s)}_{tag}_src.npy")
+                        f"{resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_src.npy")
                     ddst = np.load(
-                        f"{resident_dir}/delta{g}_slice_{int(s)}_{tag}_dst.npy")
+                        f"{resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_dst.npy")
                     deltas.append((dsrc, ddst, sign))
                 except (OSError, FileNotFoundError):
                     pass
@@ -479,17 +501,18 @@ def _load_slice(resident_dir: str, epoch: str, s: int, gen: int,
     return block
 
 
-def _load_scatter_slice(resident_dir: str, epoch: str, s: int, gen: int,
+def _load_scatter_slice(resident_dir: str, epoch: str, s: int, overlays: tuple,
                         n_slices: int, weighted: bool):
     """Worker-side: slice ``s``'s edge components with the owner index
     ``own = dst_idx // P`` precomputed once per (slice, generation) instead
     of re-divided every superstep — the bincount key array is graph-static.
     Returns ``[(src, dst, own, w_or_None, sign), ...]`` (base first, then
     delta overlays)."""
-    key = (epoch, "own", int(s), int(gen), bool(weighted))
+    key = (epoch, "own", int(s), tuple(overlays), bool(weighted))
     comps = _cache_get(key)
     if comps is None:
-        bs, bd, bw, deltas = _load_slice(resident_dir, epoch, s, gen, weighted)
+        bs, bd, bw, deltas = _load_slice(resident_dir, epoch, s, overlays,
+                                         weighted)
         bd = np.asarray(bd)
         comps = [(bs, bd, (bd // n_slices).astype(np.int32), bw, 1.0)]
         for dsrc, ddst, sign in deltas:
@@ -499,7 +522,7 @@ def _load_scatter_slice(resident_dir: str, epoch: str, s: int, gen: int,
     return comps
 
 
-def _load_update_slice(resident_dir: str, epoch: str, s: int, gen: int,
+def _load_update_slice(resident_dir: str, epoch: str, s: int, overlays: tuple,
                        n_slices: int, weighted: bool, ivd: np.ndarray | None):
     """Worker-side: slice ``s``'s edges prepared for the FUSED update kernel:
     per-edge scatter factor ``f`` pre-gathered (transition weight ``w`` on
@@ -507,12 +530,12 @@ def _load_update_slice(resident_dir: str, epoch: str, s: int, gen: int,
     generation, so gathered once instead of broadcasting q = r/outdeg and
     re-multiplying on the driver every superstep). Returns
     ``[(src, own, f, sign), ...]``."""
-    key = (epoch, "upd", int(s), int(gen), bool(weighted))
+    key = (epoch, "upd", int(s), tuple(overlays), bool(weighted))
     comps = _cache_get(key)
     if comps is None:
         comps = []
         for src, _dst, own, w, sign in _load_scatter_slice(
-                resident_dir, epoch, s, gen, n_slices, weighted):
+                resident_dir, epoch, s, overlays, n_slices, weighted):
             src = np.asarray(src)
             f = np.asarray(w) if weighted else ivd[src]
             comps.append((src, own, f, float(sign)))
@@ -521,7 +544,7 @@ def _load_update_slice(resident_dir: str, epoch: str, s: int, gen: int,
 
 
 def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
-                         gen: int, q_bc, mask_bc, movers_bc=None,
+                         overlays: tuple, q_bc, mask_bc, movers_bc=None,
                          weighted: bool = False):
     """Scatter over resident slices: the input DataFrame carries only slice
     ids — zero edge bytes cross the JVM<->Python boundary after warmup.
@@ -546,7 +569,7 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                 s = int(s)
                 seg_len = len(range(s, n, P))
                 comps = _load_scatter_slice(
-                    resident_dir, epoch, s, gen, P, weighted)
+                    resident_dir, epoch, s, overlays, P, weighted)
                 exp_idx = np.empty(0, np.int32)
                 if movers is not None:
                     # expansion walks live out-edges (base + inserted),
@@ -587,7 +610,7 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
 
 
 def _resident_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
-                        gen: int, weighted: bool, d: float, c0: float,
+                        overlays: tuple, weighted: bool, d: float, c0: float,
                         r_bc, ivd_bc):
     """FUSED full-sweep superstep (static / naive-dynamic, uniform teleport):
     each slice scatters its in-edges AND applies the rank update + error
@@ -610,7 +633,7 @@ def _resident_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                 s = int(s)
                 seg_len = len(range(s, n, P))
                 comps = _load_update_slice(
-                    resident_dir, epoch, s, gen, P, weighted, ivd)
+                    resident_dir, epoch, s, overlays, P, weighted, ivd)
                 acc = np.zeros(seg_len)
                 m_edges = 0
                 for src, own, f, sign in comps:
@@ -630,16 +653,17 @@ def _resident_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
     return fn
 
 
-def _load_gs_slice(resident_dir: str, epoch: str, s: int, gen: int,
+def _load_gs_slice(resident_dir: str, epoch: str, s: int, overlays: tuple,
                    n_slices: int, weighted: bool):
     """Worker-side: slice ``s``'s edges sorted by owner index (dst // P) for
     chunked Gauss-Seidel sweeps, with per-edge sign (delta overlays) and the
     owned-source overlay index precomputed. Cached per worker process like
     the base slices."""
-    key = (epoch, "gs", int(s), int(gen), bool(weighted))
+    key = (epoch, "gs", int(s), tuple(overlays), bool(weighted))
     blk = _cache_get(key)
     if blk is None:
-        bs, bd, bw, deltas = _load_slice(resident_dir, epoch, s, gen, weighted)
+        bs, bd, bw, deltas = _load_slice(resident_dir, epoch, s, overlays,
+                                         weighted)
         if weighted and deltas:
             # apply_batch_dense rejects weighted graphs, so this is
             # unreachable today — but a future weighted-delta path would
@@ -674,7 +698,7 @@ def _load_gs_slice(resident_dir: str, epoch: str, s: int, gen: int,
 
 
 def _gs_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
-                  gen: int, weighted: bool, d: float, c0: float,
+                  overlays: tuple, weighted: bool, d: float, c0: float,
                   r_bc, ivd_bc, mask_bc, movers_bc, chunks: int,
                   shared_path: str | None, sweeps: int = 1):
     """Asynchronous rank-update pass (reference ASYNC=true,
@@ -704,7 +728,7 @@ def _gs_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                 s = int(s)
                 seg_len = len(range(s, n, P))
                 src, own, sgn, w, own_src, src_loc = _load_gs_slice(
-                    resident_dir, epoch, s, gen, P, weighted)
+                    resident_dir, epoch, s, overlays, P, weighted)
                 exp_idx = np.empty(0, np.int64)
                 if movers is not None:
                     live = (sgn > 0) & movers[src]
@@ -791,7 +815,7 @@ def _cc_min_fn(resident_dir: str, epoch: str, n_slices: int, lab_bc):
                 s = int(s)
                 seg = lab[s::P].copy()
                 src_idx, dst_idx, _w, _d = _load_slice(
-                    resident_dir, epoch, s, 0)
+                    resident_dir, epoch, s)
                 if dst_idx.size:
                     np.minimum.at(seg, np.asarray(dst_idx) // P, lab[src_idx])
                 rs, rd = _load_rslice(resident_dir, epoch, s)
@@ -820,7 +844,7 @@ def _lpa_vote_fn(resident_dir: str, epoch: str, n: int, n_slices: int, lab_bc):
                 pairs = _cache_get(key)
                 if pairs is None:
                     src_idx, dst_idx, _w, _d = _load_slice(
-                        resident_dir, epoch, s, 0)
+                        resident_dir, epoch, s)
                     parts = []
                     if dst_idx.size:
                         ds = np.asarray(src_idx, dtype=np.int64)
@@ -879,7 +903,7 @@ def dense_label_loop(graph, dense, make_fn, *, post=None, rounds=None,
     from ..session import adaptive_execution
 
     dg = dense or DenseGraph(graph)
-    if dg.gen > 0:
+    if dg.overlays:
         raise ValueError(
             "dense label kernels need gen-0 slices — rebuild the dense view "
             "via build_graph + DenseGraph after applying batches")
@@ -982,14 +1006,15 @@ def load_label_checkpoint(graph, dense, store, expect_mode=None):
     return dg, init, it, info.get("run_id")
 
 
-def _resident_expand_fn(resident_dir: str, epoch: str, gen: int, movers_bc):
+def _resident_expand_fn(resident_dir: str, epoch: str, overlays: tuple,
+                        movers_bc):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         m = movers_bc.value
         outs = []
         for pdf in batches:
             for s in pdf["id"].to_numpy():
-                src_idx, dst_idx, _w, deltas = _load_slice(resident_dir, epoch,
-                                                           int(s), gen)
+                src_idx, dst_idx, _w, deltas = _load_slice(
+                    resident_dir, epoch, int(s), overlays)
                 # expansion walks live out-edges: base + inserted (deleted
                 # edges no longer push their dst, matching the updated graph)
                 for ds, dd, sign in [(src_idx, dst_idx, 1.0)] + deltas:
@@ -1048,7 +1073,7 @@ def pagerank_arrow(
 
     if resident is None:
         resident = dg.resident_dir is not None or graph.num_edges > 500_000
-    if dg.gen > 0 and not resident:
+    if dg.overlays and not resident:
         raise ValueError("delta-overlay DenseGraph views require resident mode")
     if not resident and dg.blocks is None:
         raise ValueError(
@@ -1173,17 +1198,20 @@ def pagerank_arrow(
             if resident:
                 if gs_mode:
                     kernel = _gs_update_fn(
-                        dg.resident_dir, dg.epoch, n, dg.n_slices, dg.gen,
+                        dg.resident_dir, dg.epoch, n, dg.n_slices,
+                        dg.overlays,
                         dg.weighted, d, float(c0) if pv is None else 0.0,
                         ranks_bc, ivd_bc, mask_bc, pending_movers_bc,
                         o.async_chunks, shared_path, o.async_sweeps)
                 elif fused:
                     kernel = _resident_update_fn(
-                        dg.resident_dir, dg.epoch, n, dg.n_slices, dg.gen,
+                        dg.resident_dir, dg.epoch, n, dg.n_slices,
+                        dg.overlays,
                         dg.weighted, d, float(c0), ranks_bc, ivd_bc)
                 else:
                     kernel = _resident_scatter_fn(
-                        dg.resident_dir, dg.epoch, n, dg.n_slices, dg.gen,
+                        dg.resident_dir, dg.epoch, n, dg.n_slices,
+                        dg.overlays,
                         ranks_bc, mask_bc, pending_movers_bc,
                         weighted=dg.weighted)
                 schema = ("slice int, acc binary, m long, e1 double, "
@@ -1321,7 +1349,8 @@ def pagerank_arrow(
                     exp = (
                         slice_df.mapInPandas(
                             _resident_expand_fn(dg.resident_dir, dg.epoch,
-                                                dg.gen, pending_movers_bc),
+                                                dg.overlays,
+                                                pending_movers_bc),
                             "dst_idx int",
                         ).distinct().toPandas()["dst_idx"].to_numpy()
                     )

@@ -673,3 +673,67 @@ def test_checkpoint_iceberg_gated(tmp_path, spark):
 
     with _pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         CheckpointStore(str(tmp_path / "ck"), fmt="iceberg")
+
+
+def test_sibling_delta_views_do_not_cross_contaminate(spark):
+    """Regression: two delta-overlay views derived from the SAME base dense
+    index (the run_experiment shape — one batch per fraction over one base
+    graph) must not read each other's deltas. With sequential generation
+    numbers both siblings were 'gen 1' with identical overlay file names
+    and worker-cache keys, so the second view silently computed on the
+    first view's edge set (surfaced as identical 8e-5 errors across
+    techniques in the crossover sweep). Unique overlay tags fix both the
+    disk and the cache namespace."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        apply_batch_dense,
+    )
+
+    n = 300
+    edges_pdf = datagen.synth_edges(n, seed=31)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g).materialize()
+    try:
+        es0 = set(map(tuple, edges_pdf[["src", "dst"]].itertuples(index=False)))
+
+        def mk_batch(k, seed):
+            rng = np.random.default_rng(seed)
+            cur = sorted(es0)
+            idx = rng.choice(len(cur), size=k, replace=False)
+            dels = [cur[i] for i in idx]
+            ins = []
+            while len(ins) < k:
+                s = int(rng.integers(0, n))
+                t = (s + 1 + int(rng.integers(0, n - 1))) % n
+                if (s, t) not in es0:
+                    ins.append((s, t))
+            pdf = pd.DataFrame(
+                [(a, b, "del") for a, b in dels]
+                + [(a, b, "ins") for a, b in ins],
+                columns=["src", "dst", "op"])
+            es = (es0 - set(dels)) | set(ins)
+            return (spark.createDataFrame(
+                pdf, schema="src long, dst long, op string"), es)
+
+        batch_a, es_a = mk_batch(8, 1)
+        batch_b, es_b = mk_batch(8, 2)
+        assert es_a != es_b
+        ga, da = apply_batch_dense(g, dense, batch_a)
+        gb, db = apply_batch_dense(g, dense, batch_b)
+        assert da.overlays != db.overlays
+        opts = PageRankOptions(tolerance=0.0, max_iterations=8,
+                               metrics_level="none")
+        # interleave A and B repeatedly so a poisoned worker cache WOULD
+        # serve view A's deltas to view B's tasks
+        for _ in range(2):
+            res_a = pagerank_arrow(ga, opts, dense=da, resident=True)
+            res_b = pagerank_arrow(gb, opts, dense=db, resident=True)
+        gold_a, _ = pagerank_oracle(n, sorted(es_a), tol=0.0, max_iter=8)
+        gold_b, _ = pagerank_oracle(n, sorted(es_b), tol=0.0, max_iter=8)
+        assert np.allclose(_ranks_array(res_a, n), gold_a, atol=1e-12)
+        assert np.allclose(_ranks_array(res_b, n), gold_b, atol=1e-12)
+    finally:
+        dense.unpersist()
+        g.unpersist()
