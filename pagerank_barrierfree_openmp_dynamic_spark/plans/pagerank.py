@@ -129,6 +129,24 @@ class PageRankOptions:
     checkpoint_every: int = 1  # in units of checks
     metrics_level: str = "iteration"  # none | iteration | partition
     run_id: str | None = None
+    # Fault injection (reference runSleepFailures / runCrashFailures,
+    # /root/reference/main.cxx:137-170): deterministic per (fault_seed,
+    # iteration, slice) via fault_draw(), so the driver can predict every
+    # injected fault. Spark's unit of failure is the task; its remedies
+    # are exact where the reference's are best-effort: a crashed task is
+    # RETRIED against the same immutable slice files + broadcast ranks
+    # (bit-identical result; requires a retry-enabled master —
+    # get_spark(task_retries=...) / spark.task.maxFailures>1, enforced
+    # upfront), and a sleeping task is a straggler whose barrier cost the
+    # barrier-free modes amortize over ~40% fewer supersteps (plus
+    # spark.speculation on a cluster, jobs/run_pagerank.py). Arrow
+    # resident kernels only; crash injection fires on first attempts
+    # only, so every retry succeeds. scripts/fault_experiment.py records
+    # the measured evidence.
+    fault_crash_prob: float = 0.0  # per (iteration, slice) task-crash prob
+    fault_sleep_prob: float = 0.0  # per (iteration, slice) sleep prob
+    fault_sleep_ms: int = 0  # sleep duration (reference FAILURE_DURATION)
+    fault_seed: int = 0
 
 
 @dataclass

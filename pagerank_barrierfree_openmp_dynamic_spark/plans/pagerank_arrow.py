@@ -68,6 +68,42 @@ def _cache_put(key, blk):
         _BLOCK_CACHE.popitem(last=False)
 
 
+def fault_draw(seed: int, it: int, s: int) -> float:
+    """Deterministic uniform [0,1) draw for fault injection, keyed on
+    (seed, superstep, slice) — the Spark task analogue of the reference's
+    per-thread RNG (``/root/reference/main.cxx:144-147``). Pure function
+    of its arguments so the DRIVER can predict exactly which task
+    attempts fault (scripts/fault_experiment.py reports the predicted
+    count next to the measured overhead)."""
+    import hashlib
+
+    h = hashlib.blake2b(f"{seed}:{it}:{s}".encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") / 2.0**64
+
+
+def _inject_fault(fault, s: int) -> None:
+    """Worker-side fault injection at slice start. ``fault`` is
+    ``(crash_prob, sleep_prob, sleep_ms, seed, it)`` or None (hot path:
+    one None check). Crashes fire on FIRST task attempts only — the
+    retried attempt recomputes the pure kernel against the same immutable
+    inputs, so recovery is bit-identical (reference crash tolerance,
+    README.md:110-123, but exact instead of survivors-absorb-work)."""
+    if fault is None:
+        return
+    crash_p, sleep_p, sleep_ms, seed, it = fault
+    u = fault_draw(seed, it, s)
+    if crash_p > 0.0 and u < crash_p:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is None or tc.attemptNumber() == 0:
+            raise RuntimeError(
+                f"injected task crash (slice {s}, superstep {it}) — "
+                "fault_crash_prob experiment")
+    if sleep_p > 0.0 and u < sleep_p and sleep_ms > 0:
+        time.sleep(sleep_ms / 1000.0)
+
+
 class DenseGraph:
     """Dense-indexed view of a LinkGraph, ready for the Arrow kernel.
 
@@ -545,7 +581,7 @@ def _load_update_slice(resident_dir: str, epoch: str, s: int, overlays: tuple,
 
 def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                          overlays: tuple, q_bc, mask_bc, movers_bc=None,
-                         weighted: bool = False):
+                         weighted: bool = False, fault=None):
     """Scatter over resident slices: the input DataFrame carries only slice
     ids — zero edge bytes cross the JVM<->Python boundary after warmup.
     Slice ``s`` owns destination indices ``s, s+P, s+2P, ...`` and emits
@@ -567,6 +603,7 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
         for pdf in batches:
             for s in pdf["id"].to_numpy():
                 s = int(s)
+                _inject_fault(fault, s)
                 seg_len = len(range(s, n, P))
                 comps = _load_scatter_slice(
                     resident_dir, epoch, s, overlays, P, weighted)
@@ -611,7 +648,7 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
 
 def _resident_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                         overlays: tuple, weighted: bool, d: float, c0: float,
-                        r_bc, ivd_bc):
+                        r_bc, ivd_bc, fault=None):
     """FUSED full-sweep superstep (static / naive-dynamic, uniform teleport):
     each slice scatters its in-edges AND applies the rank update + error
     reduction for its owned dst-residue segment, emitting the NEW rank
@@ -631,6 +668,7 @@ def _resident_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
         for pdf in batches:
             for s in pdf["id"].to_numpy():
                 s = int(s)
+                _inject_fault(fault, s)
                 seg_len = len(range(s, n, P))
                 comps = _load_update_slice(
                     resident_dir, epoch, s, overlays, P, weighted, ivd)
@@ -700,7 +738,7 @@ def _load_gs_slice(resident_dir: str, epoch: str, s: int, overlays: tuple,
 def _gs_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                   overlays: tuple, weighted: bool, d: float, c0: float,
                   r_bc, ivd_bc, mask_bc, movers_bc, chunks: int,
-                  shared_path: str | None, sweeps: int = 1):
+                  shared_path: str | None, sweeps: int = 1, fault=None):
     """Asynchronous rank-update pass (reference ASYNC=true,
     ``src/pagerankBarrierfree.hxx:213-235``): each slice computes NEW ranks
     for its owned dst-residue segment in ``chunks`` ordered chunks; while
@@ -726,6 +764,7 @@ def _gs_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
         for pdf in batches:
             for s in pdf["id"].to_numpy():
                 s = int(s)
+                _inject_fault(fault, s)
                 seg_len = len(range(s, n, P))
                 src, own, sgn, w, own_src, src_loc = _load_gs_slice(
                     resident_dir, epoch, s, overlays, P, weighted)
@@ -1091,6 +1130,21 @@ def pagerank_arrow(
         if personalization is not None:
             raise ValueError("async_updates supports the uniform teleport "
                              "only (reference ASYNC has no vector teleport)")
+    faulted = (o.fault_crash_prob > 0.0
+               or (o.fault_sleep_prob > 0.0 and o.fault_sleep_ms > 0))
+    if faulted and not resident:
+        raise ValueError("fault injection targets the resident kernels "
+                         "(resident=True)")
+    if o.fault_crash_prob > 0.0:
+        # crash faults are recovered by task RETRY; a master without a
+        # retry budget (plain local[N] = maxFailures 1) would fail the
+        # whole job on the first injected crash — refuse upfront
+        m = sc.master
+        if m.startswith("local") and "," not in m:
+            raise ValueError(
+                "fault_crash_prob needs task retries: use "
+                "get_spark(task_retries=...) (master local[N,F]) or "
+                "spark.task.maxFailures > 1 on a cluster")
     slice_df = (
         spark.range(0, dg.n_slices, 1, dg.n_slices) if resident else None
     )
@@ -1195,6 +1249,11 @@ def pagerank_arrow(
             new_r: np.ndarray | None = None
             fused_norms: tuple[float, float, float] | None = None
             slice_edges: dict[int, int] = {}
+            # this superstep's number is it+1 (incremented below); the
+            # fault tuple pins the injection to (seed, superstep, slice)
+            fault = ((o.fault_crash_prob, o.fault_sleep_prob,
+                      o.fault_sleep_ms, o.fault_seed, it + 1)
+                     if faulted else None)
             if resident:
                 if gs_mode:
                     kernel = _gs_update_fn(
@@ -1202,18 +1261,20 @@ def pagerank_arrow(
                         dg.overlays,
                         dg.weighted, d, float(c0) if pv is None else 0.0,
                         ranks_bc, ivd_bc, mask_bc, pending_movers_bc,
-                        o.async_chunks, shared_path, o.async_sweeps)
+                        o.async_chunks, shared_path, o.async_sweeps,
+                        fault=fault)
                 elif fused:
                     kernel = _resident_update_fn(
                         dg.resident_dir, dg.epoch, n, dg.n_slices,
                         dg.overlays,
-                        dg.weighted, d, float(c0), ranks_bc, ivd_bc)
+                        dg.weighted, d, float(c0), ranks_bc, ivd_bc,
+                        fault=fault)
                 else:
                     kernel = _resident_scatter_fn(
                         dg.resident_dir, dg.epoch, n, dg.n_slices,
                         dg.overlays,
                         ranks_bc, mask_bc, pending_movers_bc,
-                        weighted=dg.weighted)
+                        weighted=dg.weighted, fault=fault)
                 schema = ("slice int, acc binary, m long, e1 double, "
                           "e2 double, ei double") if fused else (
                     "slice int, acc binary, m long, exp binary")

@@ -21,17 +21,25 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    task_retries: int | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cpus`` controls ``local[N]`` parallelism — the sandbox stand-in for
     executor count; the two-cluster-size scaling benchmark runs the same job
     at ``local[8]`` and ``local[32]``.
+
+    ``task_retries`` sets the per-task failure budget (``local[N,F]`` —
+    the local-mode spelling of ``spark.task.maxFailures``; a cluster
+    defaults to 4). Local mode defaults to 1 = fail fast; crash-fault
+    experiments (``PageRankOptions.fault_crash_prob``) need >= 2.
     """
     n = cpus or DEFAULT_CPUS
     sp = shuffle_partitions or n
+    master = (f"local[{n},{int(task_retries)}]" if task_retries
+              else f"local[{n}]")
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.default.parallelism", str(n))
