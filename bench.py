@@ -292,6 +292,38 @@ def recall_eval(spark) -> dict:
                      centroids=cents).toPandas(),
             exact)
 
+    # Clustered fixture — the REALISTIC case. Real text/image embeddings
+    # are strongly clustered; the sf fixture above is near-isotropic (the
+    # hard case). Planted 32-cluster vectors at the same size/dim/knobs
+    # measure where the SAME operating points sit on clustered data
+    # (within-cluster cosine ~0.85, 125 members/cluster).
+    rng = np.random.default_rng(1234)
+    cl = rng.normal(size=(32, 64))
+    cl /= np.linalg.norm(cl, axis=1, keepdims=True)
+    pts = cl[np.arange(4000) % 32] + 0.08 * rng.normal(size=(4000, 64))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb_cl = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(4000),
+                      "embedding": [r.astype("float32").tolist()
+                                    for r in pts]}),
+        schema="vec_id long, embedding array<float>").persist()
+    q_cl = emb_cl.filter(F.col("vec_id") < 100)
+    try:
+        exact_cl = brute_force_topk(emb_cl, q_cl, k=10).toPandas()
+        for mp in (1, 3):
+            out[f"lsh_ann_recall_at_10_mp{mp}_clustered"] = _topk_recall(
+                lsh_topk(emb_cl, q_cl, dim=64, k=10,
+                         multiprobe=mp).toPandas(),
+                exact_cl)
+        cents_cl = ivf_train_centroids(emb_cl, n_centroids=16)
+        for npb in (2, 6):
+            out[f"ivf_ann_recall_at_10_probe{npb}_clustered"] = _topk_recall(
+                ivf_topk(emb_cl, q_cl, k=10, n_centroids=16, n_probe=npb,
+                         centroids=cents_cl).toPandas(),
+                exact_cl)
+    finally:
+        emb_cl.unpersist()
+
     # MinHash-LSH pair recall vs exact all-pairs n-gram Jaccard
     exact_j = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
     approx_j = minhash_near_dup_pairs(docs, threshold=0.5).toPandas()
