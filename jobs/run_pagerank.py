@@ -89,6 +89,16 @@ def main(argv=None):
                          "(reference ASYNC=true); 'shared' is single-host")
     ap.add_argument("--async-sweeps", type=int, default=1,
                     help="local sweeps per distributed superstep (async)")
+    ap.add_argument("--fault-crash-prob", type=float, default=0.0,
+                    help="inject deterministic first-attempt task crashes "
+                         "per (superstep, slice) — requires "
+                         "spark.task.maxFailures > 1; recovered by retry "
+                         "bit-identically (reference runCrashFailures)")
+    ap.add_argument("--fault-sleep-prob", type=float, default=0.0,
+                    help="straggler injection probability per (superstep, "
+                         "slice) (reference runSleepFailures)")
+    ap.add_argument("--fault-sleep-ms", type=int, default=0)
+    ap.add_argument("--fault-seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
 
@@ -143,7 +153,13 @@ def main(argv=None):
         metrics_level="partition" if args.checkpoint else "iteration",
         async_updates=args.async_updates,
         async_sweeps=args.async_sweeps,
+        fault_crash_prob=args.fault_crash_prob,
+        fault_sleep_prob=args.fault_sleep_prob,
+        fault_sleep_ms=args.fault_sleep_ms,
+        fault_seed=args.fault_seed,
     )
+    if (args.fault_crash_prob or args.fault_sleep_prob) and args.mode != "arrow":
+        ap.error("--fault-* injection targets the arrow resident kernels")
     if args.resume:
         if not args.checkpoint:
             ap.error("--resume requires --checkpoint")
@@ -163,6 +179,7 @@ def main(argv=None):
         res = pagerank_arrow(
             g, opts, dense=dense, personalization=pers,
             resident=(True if dense is not None or args.async_updates
+                      or args.fault_crash_prob or args.fault_sleep_prob
                       else None))
     else:
         res = pagerank(g, opts, personalization=pers)

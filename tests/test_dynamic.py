@@ -150,3 +150,50 @@ def test_reachable_set_and_dynamic_traversal(spark, setting):
     )
     got_r = _ranks_array(res, setting["n"])
     assert np.allclose(got_r, setting["golden_new"], atol=1e-6)
+
+
+def test_frontier_prunes_edge_work_arrow(spark, setting):
+    """The crossover claim's work currency (BENCH/BASELINE.md §3h,
+    reference README.md:47-58): at a tiny batch, the frontier's masked
+    scatter processes strictly fewer edges in total than naive-dynamic at
+    equal tolerance — while agreeing on the ranks. Pins the pruning the
+    partition-level metrics record (edges_processed per slice)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        apply_batch_dense,
+        batch_endpoints_frontier,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+        DenseGraph,
+        pagerank_arrow,
+    )
+
+    n = setting["n"]
+    g = setting["g"]
+    dense = DenseGraph(g).materialize()
+    g2 = None
+    try:
+        edges_pdf = setting["edges_pdf"]
+        small = pd.DataFrame({
+            "src": [int(edges_pdf.iloc[0]["src"])],
+            "dst": [int(edges_pdf.iloc[0]["dst"])],
+            "op": ["del"]})
+        batch = spark.createDataFrame(small, schema=BATCH_SCHEMA)
+        g2, d2 = apply_batch_dense(g, dense, batch)
+        fr = batch_endpoints_frontier(g, g2, batch)
+        prev = pagerank_arrow(
+            g, PageRankOptions(tolerance=1e-9, metrics_level="none"),
+            dense=dense, resident=True)
+        o = PageRankOptions(tolerance=1e-9, metrics_level="partition")
+        work, ranks = {}, {}
+        for name, kw in [("naive", {}), ("frontier", dict(frontier=fr))]:
+            res = pagerank_arrow(g2, o, dense=d2, resident=True,
+                                 init=prev.ranks, **kw)
+            work[name] = sum(m["edges_processed"] for m in res.metrics
+                             if m["partition_id"] >= 0)
+            ranks[name] = _ranks_array(res, n)
+        assert 0 < work["frontier"] < work["naive"]
+        assert np.allclose(ranks["frontier"], ranks["naive"], atol=1e-6)
+    finally:
+        dense.unpersist()
+        if g2 is not None:
+            g2.unpersist()
