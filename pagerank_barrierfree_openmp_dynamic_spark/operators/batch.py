@@ -76,9 +76,7 @@ def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
     from ..plans.pagerank_arrow import DenseGraph  # noqa: F401  (type only)
 
     if graph.weighted:
-        raise ValueError(
-            "apply_batch_dense supports unweighted graphs (weighted deltas "
-            "re-scale sibling edges); use apply_batch (rebuild) instead")
+        return _apply_batch_dense_weighted(graph, dense, batch)
 
     dels = batch.filter(F.col("op") == "del").select("src", "dst")
     ins = batch.filter(F.col("op") == "ins").select("src", "dst")
@@ -132,6 +130,123 @@ def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
         num_edges=graph.num_edges + len(net_ins) - len(net_del),
         partitions=graph.partitions,
         self_loops=graph.self_loops,
+    )
+    new_dense.graph = new_graph
+    return new_graph, new_dense
+
+
+def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
+    """Weighted O(touched) dynamic update. A weighted insert/delete changes
+    its source's Σ(out-weights) and therefore re-scales EVERY sibling
+    edge's transition weight ``w = weight/Σ(out-weights)`` — a per-edge net
+    overlay cannot express that. Instead the overlay REPLACES each touched
+    source's full out-adjacency: 'del' rows carry all its current edges at
+    their old normalized weights, 'ins' rows its updated edge set at the
+    new normalization. Overlay size = O(Σ degree(touched sources)) — the
+    same bound as the frontier's seed work, still rebuild-free.
+
+    Batch semantics mirror :func:`apply_batch`: deletions first (self-loops
+    protected, deleting an absent edge is a no-op), then insertions with
+    ``weight`` (default 1.0), merging additively into existing edges —
+    the parallel-edge rule of ``build_graph``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = graph.edges.sparkSession
+    dels = batch.filter(F.col("op") == "del").select("src", "dst")
+    ins = batch.filter(F.col("op") == "ins")
+    w = (F.col("weight").cast("double") if "weight" in ins.columns
+         else F.lit(1.0))
+    ins = ins.select(F.col("src").cast("long"), F.col("dst").cast("long"),
+                     w.alias("weight"))
+    if graph.self_loops:
+        dels = dels.filter(F.col("src") != F.col("dst"))
+
+    with adaptive_execution(spark, False):
+        dels_pdf = dels.distinct().toPandas()
+        ins_pdf = (ins.groupBy("src", "dst")
+                   .agg(F.sum("weight").alias("weight")).toPandas())
+        touched = sorted(set(dels_pdf["src"]) | set(ins_pdf["src"]))
+        if touched:
+            t_df = spark.createDataFrame(
+                pd.DataFrame({"src": np.asarray(touched, dtype=np.int64)}),
+                schema="src long")
+            old_pdf = (
+                graph.edges.join(F.broadcast(t_df), "src", "left_semi")
+                .select("src", "dst",
+                        F.col("weight").cast("double").alias("weight"))
+                .toPandas())
+        else:
+            old_pdf = pd.DataFrame(columns=["src", "dst", "weight"])
+
+    # pandas-side replay of the batch on the touched sources' raw weights
+    raw: dict = {(int(r.src), int(r.dst)): float(r.weight)
+                 for r in old_pdf.itertuples(index=False)}
+    new_raw = dict(raw)
+    for r in dels_pdf.itertuples(index=False):
+        new_raw.pop((int(r.src), int(r.dst)), None)
+    for r in ins_pdf.itertuples(index=False):
+        k = (int(r.src), int(r.dst))
+        new_raw[k] = new_raw.get(k, 0.0) + float(r.weight)
+
+    def normalized(d: dict) -> tuple:
+        tot: dict = {}
+        for (s, _t), wv in d.items():
+            tot[s] = tot.get(s, 0.0) + wv
+        pairs = np.array([(s, t) for (s, t) in d], dtype=np.int64).reshape(
+            -1, 2)
+        ws = np.array([wv / tot[s] for (s, _t), wv in d.items()])
+        return pairs, ws
+
+    del_pairs, del_w = normalized(raw)
+    ins_pairs, ins_w = normalized(new_raw)
+
+    def to_idx(pairs: np.ndarray) -> np.ndarray:
+        if pairs.size == 0:
+            return np.empty((0, 2), dtype=np.int64)
+        ids = dense.ids
+        out = np.empty_like(pairs)
+        for j in range(2):
+            vals = pairs[:, j]
+            i = np.searchsorted(ids, vals)
+            bad = (i >= len(ids)) | (ids[np.minimum(i, len(ids) - 1)] != vals)
+            if bad.any():
+                raise ValueError(
+                    "apply_batch_dense: batch references vertices outside "
+                    "the dense id space; use apply_batch (full rebuild)")
+            out[:, j] = i
+        return out
+
+    new_dense = dense.apply_delta(to_idx(ins_pairs), to_idx(del_pairs),
+                                  ins_w=ins_w, del_w=del_w)
+
+    new_mini = pd.DataFrame(
+        [(s, t, wv) for (s, t), wv in sorted(new_raw.items())],
+        columns=["src", "dst", "weight"])
+    repl = spark.createDataFrame(new_mini if len(new_mini) else
+                                 pd.DataFrame(columns=["src", "dst",
+                                                       "weight"]),
+                                 schema="src long, dst long, weight double")
+    if touched:
+        t_df2 = spark.createDataFrame(
+            pd.DataFrame({"src": np.asarray(touched, dtype=np.int64)}),
+            schema="src long")
+        kept = graph.edges.join(F.broadcast(t_df2), "src", "left_anti")
+    else:
+        kept = graph.edges
+    new_edges = kept.select("src", "dst",
+                            F.col("weight").cast("double").alias("weight")
+                            ).unionByName(repl)
+    new_graph = LinkGraph(
+        edges=new_edges,
+        vertices=graph.vertices,
+        adj=None,
+        num_vertices=graph.num_vertices,
+        num_edges=graph.num_edges - len(raw) + len(new_raw),
+        partitions=graph.partitions,
+        self_loops=graph.self_loops,
+        weighted=True,
     )
     new_dense.graph = new_graph
     return new_graph, new_dense

@@ -312,7 +312,7 @@ class DenseGraph:
                 r"^(slice_\d+_(src|dst|w)\.npy"
                 r"|rslice_\d+_(src|dst)\.npy"
                 r"|_rev_done"
-                r"|delta_([0-9a-f]+)_slice_\d+_(ins|del)_(src|dst)\.npy)$")
+                r"|delta_([0-9a-f]+)_slice_\d+_(ins|del)_(src|dst|w)\.npy)$")
             for name in os.listdir(self.resident_dir):
                 m = keep.match(name)
                 if not m:
@@ -388,7 +388,9 @@ class DenseGraph:
     def inv_deg(self) -> np.ndarray:
         return np.where(self.deg > 0, 1.0 / np.maximum(self.deg, 1.0), 0.0)
 
-    def apply_delta(self, net_ins: np.ndarray, net_del: np.ndarray) -> "DenseGraph":
+    def apply_delta(self, net_ins: np.ndarray, net_del: np.ndarray,
+                    ins_w: np.ndarray | None = None,
+                    del_w: np.ndarray | None = None) -> "DenseGraph":
         """O(batch) incremental update: returns a NEW view sharing the base
         slice files plus one more delta-overlay generation.
 
@@ -402,19 +404,27 @@ class DenseGraph:
         import copy
 
         if self.weighted:
-            raise ValueError(
-                "delta overlays require unweighted blocks: a weighted "
-                "insert/delete changes Σ(out-weights), which re-scales every "
-                "sibling edge's transition weight — rebuild via build_graph "
-                "or use the join-agg path for weighted dynamic graphs"
-            )
+            # a weighted insert/delete changes Σ(out-weights), re-scaling
+            # every sibling edge's transition weight — so weighted overlays
+            # are FULL REPLACEMENTS per touched source (del = all its old
+            # edges at old normalized w, ins = its new edge set at the new
+            # normalization; operators.batch._apply_batch_dense_weighted
+            # builds them) and must carry per-edge weights
+            if ins_w is None or del_w is None:
+                raise ValueError(
+                    "weighted delta overlays need per-edge normalized "
+                    "weights (ins_w / del_w) — use apply_batch_dense")
+            if len(ins_w) != len(net_ins) or len(del_w) != len(net_del):
+                raise ValueError("ins_w/del_w must align with the pair rows")
+        elif ins_w is not None or del_w is not None:
+            raise ValueError("unweighted graphs take no delta weights")
         if self.resident_dir is None:
             self.materialize()
         ov = uuid.uuid4().hex[:12]  # unique overlay tag (never a sequence
         # number: sibling views built from the same base must not share
         # file names or worker-cache keys)
         P = self.n_slices
-        for arr, sign in ((net_ins, 1), (net_del, -1)):
+        for arr, wts, sign in ((net_ins, ins_w, 1), (net_del, del_w, -1)):
             if arr.size == 0:
                 continue
             sl = arr[:, 1] % P
@@ -427,6 +437,10 @@ class DenseGraph:
                 np.save(
                     f"{self.resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_dst.npy",
                     arr[m, 1].astype(np.int32))
+                if self.weighted:
+                    np.save(
+                        f"{self.resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_w.npy",
+                        np.asarray(wts)[m].astype(np.float64))
         new = copy.copy(self)
         new.overlays = self.overlays + (ov,)
         new.deg = self.deg.copy()
@@ -496,7 +510,11 @@ def _load_slice(resident_dir: str, epoch: str, s: int,
     """Worker-side: load (and process-cache) one edge slice — the base
     (src, dst[, w]) mmap arrays plus the view's delta overlays (one unique
     tag per applied batch, in application order).
-    Returns (base_src, base_dst, base_w_or_None, [(d_src, d_dst, sign), ...]).
+    Returns ``(base_src, base_dst, base_w_or_None,
+    [(d_src, d_dst, d_w_or_None, sign), ...])``. On weighted graphs each
+    delta carries per-edge normalized weights (written by ``apply_delta``
+    from the full-replacement weighted overlay); their ``_w`` file missing
+    while src/dst exist is corruption and raises.
 
     ``_write_slices`` backfills explicit EMPTY files for edge-less residues,
     so a missing/corrupt base file is data loss and RAISES (silently
@@ -529,9 +547,14 @@ def _load_slice(resident_dir: str, epoch: str, s: int,
                         f"{resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_src.npy")
                     ddst = np.load(
                         f"{resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_dst.npy")
-                    deltas.append((dsrc, ddst, sign))
                 except (OSError, FileNotFoundError):
-                    pass
+                    continue
+                # weighted deltas carry per-edge normalized weights; missing
+                # them while src/dst exist would silently scatter weight-1.0
+                dw = (np.load(
+                    f"{resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_w.npy")
+                    if weighted else None)
+                deltas.append((dsrc, ddst, dw, sign))
         block = (base[0], base[1], base_w, deltas)
         _cache_put(key, block)
     return block
@@ -551,9 +574,9 @@ def _load_scatter_slice(resident_dir: str, epoch: str, s: int, overlays: tuple,
                                          weighted)
         bd = np.asarray(bd)
         comps = [(bs, bd, (bd // n_slices).astype(np.int32), bw, 1.0)]
-        for dsrc, ddst, sign in deltas:
+        for dsrc, ddst, dw, sign in deltas:
             comps.append((dsrc, ddst, (ddst // n_slices).astype(np.int32),
-                          None, float(sign)))
+                          dw, float(sign)))
         _cache_put(key, comps)
     return comps
 
@@ -702,24 +725,17 @@ def _load_gs_slice(resident_dir: str, epoch: str, s: int, overlays: tuple,
     if blk is None:
         bs, bd, bw, deltas = _load_slice(resident_dir, epoch, s, overlays,
                                          weighted)
-        if weighted and deltas:
-            # apply_batch_dense rejects weighted graphs, so this is
-            # unreachable today — but a future weighted-delta path would
-            # otherwise crash on a numpy index mismatch below (delta
-            # overlays carry no per-edge weights)
-            raise ValueError(
-                "weighted graphs cannot carry delta overlays — rebuild the "
-                "dense index after weighted batches")
         P = n_slices
         srcs = [np.asarray(bs, dtype=np.int64)]
         dsts = [np.asarray(bd, dtype=np.int64)]
         sgns = [np.ones(len(bs))]
         ws = [np.asarray(bw, dtype=np.float64)] if weighted else None
-        for dsrc, ddst, sign in deltas:
+        for dsrc, ddst, dw, sign in deltas:
             srcs.append(np.asarray(dsrc, dtype=np.int64))
             dsts.append(np.asarray(ddst, dtype=np.int64))
             sgns.append(np.full(len(dsrc), float(sign)))
-            # delta overlays exist only on unweighted graphs (apply_delta)
+            if weighted:
+                ws.append(np.asarray(dw, dtype=np.float64))
         src = np.concatenate(srcs)
         own = np.concatenate(dsts) // P
         sgn = np.concatenate(sgns)
@@ -1056,7 +1072,8 @@ def _resident_expand_fn(resident_dir: str, epoch: str, overlays: tuple,
                     resident_dir, epoch, int(s), overlays)
                 # expansion walks live out-edges: base + inserted (deleted
                 # edges no longer push their dst, matching the updated graph)
-                for ds, dd, sign in [(src_idx, dst_idx, 1.0)] + deltas:
+                for ds, dd, _w2, sign in (
+                        [(src_idx, dst_idx, None, 1.0)] + deltas):
                     if sign > 0 and ds.size:
                         outs.append(np.unique(dd[m[ds]]))
         sel = np.unique(np.concatenate(outs)) if outs else np.empty(0, np.int32)

@@ -148,12 +148,100 @@ def test_weighted_apply_batch_rebuild(spark, wgraph):
     finally:
         g2.unpersist()
 
-    dense = DenseGraph(wgraph)
+
+def test_weighted_dense_delta_overlay_matches_oracle(spark, wgraph):
+    """Weighted O(touched) dynamic update WITHOUT rebuild: the overlay
+    replaces each touched source's full out-adjacency (old normalized
+    weights out, re-normalized new set in — a per-edge net overlay cannot
+    express the Σ(out-weights) re-scaling). The delta view must match the
+    generalized oracle on the updated weights FP-exactly at fixed
+    iterations, for the fused sync kernel AND the degenerate async kernel
+    (chunks=1, sweeps=1 ≡ Jacobi), and keep matching after a SECOND
+    stacked overlay."""
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, 1, None, "del"),    # delete (anti-join semantics)
+             (5, 2, 4.0, "ins"),     # brand-new edge
+             (2, 7, 2.0, "ins")],    # existing edge: weights merge by sum
+            columns=["src", "dst", "weight", "op"],
+        ),
+        schema="src long, dst long, weight double, op string",
+    )
+    merged: dict = {}
+    for s, t, w in _weighted_edges():
+        merged[(s, t)] = merged.get((s, t), 0.0) + w
+    merged.pop((0, 1))
+    merged[(5, 2)] = 4.0
+    merged[(2, 7)] = merged[(2, 7)] + 2.0
+    es2 = [(s, t, w) for (s, t), w in sorted(merged.items())]
+    golden, _ = pagerank_general_oracle(N, es2, tol=0.0, max_iter=6)
+
+    dense = DenseGraph(wgraph).materialize()
+    g2 = None
     try:
-        with pytest.raises(ValueError, match="unweighted"):
-            apply_batch_dense(wgraph, dense, batch)
+        g2, d2 = apply_batch_dense(wgraph, dense, batch)
+        assert d2.overlays and d2.weighted
+        o_sync = PageRankOptions(tolerance=0.0, max_iterations=6,
+                                 metrics_level="none")
+        o_gs = PageRankOptions(tolerance=0.0, max_iterations=6,
+                               metrics_level="none", async_updates="slice",
+                               async_chunks=1, async_sweeps=1)
+        for o in (o_sync, o_gs):
+            res = pagerank_arrow(g2, o, dense=d2, resident=True)
+            assert np.allclose(_ranks_array(res, N), golden, atol=1e-12)
+
+        # stack a second overlay on the view: delete the edge we inserted
+        batch2 = spark.createDataFrame(
+            pd.DataFrame([(5, 2, None, "del")],
+                         columns=["src", "dst", "weight", "op"]),
+            schema="src long, dst long, weight double, op string",
+        )
+        g3, d3 = apply_batch_dense(g2, d2, batch2)
+        merged.pop((5, 2))
+        es3 = [(s, t, w) for (s, t), w in sorted(merged.items())]
+        golden3, _ = pagerank_general_oracle(N, es3, tol=0.0, max_iter=6)
+        res3 = pagerank_arrow(g3, o_sync, dense=d3, resident=True)
+        assert np.allclose(_ranks_array(res3, N), golden3, atol=1e-12)
+        g3.unpersist()
     finally:
         dense.unpersist()
+        if g2 is not None:
+            g2.unpersist()
+
+
+def test_weighted_dense_frontier_rerank_matches_static(spark, wgraph):
+    """Dynamic-frontier re-rank over a weighted delta view converges to the
+    static ranks of the updated weighted graph (<=1e-6), exercising the
+    masked weighted scatter over delta overlays."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        batch_endpoints_frontier,
+    )
+
+    batch = spark.createDataFrame(
+        pd.DataFrame([(0, 1, None, "del"), (5, 2, 4.0, "ins")],
+                     columns=["src", "dst", "weight", "op"]),
+        schema="src long, dst long, weight double, op string",
+    )
+    dense = DenseGraph(wgraph).materialize()
+    g2 = None
+    try:
+        prev = pagerank_arrow(
+            wgraph, PageRankOptions(tolerance=1e-10, metrics_level="none"),
+            dense=dense, resident=True)
+        g2, d2 = apply_batch_dense(wgraph, dense, batch)
+        fr = batch_endpoints_frontier(wgraph, g2, batch)
+        dyn = pagerank_arrow(
+            g2, PageRankOptions(tolerance=1e-10, metrics_level="none"),
+            dense=d2, resident=True, init=prev.ranks, frontier=fr)
+        stat = pagerank_arrow(
+            g2, PageRankOptions(tolerance=1e-10, metrics_level="none"),
+            dense=d2, resident=True)
+        assert np.allclose(_ranks_array(dyn, N), _ranks_array(stat, N),
+                           atol=1e-6)
+    finally:
+        dense.unpersist()
+        if g2 is not None:
+            g2.unpersist()
 
 
 @pytest.fixture(scope="module")
