@@ -1147,6 +1147,17 @@ def pagerank_arrow(
         if personalization is not None:
             raise ValueError("async_updates supports the uniform teleport "
                              "only (reference ASYNC has no vector teleport)")
+        if gs_mode == "shared" and not sc.master.startswith("local"):
+            # the mmap'd shared rank buffer is the reference's single-node
+            # shared-memory model (pagerank.hxx:255-310) verbatim: every
+            # writer must see the same file. On a multi-node master the
+            # driver-local resident_dir either fails on executors or, over
+            # NFS, has no write-coherence guarantee — refuse rather than
+            # silently degrade the barrier-free mix.
+            raise ValueError(
+                "async_updates='shared' requires a single-host master "
+                f"(local[N]); got {sc.master!r} — use async_updates='slice' "
+                "on a cluster (cluster-safe chunked Gauss-Seidel)")
     faulted = (o.fault_crash_prob > 0.0
                or (o.fault_sleep_prob > 0.0 and o.fault_sleep_ms > 0))
     if faulted and not resident:

@@ -585,6 +585,19 @@ def test_arrow_async_validation(spark, tiny_graph):
             tiny_graph,
             PageRankOptions(async_updates="bogus", metrics_level="none"),
             resident=True)
+    # 'shared' is the single-node mmap model: refuse on a non-local master
+    # instead of silently degrading (ADVICE r2)
+    sc = spark.sparkContext
+    real_master = sc.master
+    sc.master = "spark://fake-cluster:7077"
+    try:
+        with pytest.raises(ValueError, match="single-host"):
+            pagerank_arrow(
+                tiny_graph,
+                PageRankOptions(async_updates="shared", metrics_level="none"),
+                resident=True)
+    finally:
+        sc.master = real_master
 
 
 def test_fused_resident_matches_streaming_and_oracle(spark):
