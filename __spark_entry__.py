@@ -352,6 +352,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangles_per_vertex"] = triangles_per_vertex_q
 
+    # -- HITS / SCC / k-core / degree histogram: the standard link-graph
+    # kernels beyond the reference's PageRank (engine extensions; exact
+    # semantics pinned by tests/oracle.py and the SQL oracles below) --
+    def hits_3iter(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.hits import hits
+
+        g = _graph(spark, sf, self_loops=False)
+        res = hits(g, tolerance=0.0, max_iterations=3)
+        return res.scores.select(
+            "id", F.round("hub", 9).alias("hub"),
+            F.round("auth", 9).alias("auth"))
+
+    q["hits_3iter"] = hits_3iter
+
+    def scc_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
+            strongly_connected_components,
+        )
+
+        return strongly_connected_components(_graph(spark, sf, self_loops=False))
+
+    q["scc"] = scc_q
+
+    def scc_stats_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import scc_stats
+
+        return scc_stats(_graph(spark, sf, self_loops=False))
+
+    q["scc_stats"] = scc_stats_q
+
+    def bowtie_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import bowtie
+
+        return bowtie(_graph(spark, sf, self_loops=False))
+
+    q["bowtie"] = bowtie_q
+
+    def coreness_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.kcore import coreness
+
+        return coreness(_graph(spark, sf, self_loops=False))
+
+    q["coreness"] = coreness_q
+
+    def core_histogram_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.kcore import (
+            core_histogram,
+        )
+
+        return core_histogram(_graph(spark, sf, self_loops=False))
+
+    q["core_histogram"] = core_histogram_q
+
+    def degree_histogram_out(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
+            degree_histogram,
+        )
+
+        e = _edges(spark, sf)
+        v = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return degree_histogram(e, v, "out")
+
+    q["degree_histogram_out"] = degree_histogram_out
+
     # -- T4 reachability closure (dfsVisitedForEachW — visited set only) --
     def reachable_from(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.plans.traversal import (
@@ -832,6 +900,81 @@ l0 AS (SELECT id, id AS label FROM v),
 SELECT id, label FROM l{iterations}"""
 
 
+def _hits_sql(iterations: int = 3, digits: int = 9) -> str:
+    """Unrolled L1-normalized HITS (matches plans/hits.py exactly): auth
+    gather over in-edges then L1-normalize, hub gather over out-edges then
+    L1-normalize, per iteration; no self-loops (raw e0)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"a{i}r AS MATERIALIZED (SELECT e0.dst AS id, SUM(h{i-1}.h) AS s "
+            f"FROM e0 JOIN h{i-1} ON e0.src = h{i-1}.id GROUP BY e0.dst),\n"
+            f"a{i} AS MATERIALIZED (SELECT v.id, COALESCE(a{i}r.s, 0.0) / "
+            f"(SELECT SUM(s) FROM a{i}r) AS a "
+            f"FROM v LEFT JOIN a{i}r ON v.id = a{i}r.id),\n"
+            f"h{i}r AS MATERIALIZED (SELECT e0.src AS id, SUM(a{i}.a) AS s "
+            f"FROM e0 JOIN a{i} ON e0.dst = a{i}.id GROUP BY e0.src),\n"
+            f"h{i} AS MATERIALIZED (SELECT v.id, COALESCE(h{i}r.s, 0.0) / "
+            f"(SELECT SUM(s) FROM h{i}r) AS h "
+            f"FROM v LEFT JOIN h{i}r ON v.id = h{i}r.id)"
+        )
+    joined = ",\n".join(steps)
+    return f"""
+WITH e0 AS MATERIALIZED ({EDGES_SQL}),
+v AS MATERIALIZED ({V_SQL}),
+h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM v) AS h FROM v),
+{joined}
+SELECT v.id, ROUND(h{iterations}.h, {digits}) AS hub,
+       ROUND(a{iterations}.a, {digits}) AS auth
+FROM v JOIN h{iterations} ON v.id = h{iterations}.id
+JOIN a{iterations} ON v.id = a{iterations}.id"""
+
+
+# SCC labels by brute-force mutual reachability (recursive transitive
+# closure — exact at oracle scale; the engine uses FW-BW coloring):
+# comp(v) = MIN over ids mutually reachable with v (incl. v itself)
+SCC_SQL = f"""
+WITH RECURSIVE {G_CTES},
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+reach(a, b) AS (
+  SELECT id AS a, id AS b FROM v
+  UNION
+  SELECT r.a, ed.dst FROM reach r JOIN ed ON ed.src = r.b)
+SELECT r1.a AS id, MIN(r1.b) AS comp
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a"""
+
+
+def _coreness_sql(rounds: int = 12) -> str:
+    """Unrolled h-index iteration over the undirected simple view (matches
+    plans/kcore.py exactly). The iteration is monotone non-increasing and
+    reaches the coreness fixpoint; extra rounds past convergence are
+    no-ops, so ``rounds`` only needs to exceed the engine's (checked)
+    convergence round count at oracle scale."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"c{i} AS MATERIALIZED (SELECT v.id, COALESCE(h.h, 0) AS core "
+            f"FROM v LEFT JOIN ("
+            f"SELECT src AS id, MAX(LEAST(c, rn)) AS h FROM ("
+            f"SELECT und.src, p.core AS c, "
+            f"ROW_NUMBER() OVER (PARTITION BY und.src ORDER BY p.core DESC) AS rn "
+            f"FROM und JOIN c{i-1} p ON und.dst = p.id) t GROUP BY src) h "
+            f"ON v.id = h.id)"
+        )
+    joined = ",\n".join(steps)
+    return f"""
+WITH e0 AS MATERIALIZED ({EDGES_SQL}),
+v AS MATERIALIZED ({V_SQL}),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
+c0 AS MATERIALIZED (SELECT v.id, COALESCE(d.d, 0) AS core FROM v LEFT JOIN (
+  SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src) d ON v.id = d.id),
+{joined}
+SELECT id, core FROM c{rounds}"""
+
+
 def _lsh_bucket_sql(vcol: str, n_planes: int = 4, dim: int = 64,
                     seed: int = 42) -> str:
     """DuckDB expression for the random-hyperplane LSH bucket — the SAME
@@ -990,6 +1133,46 @@ parts AS (SELECT id, COUNT(*) AS tri_count FROM (
   UNION ALL SELECT z AS id FROM t) GROUP BY id)
 SELECT v.id, COALESCE(parts.tri_count, 0) AS tri_count
 FROM v LEFT JOIN parts ON v.id = parts.id"""
+
+    o["hits_3iter"] = _hits_sql(3, 9)
+    o["scc"] = SCC_SQL
+    o["scc_stats"] = f"""
+WITH scc AS ({SCC_SQL}),
+sizes AS (SELECT comp, COUNT(*) AS sz FROM scc GROUP BY comp)
+SELECT COUNT(*) AS n_sccs, MAX(sz) AS largest_scc,
+       COUNT(*) FILTER (WHERE sz = 1) AS n_trivial FROM sizes"""
+    o["bowtie"] = f"""
+WITH RECURSIVE {G_CTES},
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+reach(a, b) AS (
+  SELECT id AS a, id AS b FROM v
+  UNION
+  SELECT r.a, ed.dst FROM reach r JOIN ed ON ed.src = r.b),
+scc AS (SELECT r1.a AS id, MIN(r1.b) AS comp
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        GROUP BY r1.a),
+sizes AS (SELECT comp, COUNT(*) AS sz FROM scc GROUP BY comp),
+core_lab AS (SELECT comp FROM sizes ORDER BY sz DESC, comp ASC LIMIT 1),
+core AS (SELECT id FROM scc WHERE comp = (SELECT comp FROM core_lab)),
+fwd(id) AS (SELECT id FROM core
+            UNION SELECT ed.dst FROM fwd JOIN ed ON ed.src = fwd.id),
+bwd(id) AS (SELECT id FROM core
+            UNION SELECT ed.src FROM bwd JOIN ed ON ed.dst = bwd.id)
+SELECT scc.id,
+       CASE WHEN scc.comp = (SELECT comp FROM core_lab) THEN 'CORE'
+            WHEN scc.id IN (SELECT id FROM bwd) THEN 'IN'
+            WHEN scc.id IN (SELECT id FROM fwd) THEN 'OUT'
+            ELSE 'OTHER' END AS region
+FROM scc"""
+    o["coreness"] = _coreness_sql(12)
+    o["core_histogram"] = f"""
+WITH core AS ({_coreness_sql(12)})
+SELECT core, COUNT(*) AS n_vertices FROM core GROUP BY core"""
+    o["degree_histogram_out"] = f"""
+WITH {G_CTES},
+d AS (SELECT src AS id, COUNT(*) AS deg FROM e0 GROUP BY src),
+dz AS (SELECT v.id, COALESCE(d.deg, 0) AS deg FROM v LEFT JOIN d ON v.id = d.id)
+SELECT deg, COUNT(*) AS n_vertices FROM dz GROUP BY deg"""
 
     o["reachable_from"] = f"""
 WITH RECURSIVE {G_CTES},

@@ -72,3 +72,23 @@ def graph_stats(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         "max_out_degree long, max_in_degree long, avg_out_degree double, "
         "n_dead_ends long",
     )
+
+
+def degree_histogram(edges: DataFrame, vertices: DataFrame,
+                     direction: str = "out") -> DataFrame:
+    """(deg, n_vertices) distribution including the zero-degree bucket —
+    the power-law profile every link-graph analysis starts with. Two
+    map-side-combinable aggregates; degree-0 vertices come from one
+    anti-join against the endpoint set, so nothing is ever widened to
+    per-vertex rows beyond the first groupBy."""
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    key = "src" if direction == "out" else "dst"
+    per_v = edges.groupBy(F.col(key).alias("id")).agg(F.count("*").alias("deg"))
+    n_zero = vertices.join(per_v, "id", "left_anti").count()
+    hist = per_v.groupBy("deg").agg(F.count("*").alias("n_vertices"))
+    if n_zero:
+        zero = edges.sparkSession.createDataFrame(
+            [(0, n_zero)], "deg long, n_vertices long")
+        hist = hist.unionByName(zero)
+    return hist

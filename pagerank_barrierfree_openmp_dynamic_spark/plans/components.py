@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.graph import LinkGraph
-from ..session import adaptive_execution
+from ..session import adaptive_execution, eager_state
 
 
 def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFrame:
@@ -58,7 +58,12 @@ def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFra
             # ONE eager job per iteration: the checkpointed frame carries the
             # change flag, so the convergence count is a cached scan and the
             # next iteration's labels are a projection of the same data.
-            nxt = (
+            # eager_state: labels sit on both sides (gather + pointer jump),
+            # so bare localCheckpoint would compound size estimates
+            # geometrically with the iteration count — harmless at the test
+            # fixture's ~7 iterations, minutes-per-checkpoint by ~20 on a
+            # larger-diameter graph (see session.eager_state)
+            nxt = eager_state(
                 step.join(jump, step.mid == jump.jid, "left")
                 .select(
                     step.id,
@@ -66,7 +71,6 @@ def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFra
                     (F.least(step.mid, F.coalesce("jcomp", step.mid))
                      < F.col("old")).alias("chg"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = nxt.filter(F.col("chg")).count()
             labels = nxt.select("id", "comp")

@@ -1,0 +1,132 @@
+"""HITS (hubs & authorities) over the directed edge table.
+
+Not present in the reference repo (its only kernel is PageRank,
+``/root/reference/src/pagerank.hxx``); HITS is the other classic
+link-analysis fixed point over exactly the same (src, dst) edge table and
+shuffle shapes, so a link-graph engine user expects it next to PageRank.
+
+Recurrence (Kleinberg 1998, L1-normalized so scores are comparable across
+graph sizes and SQL-reproducible without a square root):
+
+    auth_t(v) = Σ_{(u,v) ∈ E} hub_{t-1}(u)    then auth_t /= Σ auth_t
+    hub_t(u)  = Σ_{(u,v) ∈ E} auth_t(v)       then hub_t  /= Σ hub_t
+
+with hub_0 = 1/N. Vertices with no in-edges have auth 0, no out-edges hub
+0. The L1 norm and the L2 norm of the classic formulation yield the same
+fixed-point *direction* (both are the principal eigenvectors of AᵀA / AAᵀ);
+L1 keeps every superstep a plain SUM — one aggregate, no rsqrt — and makes
+the unrolled DuckDB oracle exact.
+
+Scale shape: the auth gather joins the src-partitioned edge table against
+the hub state (broadcast when N ≤ broadcast_vertices, else a shuffled
+hash join on src); the hub gather joins a ONCE-per-call dst-partitioned
+copy of the edges against the auth state. Both aggregates are map-side
+combinable groupBys. State frames are (id, score) — never collected; the
+only driver-side values are the two scalar norm sums per superstep (the
+same O(1)-per-superstep pattern as the PageRank convergence check).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..operators.graph import LinkGraph
+from ..session import adaptive_execution, eager_state
+
+
+@dataclass
+class HitsResult:
+    scores: DataFrame  # (id, hub, auth)
+    iterations: int
+    err: float
+
+
+def hits(
+    graph: LinkGraph,
+    tolerance: float = 1e-8,
+    max_iterations: int = 100,
+    broadcast_vertices: int = 2_000_000,
+) -> HitsResult:
+    """Iterate the HITS recurrence to an L∞ fixed point (or a fixed number
+    of sweeps with ``tolerance=0.0``). Returns (id, hub, auth) for every
+    vertex.
+
+    Run this on a graph built with ``add_self_loops=False``: a self-loop
+    makes a page its own endorser, which PageRank's teleport correction
+    needs but HITS semantics do not.
+    """
+    spark = graph.edges.sparkSession
+    n = graph.num_vertices
+    small = n <= broadcast_vertices
+
+    edges = graph.edges.select("src", "dst")
+    # The hub gather groups by src and can reuse the persisted src
+    # partitioning; the auth->hub join keys on dst, so materialize a
+    # dst-partitioned copy ONCE (one shuffle per call, not per superstep).
+    edges_by_dst = (
+        edges.repartition(graph.partitions, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges_by_dst.count()
+
+    def _bcast(state: DataFrame) -> DataFrame:
+        return F.broadcast(state) if small else state
+
+    vtx = graph.vertices
+    state = vtx.select(
+        "id",
+        F.lit(1.0 / n).alias("hub"),
+        F.lit(0.0).alias("auth"),
+    ).localCheckpoint(eager=True)
+
+    it = 0
+    err = float("inf")
+    with adaptive_execution(spark, False):
+        while it < max_iterations:
+            hub_in = _bcast(
+                state.select(F.col("id").alias("_hid"), F.col("hub").alias("_h")))
+            a_raw = (
+                edges.join(hub_in, edges.src == F.col("_hid"))
+                .groupBy("dst")
+                .agg(F.sum("_h").alias("_a"))
+            ).localCheckpoint(eager=True)
+            a_tot = a_raw.agg(F.sum("_a")).collect()[0][0] or 1.0
+            auth = vtx.join(a_raw, vtx.id == a_raw.dst, "left").select(
+                vtx.id, (F.coalesce("_a", F.lit(0.0)) / F.lit(a_tot)).alias("auth"))
+
+            auth_in = _bcast(
+                auth.select(F.col("id").alias("_aid"), F.col("auth").alias("_a")))
+            h_raw = (
+                edges_by_dst.join(auth_in, edges_by_dst.dst == F.col("_aid"))
+                .groupBy("src")
+                .agg(F.sum("_a").alias("_h"))
+            ).localCheckpoint(eager=True)
+            h_tot = h_raw.agg(F.sum("_h")).collect()[0][0] or 1.0
+            hub = vtx.join(h_raw, vtx.id == h_raw.src, "left").select(
+                vtx.id, (F.coalesce("_h", F.lit(0.0)) / F.lit(h_tot)).alias("hub"))
+
+            # eager_state, not bare localCheckpoint: the state sits on both
+            # sides of this join, so inherited size ESTIMATES would compound
+            # geometrically with the iteration count (see session.eager_state)
+            nxt = eager_state(
+                hub.join(auth, "id")
+                .join(state.select(F.col("id"), F.col("hub").alias("_ph"),
+                                   F.col("auth").alias("_pa")), "id")
+                .select(
+                    "id", "hub", "auth",
+                    F.greatest(
+                        F.abs(F.col("hub") - F.col("_ph")),
+                        F.abs(F.col("auth") - F.col("_pa")),
+                    ).alias("_d"),
+                )
+            )
+            err = nxt.agg(F.max("_d")).collect()[0][0] or 0.0
+            state = nxt.select("id", "hub", "auth")
+            it += 1
+            if tolerance > 0.0 and err <= tolerance:
+                break
+    edges_by_dst.unpersist()
+    return HitsResult(scores=state, iterations=it, err=float(err))

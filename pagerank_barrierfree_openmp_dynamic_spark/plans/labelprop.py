@@ -14,7 +14,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators.graph import LinkGraph
-from ..session import adaptive_execution
+from ..session import adaptive_execution, eager_state
 
 
 def label_propagation(graph: LinkGraph, iterations: int = 5) -> DataFrame:
@@ -41,10 +41,12 @@ def label_propagation(graph: LinkGraph, iterations: int = 5) -> DataFrame:
                 .filter(F.col("rn") == 1)
                 .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
             )
-            labels = (
+            # eager_state: labels sit on both sides of this join (winner
+            # derives from labels), so bare localCheckpoint would compound
+            # size estimates geometrically (see session.eager_state)
+            labels = eager_state(
                 labels.join(winner, "id", "left")
                 .select("id", F.coalesce("new_label", "label").alias("label"))
-                .localCheckpoint(eager=True)
             )
     und.unpersist()
     return labels

@@ -81,3 +81,36 @@ def adaptive_execution(spark: SparkSession, enabled: bool):
         yield
     finally:
         spark.conf.set(key, prev)
+
+
+def eager_state(df, storage_level=None):
+    """Materialize an iterative loop's state frame eagerly, with REAL
+    statistics and truncated lineage. Returns the pinned DataFrame.
+
+    ``localCheckpoint(eager=True)`` alone truncates lineage but copies the
+    origin plan's ESTIMATED sizeInBytes into the checkpointed relation.
+    In a loop whose step joins the state with itself (pointer jumping,
+    h-index gathers, hub/authority updates), that estimate is a product of
+    the previous state's estimate with itself, so the BigInt digit count
+    grows geometrically with the iteration number — by iteration ~20
+    Catalyst spends minutes multiplying million-digit integers inside
+    SizeInBytesOnlyStatsPlanVisitor (measured in this sandbox: digits went
+    9 -> 26 -> 78 -> 232 -> 695 -> 2084 -> 6250 per iteration; one
+    multiply at iteration ~18 of the HITS loop burned 20+ CPU-minutes).
+    Semi/anti joins are immune (left-size-only estimate); inner and outer
+    joins are not.
+
+    Fix: cache + count FIRST — InMemoryRelation's statistics are the real
+    materialized byte size — THEN localCheckpoint (its origin stats are now
+    the real number), then drop the cache (the checkpointed RDD blocks are
+    independent). Every downstream estimate stays sane at any iteration
+    count, on any graph diameter — the difference between "works on the
+    test fixture" and "works on a 100-iteration web-graph fixpoint".
+    """
+    from pyspark import StorageLevel
+
+    cached = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out

@@ -166,3 +166,165 @@ def triangle_oracle(n: int, edges: list[tuple[int, int]]) -> tuple[int, np.ndarr
                     per[v] += 1
                     per[w] += 1
     return total, per
+
+
+def hits_oracle(
+    n: int,
+    edges: list[tuple[int, int]],
+    tol: float = 1e-10,
+    max_iter: int = 500,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """L1-normalized HITS (matches plans/hits.py's recurrence exactly).
+    Returns (hub, auth, iterations)."""
+    es = sorted(set((int(a), int(b)) for a, b in edges))
+    src = np.array([a for a, _ in es], dtype=np.int64)
+    dst = np.array([b for _, b in es], dtype=np.int64)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    it = 0
+    while it < max_iter:
+        a_new = np.zeros(n)
+        np.add.at(a_new, dst, h[src])
+        s = a_new.sum()
+        if s > 0:
+            a_new /= s
+        h_new = np.zeros(n)
+        np.add.at(h_new, src, a_new[dst])
+        s = h_new.sum()
+        if s > 0:
+            h_new /= s
+        err = max(np.abs(h_new - h).max(), np.abs(a_new - a).max())
+        h, a = h_new, a_new
+        it += 1
+        if tol > 0.0 and err <= tol:
+            break
+    return h, a, it
+
+
+def scc_oracle(n: int, edges: list[tuple[int, int]]) -> np.ndarray:
+    """Strongly connected components via iterative Tarjan; comp = min
+    vertex id in the SCC (canonical labels, exactly comparable)."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in set((int(a), int(b)) for a, b in edges):
+        if a != b:
+            adj[a].append(b)
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                label = min(members)
+                for w in members:
+                    comp[w] = label
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return comp
+
+
+def coreness_oracle(n: int, edges: list[tuple[int, int]]) -> np.ndarray:
+    """Exact k-core decomposition by iterative peeling over the undirected
+    simple view (self-loops dropped, symmetrized, deduplicated)."""
+    nbrs: list[set[int]] = [set() for _ in range(n)]
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    deg = np.array([len(s) for s in nbrs], dtype=np.int64)
+    core = np.zeros(n, dtype=np.int64)
+    removed = np.zeros(n, dtype=bool)
+    for _ in range(n):
+        alive = np.where(~removed)[0]
+        if len(alive) == 0:
+            break
+        k = deg[alive].min()
+        # peel everything of minimum degree at once (standard peeling)
+        while True:
+            peel = [v for v in alive if not removed[v] and deg[v] <= k]
+            peel = [v for v in peel if not removed[v]]
+            if not peel:
+                break
+            for v in peel:
+                removed[v] = True
+                core[v] = k
+                for u in nbrs[v]:
+                    if not removed[u]:
+                        deg[u] -= 1
+            alive = np.where(~removed)[0]
+            if len(alive) == 0 or deg[alive].min() > k:
+                break
+    return core
+
+
+def bowtie_oracle(n: int, edges: list[tuple[int, int]]) -> list[str]:
+    """Bowtie regions vs the largest SCC (ties: smaller canonical label):
+    CORE / IN (reaches core) / OUT (reached from core) / OTHER."""
+    comp = scc_oracle(n, edges)
+    labs, counts = np.unique(comp, return_counts=True)
+    core_lab = labs[counts == counts.max()].min()
+    core = set(np.where(comp == core_lab)[0].tolist())
+    fwd_adj: list[list[int]] = [[] for _ in range(n)]
+    bwd_adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in set((int(a), int(b)) for a, b in edges):
+        if a != b:
+            fwd_adj[a].append(b)
+            bwd_adj[b].append(a)
+
+    def closure(seeds, adj):
+        seen = set(seeds)
+        stack = list(seeds)
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
+
+    fwd = closure(core, fwd_adj)
+    bwd = closure(core, bwd_adj)
+    out = []
+    for v in range(n):
+        if v in core:
+            out.append("CORE")
+        elif v in bwd:
+            out.append("IN")
+        elif v in fwd:
+            out.append("OUT")
+        else:
+            out.append("OTHER")
+    return out

@@ -1,0 +1,196 @@
+"""HITS / SCC / k-core / degree histogram vs exact oracles.
+
+These kernels have no reference counterpart (the reference is
+PageRank-only); semantics are the standard ones, pinned by the
+independent oracles in tests/oracle.py (L1-normalized HITS power
+iteration, iterative Tarjan, Batagelj-Zaversnik peeling)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark import datagen
+from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import degree_histogram
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph
+from pagerank_barrierfree_openmp_dynamic_spark.plans.hits import hits
+from pagerank_barrierfree_openmp_dynamic_spark.plans.kcore import (
+    core_histogram,
+    coreness,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
+    bowtie,
+    scc_stats,
+    strongly_connected_components,
+)
+
+from oracle import bowtie_oracle, coreness_oracle, hits_oracle, scc_oracle
+
+
+@pytest.fixture(scope="module")
+def tiny_graph_noloops(spark):
+    g = build_graph(datagen.edges_df(spark, "tiny"),
+                    vertices=spark.range(10).select("id"),
+                    add_self_loops=False)
+    yield g
+    g.unpersist()
+
+
+@pytest.fixture(scope="module")
+def small_graph(spark):
+    n = 300
+    edges_pdf = datagen.synth_edges(n, seed=5)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+        add_self_loops=False,
+    )
+    g._edges_pdf = edges_pdf
+    yield g
+    g.unpersist()
+
+
+@pytest.fixture(scope="module")
+def cycle_chain_graph(spark):
+    """Five 3-cycles chained by single DAG edges plus a pendant tail —
+    forces the SCC loop through multiple color/mark rounds (the coloring
+    pivot only finalizes one chained SCC per round) and the trim phase
+    (the tail is a trimmable DAG fringe)."""
+    edges = []
+    for c in range(5):
+        b = 3 * c
+        edges += [(b, b + 1), (b + 1, b + 2), (b + 2, b)]
+        if c:
+            edges.append((b - 1, b))
+    edges += [(14, 15), (15, 16)]  # pendant tail off the last cycle
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    g = build_graph(spark.createDataFrame(pdf),
+                    vertices=spark.range(17).select("id"),
+                    add_self_loops=False)
+    g._edge_list = edges
+    yield g
+    g.unpersist()
+
+
+def _col(df, n, key, val):
+    pdf = df.toPandas().sort_values(key)
+    assert list(pdf[key]) == list(range(n))
+    return pdf[val].to_numpy()
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_tiny_fixed_iterations_exact(spark, tiny_graph_noloops):
+    res = hits(tiny_graph_noloops, tolerance=0.0, max_iterations=3)
+    assert res.iterations == 3
+    hub = _col(res.scores.select("id", "hub"), 10, "id", "hub")
+    auth = _col(res.scores.select("id", "auth"), 10, "id", "auth")
+    h, a, _ = hits_oracle(10, datagen.tiny_edges(), tol=0.0, max_iter=3)
+    assert np.allclose(hub, h, atol=1e-12)
+    assert np.allclose(auth, a, atol=1e-12)
+
+
+def test_hits_small_converged(spark, small_graph):
+    res = hits(small_graph, tolerance=1e-10, max_iterations=300)
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    h, a, _ = hits_oracle(300, edges, tol=1e-12, max_iter=1000)
+    hub = _col(res.scores.select("id", "hub"), 300, "id", "hub")
+    auth = _col(res.scores.select("id", "auth"), 300, "id", "auth")
+    assert np.allclose(hub, h, atol=1e-7)
+    assert np.allclose(auth, a, atol=1e-7)
+    # L1 normalization invariant
+    assert abs(hub.sum() - 1.0) < 1e-9
+    assert abs(auth.sum() - 1.0) < 1e-9
+
+
+# ----------------------------------------------------------------- SCC
+
+
+def test_scc_tiny_exact(spark, tiny_graph_noloops):
+    got = _col(strongly_connected_components(tiny_graph_noloops), 10, "id", "comp")
+    want = scc_oracle(10, datagen.tiny_edges())
+    assert (got == want).all()
+
+
+def test_scc_cycle_chain_exact(spark, cycle_chain_graph):
+    got = _col(strongly_connected_components(cycle_chain_graph), 17, "id", "comp")
+    want = scc_oracle(17, cycle_chain_graph._edge_list)
+    assert (got == want).all()
+    # planted structure: each 3-cycle is one SCC, tail vertices are trivial
+    assert list(got[:6]) == [0, 0, 0, 3, 3, 3]
+    assert got[15] == 15 and got[16] == 16
+
+
+def test_scc_small_exact(spark, small_graph):
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    got = _col(strongly_connected_components(small_graph), 300, "id", "comp")
+    want = scc_oracle(300, edges)
+    assert (got == want).all()
+
+
+def test_scc_stats_matches_oracle(spark, cycle_chain_graph):
+    row = scc_stats(cycle_chain_graph).collect()[0]
+    want = scc_oracle(17, cycle_chain_graph._edge_list)
+    _, counts = np.unique(want, return_counts=True)
+    assert row["n_sccs"] == len(counts)
+    assert row["largest_scc"] == counts.max()
+    assert row["n_trivial"] == int((counts == 1).sum())
+
+
+def test_bowtie_regions_exact(spark, cycle_chain_graph):
+    got = bowtie(cycle_chain_graph).toPandas().sort_values("id")
+    want = bowtie_oracle(17, cycle_chain_graph._edge_list)
+    assert list(got["region"]) == want
+    # planted: cycle 0 is the (tie-broken) core, everything downstream OUT
+    assert want[:3] == ["CORE"] * 3 and want[3:] == ["OUT"] * 14
+
+
+def test_bowtie_small_exact(spark, small_graph):
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    got = bowtie(small_graph).toPandas().sort_values("id")
+    want = bowtie_oracle(300, edges)
+    assert list(got["region"]) == want
+
+
+# -------------------------------------------------------------- k-core
+
+
+def test_coreness_tiny_exact(spark, tiny_graph_noloops):
+    got = _col(coreness(tiny_graph_noloops), 10, "id", "core")
+    want = coreness_oracle(10, datagen.tiny_edges())
+    assert (got == want).all()
+
+
+def test_coreness_small_exact(spark, small_graph):
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    got = _col(coreness(small_graph), 300, "id", "core")
+    want = coreness_oracle(300, edges)
+    assert (got == want).all()
+
+
+def test_core_histogram_sums_to_n(spark, small_graph):
+    pdf = core_histogram(small_graph).toPandas()
+    assert pdf["n_vertices"].sum() == 300
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    want = coreness_oracle(300, edges)
+    for _, r in pdf.iterrows():
+        assert (want == r["core"]).sum() == r["n_vertices"]
+
+
+# -------------------------------------------------- degree histogram
+
+
+def test_degree_histogram_matches_degrees(spark, small_graph):
+    pdf = degree_histogram(small_graph.edges, small_graph.vertices,
+                           "out").toPandas()
+    assert pdf["n_vertices"].sum() == 300
+    edges = small_graph._edges_pdf
+    deg = np.zeros(300, dtype=np.int64)
+    src, counts = np.unique(
+        edges.drop_duplicates(subset=["src", "dst"])["src"].to_numpy(),
+        return_counts=True)
+    deg[src] = counts
+    for _, r in pdf.iterrows():
+        assert (deg == r["deg"]).sum() == r["n_vertices"]
+    with pytest.raises(ValueError):
+        degree_histogram(small_graph.edges, small_graph.vertices, "sideways")
