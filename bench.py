@@ -349,6 +349,37 @@ def recall_eval(spark) -> dict:
     return out
 
 
+def kernel_extras(spark) -> dict:
+    """One-shot timings for the round-3 kernel shelf (HITS / SCC /
+    coreness) on the same 100k-vertex bench graph — kept OUT of the
+    3-repeat suite so the noise-controlled round-over-round keys stay
+    comparable; recorded here so the kernels have a measured number at
+    bench scale (correctness is CORRECTNESS_r*'s job)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.hits import hits
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.kcore import coreness
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
+        strongly_connected_components,
+    )
+
+    out: dict = {}
+    g = build_graph(lineitem_edges(spark, SF_DIR), add_self_loops=False)
+    try:
+        t = time.monotonic()
+        hits(g, tolerance=0.0, max_iterations=5).scores.count()
+        out["hits_5iter_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        c = coreness(g)
+        out["degeneracy"] = int(c.agg(F.max("core")).collect()[0][0])
+        out["coreness_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        s = strongly_connected_components(g)
+        out["n_sccs"] = int(s.select("comp").distinct().count())
+        out["scc_sec"] = round(time.monotonic() - t, 3)
+    finally:
+        g.unpersist()
+    return out
+
+
 def main():
     spark = get_spark(app_name="bench", cpus=CPUS)
 
@@ -384,6 +415,7 @@ def main():
     t0 = time.monotonic()
     extras["recall"] = recall_eval(spark)
     recall_sec = round(time.monotonic() - t0, 3)
+    extras["kernels_oneshot"] = kernel_extras(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
