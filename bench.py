@@ -355,7 +355,10 @@ def kernel_extras(spark) -> dict:
     3-repeat suite so the noise-controlled round-over-round keys stay
     comparable; recorded here so the kernels have a measured number at
     bench scale (correctness is CORRECTNESS_r*'s job)."""
-    from pagerank_barrierfree_openmp_dynamic_spark.plans.hits import hits
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.hits import (
+        hits,
+        hits_arrow,
+    )
     from pagerank_barrierfree_openmp_dynamic_spark.plans.kcore import coreness
     from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
         strongly_connected_components,
@@ -367,6 +370,9 @@ def kernel_extras(spark) -> dict:
         t = time.monotonic()
         hits(g, tolerance=0.0, max_iterations=5).scores.count()
         out["hits_5iter_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        hits_arrow(g, tolerance=0.0, max_iterations=5).scores.count()
+        out["hits_arrow_5iter_sec"] = round(time.monotonic() - t, 3)
         t = time.monotonic()
         c = coreness(g)
         out["degeneracy"] = int(c.agg(F.max("core")).collect()[0][0])

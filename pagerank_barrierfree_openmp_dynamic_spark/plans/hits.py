@@ -130,3 +130,76 @@ def hits(
                 break
     edges_by_dst.unpersist()
     return HitsResult(scores=state, iterations=it, err=float(err))
+
+
+def hits_arrow(
+    graph: LinkGraph,
+    tolerance: float = 1e-8,
+    max_iterations: int = 100,
+    *,
+    dense=None,
+) -> HitsResult:
+    """Dense Arrow-kernel HITS — same recurrence and output as
+    :func:`hits`, FP-identical up to summation order. Each superstep is
+    TWO narrow jobs over the resident slice files: the auth gather over
+    the base (dst-residue) slices and the hub gather over the reverse
+    (src-residue) slices — the same slice pair the CC/LPA kernels use
+    (``_cc_min_fn``); no edge bytes move after warmup. The hub/auth
+    vectors live driver-side (the documented O(N) bound shared with
+    ``pagerank_arrow``; beyond it, :func:`hits` is the fully-sharded
+    fallback), normalization and the L∞ check are NumPy ops between
+    jobs."""
+    import numpy as np
+    import pandas as pd
+
+    from ..session import adaptive_execution
+    from .pagerank_arrow import DenseGraph, _hits_gather_fn, _load_rslice  # noqa: F401
+
+    dg = dense or DenseGraph(graph)
+    if dg.overlays:
+        raise ValueError(
+            "hits_arrow needs gen-0 slices — rebuild the dense view via "
+            "build_graph + DenseGraph after applying batches")
+    dg.materialize()
+    dg.materialize_reverse()
+    spark = graph.edges.sparkSession
+    sc = spark.sparkContext
+    n, P = dg.n, dg.n_slices
+    slice_df = spark.range(0, P, 1, P)
+
+    def _gather(vec: "np.ndarray", direction: str) -> "np.ndarray":
+        vec_bc = sc.broadcast(vec)
+        parts = slice_df.mapInPandas(
+            _hits_gather_fn(dg.resident_dir, dg.epoch, P, vec_bc, direction),
+            "slice int, seg binary",
+        ).toPandas()
+        out = np.empty_like(vec)
+        for s, blob in zip(parts["slice"], parts["seg"]):
+            out[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
+        vec_bc.destroy()
+        return out
+
+    hub = np.full(n, 1.0 / n)
+    auth = np.zeros(n)
+    it, err = 0, float("inf")
+    with adaptive_execution(spark, False):
+        while it < max_iterations:
+            a_new = _gather(hub, "auth")
+            s = a_new.sum()
+            if s > 0:
+                a_new /= s
+            h_new = _gather(a_new, "hub")
+            s = h_new.sum()
+            if s > 0:
+                h_new /= s
+            err = float(max(np.abs(h_new - hub).max(),
+                            np.abs(a_new - auth).max()))
+            hub, auth = h_new, a_new
+            it += 1
+            if tolerance > 0.0 and err <= tolerance:
+                break
+    scores = spark.createDataFrame(
+        pd.DataFrame({"id": dg.ids, "hub": hub, "auth": auth}))
+    if dense is None:
+        dg.unpersist()
+    return HitsResult(scores=scores, iterations=it, err=err)

@@ -933,6 +933,36 @@ def _lpa_vote_fn(resident_dir: str, epoch: str, n: int, n_slices: int, lab_bc):
     return fn
 
 
+def _hits_gather_fn(resident_dir: str, epoch: str, n_slices: int, vec_bc,
+                    direction: str):
+    """One HITS half-superstep for slice ``s`` (float64 analogue of
+    ``_cc_min_fn``): direction='auth' sums the broadcast hub vector over
+    in-edges into each owner vertex (base dst-residue slice);
+    direction='hub' sums the broadcast auth vector over out-edges
+    (reverse src-residue slice). Emits the compact unnormalized segment;
+    the driver L1-normalizes after reassembly."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vec = vec_bc.value
+        P = n_slices
+        for pdf in batches:
+            for s in pdf["id"].to_numpy():
+                s = int(s)
+                seg = np.zeros_like(vec[s::P])
+                if direction == "auth":
+                    src_idx, dst_idx, _w, _d = _load_slice(
+                        resident_dir, epoch, s)
+                    if dst_idx.size:
+                        np.add.at(seg, np.asarray(dst_idx) // P, vec[src_idx])
+                else:
+                    rs, rd = _load_rslice(resident_dir, epoch, s)
+                    if rs.size:
+                        np.add.at(seg, np.asarray(rs) // P, vec[rd])
+                yield pd.DataFrame({"slice": [s], "seg": [seg.tobytes()]})
+
+    return fn
+
+
 def dense_label_loop(graph, dense, make_fn, *, post=None, rounds=None,
                      max_iterations=200, store=None, mode="labels",
                      init=None, start_iter=0, run_id=None):

@@ -103,6 +103,36 @@ def test_hits_small_converged(spark, small_graph):
     assert abs(auth.sum() - 1.0) < 1e-9
 
 
+def test_hits_arrow_matches_join_path_and_oracle(spark, small_graph):
+    """Dense Arrow HITS kernel (resident slices, two narrow jobs per
+    superstep) is FP-identical to the join-agg path and exact vs the
+    NumPy oracle at fixed iteration count."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.hits import hits_arrow
+
+    res_a = hits_arrow(small_graph, tolerance=0.0, max_iterations=6)
+    res_j = hits(small_graph, tolerance=0.0, max_iterations=6)
+    assert res_a.iterations == res_j.iterations == 6
+    hub_a = _col(res_a.scores.select("id", "hub"), 300, "id", "hub")
+    auth_a = _col(res_a.scores.select("id", "auth"), 300, "id", "auth")
+    hub_j = _col(res_j.scores.select("id", "hub"), 300, "id", "hub")
+    auth_j = _col(res_j.scores.select("id", "auth"), 300, "id", "auth")
+    assert np.allclose(hub_a, hub_j, atol=1e-14)
+    assert np.allclose(auth_a, auth_j, atol=1e-14)
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    h, a, _ = hits_oracle(300, edges, tol=0.0, max_iter=6)
+    assert np.allclose(hub_a, h, atol=1e-12)
+    assert np.allclose(auth_a, a, atol=1e-12)
+
+
+def test_hits_arrow_converged_tracks_err(spark, small_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.hits import hits_arrow
+
+    res = hits_arrow(small_graph, tolerance=1e-10, max_iterations=300)
+    assert res.err <= 1e-10
+    hub = _col(res.scores.select("id", "hub"), 300, "id", "hub")
+    assert abs(hub.sum() - 1.0) < 1e-9
+
+
 # ----------------------------------------------------------------- SCC
 
 
