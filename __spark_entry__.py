@@ -366,6 +366,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_3iter"] = hits_3iter
 
+    def hits_arrow_3iter(spark, sf):
+        # same recurrence on the dense resident-slice kernel (two narrow
+        # jobs per superstep, no edge shuffle post-warmup) — FP-identical
+        # to the join path, so it shares the unrolled SQL oracle
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.hits import (
+            hits_arrow,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        res = hits_arrow(g, tolerance=0.0, max_iterations=3)
+        return res.scores.select(
+            "id", F.round("hub", 9).alias("hub"),
+            F.round("auth", 9).alias("auth"))
+
+    q["hits_arrow_3iter"] = hits_arrow_3iter
+
     def scc_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
             strongly_connected_components,
@@ -1135,6 +1151,7 @@ SELECT v.id, COALESCE(parts.tri_count, 0) AS tri_count
 FROM v LEFT JOIN parts ON v.id = parts.id"""
 
     o["hits_3iter"] = _hits_sql(3, 9)
+    o["hits_arrow_3iter"] = _hits_sql(3, 9)
     o["scc"] = SCC_SQL
     o["scc_stats"] = f"""
 WITH scc AS ({SCC_SQL}),
