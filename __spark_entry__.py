@@ -421,6 +421,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["core_histogram"] = core_histogram_q
 
+    def neighborhood_t3(spark, sf):
+        # HyperANF-style neighborhood function, exact bitset kernel at
+        # fixed horizon t=3 (ordered pairs within distance <= t; constant
+        # past the fixpoint) — plans/neighborhood.py
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+            neighborhood_function,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return neighborhood_function(g, max_t=3, mode="exact")
+
+    q["neighborhood_t3"] = neighborhood_t3
+
     def degree_histogram_out(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
             degree_histogram,
@@ -1152,6 +1165,18 @@ FROM v LEFT JOIN parts ON v.id = parts.id"""
 
     o["hits_3iter"] = _hits_sql(3, 9)
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
+    o["neighborhood_t3"] = f"""
+WITH RECURSIVE {G_CTES},
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+reach(a, b, d) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT r.a, ed.dst, r.d + 1 FROM reach r JOIN ed ON ed.src = r.b
+  WHERE r.d < 3),
+md AS (SELECT a, b, MIN(d) AS d FROM reach GROUP BY a, b)
+SELECT t.t AS t,
+       CAST((SELECT COUNT(*) FROM md WHERE md.d <= t.t) AS BIGINT) AS n_pairs
+FROM (VALUES (0), (1), (2), (3)) AS t(t)"""
     o["scc"] = SCC_SQL
     o["scc_stats"] = f"""
 WITH scc AS ({SCC_SQL}),

@@ -381,6 +381,26 @@ def kernel_extras(spark) -> dict:
         s = strongly_connected_components(g)
         out["n_sccs"] = int(s.select("comp").distinct().count())
         out["scc_sec"] = round(time.monotonic() - t, 3)
+        # HyperANF neighborhood function: dense HLL kernel to the
+        # fixpoint, plus 4 rounds of the sharded join-agg scale path
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+            neighborhood_function,
+            neighborhood_function_sharded,
+        )
+
+        t = time.monotonic()
+        nf = neighborhood_function(g, mode="hll", b=6).toPandas()
+        out["neighborhood_hll_sec"] = round(time.monotonic() - t, 3)
+        vals = nf.sort_values("t")["n_pairs"].to_numpy()
+        out["neighborhood_rounds"] = int(nf["t"].max())
+        target = 0.9 * vals[-1]
+        i = int((vals >= target).argmax())
+        out["effective_diameter_hll"] = round(
+            float(i - 1 + (target - vals[i - 1]) / (vals[i] - vals[i - 1]))
+            if i and vals[i] > vals[i - 1] else float(i), 3)
+        t = time.monotonic()
+        neighborhood_function_sharded(g, max_t=4, b=6)
+        out["neighborhood_sharded_4r_sec"] = round(time.monotonic() - t, 3)
     finally:
         g.unpersist()
     return out

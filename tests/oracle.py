@@ -328,3 +328,37 @@ def bowtie_oracle(n: int, edges: list[tuple[int, int]]) -> list[str]:
         else:
             out.append("OTHER")
     return out
+
+
+def neighborhood_oracle(n: int, edges: list[tuple[int, int]],
+                        max_t: int | None = None) -> list[tuple[int, int]]:
+    """Exact neighborhood function by per-source BFS: [(t, N(t))] with
+    N(t) = ordered pairs (v, u) at distance <= t, self-pairs included,
+    up to max_t (or the largest finite distance)."""
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+    from collections import deque
+
+    dist_counts: dict[int, int] = {0: n}
+    diam = 0
+    for v in range(n):
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            for w in adj[x]:
+                if w not in dist:
+                    dist[w] = dist[x] + 1
+                    q.append(w)
+        for u, d in dist.items():
+            if u != v:
+                dist_counts[d] = dist_counts.get(d, 0) + 1
+                diam = max(diam, d)
+    limit = diam if max_t is None else max_t
+    out, cum = [], 0
+    for t in range(limit + 1):
+        cum += dist_counts.get(t, 0)
+        out.append((t, cum))
+    return out
