@@ -240,6 +240,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_weighted_3iter"] = pagerank_weighted_3iter
 
+    # -- page→host contraction (operators/graph.py:contract_edges): the
+    # quotient graph under group = id % 7, weights = inter-group edge count
+    def _host_edges(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+            contract_edges,
+        )
+
+        e = _edges(spark, sf)
+        mapping = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .select("id", (F.col("id") % 7).alias("group"))
+        )
+        return contract_edges(e, mapping)
+
+    def host_graph(spark, sf):
+        return _host_edges(spark, sf)
+
+    q["host_graph"] = host_graph
+
+    # -- host-level weighted PageRank: rank flows proportionally to the
+    # inter-host link mass of the contracted graph
+    def host_pagerank_3iter(spark, sf):
+        g = build_graph(_host_edges(spark, sf), weight_col="weight")
+        res = pagerank(g, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                          metrics_level="none"))
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    q["host_pagerank_3iter"] = host_pagerank_3iter
+
     # -- personalized teleport: (1-d)·p[v] with p ∝ 2.0 on ids ≡ 0 (mod 10)
     def pagerank_personalized_3iter(spark, sf):
         g = _graph(spark, sf)
@@ -827,7 +858,17 @@ def _pagerank_3iter_sql() -> str:
     return _pagerank_sql(3, 9)
 
 
-def _pagerank_weighted_3iter_sql() -> str:
+WEIGHTED_EDGES_SQL = """SELECT l_suppkey AS src, l_partkey % 100 AS dst,
+                    CAST(SUM(l_quantity) AS DOUBLE) AS weight
+             FROM lineitem GROUP BY 1, 2"""
+# page-graph contracted to "host" groups id % 7: parallel contracted
+# edges merge by SUM of unit weights (count) — contract_edges semantics
+HOST_EDGES_SQL = f"""SELECT src % 7 AS src, dst % 7 AS dst,
+                    CAST(COUNT(*) AS DOUBLE) AS weight
+             FROM ({EDGES_SQL}) GROUP BY 1, 2"""
+
+
+def _pagerank_weighted_3iter_sql(ew_cte: str = WEIGHTED_EDGES_SQL) -> str:
     iters = []
     for i in range(1, 4):
         iters.append(
@@ -838,9 +879,7 @@ def _pagerank_weighted_3iter_sql() -> str:
         )
     joined = ",\n".join(iters)
     return f"""
-WITH e0w AS (SELECT l_suppkey AS src, l_partkey % 100 AS dst,
-                    CAST(SUM(l_quantity) AS DOUBLE) AS weight
-             FROM lineitem GROUP BY 1, 2),
+WITH e0w AS ({ew_cte}),
 v AS (SELECT src AS id FROM e0w UNION SELECT dst AS id FROM e0w),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
 loops AS (SELECT id AS src, id AS dst, 1.0 AS weight FROM v
@@ -1110,6 +1149,8 @@ SELECT src, dst FROM e2 WHERE src % 13 <> 1 AND dst % 13 <> 1"""
     o["naive_dynamic"] = _pagerank_sql(60, 6, edge_cte=BATCHED_EDGES_SQL)
     o["dynamic_frontier"] = o["naive_dynamic"]
     o["pagerank_weighted_3iter"] = _pagerank_weighted_3iter_sql()
+    o["host_graph"] = f"SELECT * FROM ({HOST_EDGES_SQL})"
+    o["host_pagerank_3iter"] = _pagerank_weighted_3iter_sql(HOST_EDGES_SQL)
     o["pagerank_personalized_3iter"] = _pagerank_personalized_3iter_sql()
     o["pagerank_topk"] = (
         f"SELECT id, rank FROM ({_pagerank_3iter_sql()}) base "

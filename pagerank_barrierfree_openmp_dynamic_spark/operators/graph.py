@@ -293,3 +293,41 @@ def self_loop_count(edges: DataFrame) -> int:
 def transpose(edges: DataFrame) -> DataFrame:
     """``transposeW`` (``/root/reference/src/transpose.hxx:12-44``)."""
     return edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+
+def contract_edges(
+    edges: DataFrame,
+    mapping: DataFrame,
+    *,
+    weight_col: str | None = None,
+    group_col: str = "group",
+    drop_self_loops: bool = False,
+) -> DataFrame:
+    """Quotient (contracted) edge table — the page→host/domain aggregation
+    every web-graph analysis runs before host-level ranking (not a
+    reference operator; the reference ranks the raw vertex set only).
+    ``mapping`` is ``(id, group)``; every edge becomes
+    ``(group(src), group(dst))`` and parallel contracted edges merge by
+    SUMMING weight (count when unweighted) — so the result feeds
+    ``build_graph(weight_col="weight")`` and rank flows proportionally to
+    inter-group link mass.
+
+    Scale shape: two equi-joins on src/dst (mapping is O(V) — NOT
+    broadcast; both joins shuffle on the same keys the edge table is
+    already partitioned by, so on a real cluster the src-side join is
+    co-partitioned with ``adj``) followed by one map-side-combinable
+    hash aggregation on the (much smaller) group keys.
+    """
+    m_src = mapping.select(F.col("id").alias("src"),
+                           F.col(group_col).alias("_gsrc"))
+    m_dst = mapping.select(F.col("id").alias("dst"),
+                           F.col(group_col).alias("_gdst"))
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    out = (
+        edges.join(m_src, "src").join(m_dst, "dst")
+        .select(F.col("_gsrc").alias("src"), F.col("_gdst").alias("dst"),
+                w.alias("_w"))
+    )
+    if drop_self_loops:
+        out = out.filter(F.col("src") != F.col("dst"))
+    return out.groupBy("src", "dst").agg(F.sum("_w").alias("weight"))

@@ -224,3 +224,32 @@ def test_degree_histogram_matches_degrees(spark, small_graph):
         assert (deg == r["deg"]).sum() == r["n_vertices"]
     with pytest.raises(ValueError):
         degree_histogram(small_graph.edges, small_graph.vertices, "sideways")
+
+
+# ---------------------------------------------------- graph contraction
+
+
+def test_contract_edges_weighted_and_loops(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        contract_edges,
+    )
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2, 3, 4, 5],
+                      "dst": [2, 3, 4, 5, 0, 1],
+                      "w":   [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}))
+    mapping = spark.createDataFrame(
+        pd.DataFrame({"id": range(6), "group": [0, 0, 1, 1, 2, 2]}))
+    got = contract_edges(edges, mapping, weight_col="w").toPandas()
+    got = {(r.src, r.dst): r.weight for r in got.itertuples(index=False)}
+    # 0->2, 1->3 both map to (0,1): weights 1+2; 2->4,3->5 -> (1,2): 3+4;
+    # 4->0,5->1 -> (2,0): 5+6
+    assert got == {(0, 1): 3.0, (1, 2): 7.0, (2, 0): 11.0}
+
+    # unweighted counts + contracted self-loop dropping
+    mapping2 = spark.createDataFrame(
+        pd.DataFrame({"id": range(6), "group": [0, 0, 0, 0, 1, 1]}))
+    got2 = contract_edges(edges, mapping2, drop_self_loops=True).toPandas()
+    got2 = {(r.src, r.dst): r.weight for r in got2.itertuples(index=False)}
+    # inside-group 0: 0->2, 1->3 dropped; inside-group 1: none
+    assert got2 == {(0, 1): 2.0, (1, 0): 2.0}
