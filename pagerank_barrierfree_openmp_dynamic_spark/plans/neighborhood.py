@@ -99,7 +99,7 @@ def hll_estimate(regs: np.ndarray) -> np.ndarray:
 
 
 def _ball_union_fn(resident_dir: str, epoch: str, n_slices: int, state_bc,
-                   width: int, exact: bool):
+                   exact: bool):
     """One ball-expansion round for slice ``s``: owned rows start from
     their own summary and fold in the summaries of their OUT-neighbors
     (reverse src-residue slice). ``bitwise_or.at`` / ``maximum.at``
@@ -163,22 +163,22 @@ def neighborhood_function(
         state = np.zeros((n, width), dtype=np.uint64)
         state[np.arange(n), np.arange(n) >> 6] = (
             _U64(1) << (np.arange(n, dtype=np.uint64) & _U64(63)))
-        counts = [("long", int(n))]
+        n0: float | int = int(n)
         dtype = np.uint64
     else:
         width = 1 << b
         state = hll_init(dg.ids, b)
-        counts = [("double", float(hll_estimate(state).sum()))]
+        n0 = float(hll_estimate(state).sum())
         dtype = np.uint8
 
-    rows = [(0, counts[0][1])]
+    rows = [(0, n0)]
     t, limit = 0, max_t if max_t is not None else n
     with adaptive_execution(spark, False):
         while t < limit:
             state_bc = sc.broadcast(state)
             parts = slice_df.mapInPandas(
                 _ball_union_fn(dg.resident_dir, dg.epoch, P, state_bc,
-                               width, exact),
+                               exact),
                 "slice int, seg binary",
             ).toPandas()
             new = np.empty_like(state)
