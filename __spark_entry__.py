@@ -413,6 +413,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_arrow_3iter"] = hits_arrow_3iter
 
+    def salsa_3iter(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.salsa import salsa
+
+        g = _graph(spark, sf, self_loops=False)
+        res = salsa(g, tolerance=0.0, max_iterations=3)
+        return res.scores.select(
+            "id", F.round("hub", 9).alias("hub"),
+            F.round("auth", 9).alias("auth"))
+
+    q["salsa_3iter"] = salsa_3iter
+
+    def salsa_arrow_3iter(spark, sf):
+        # same walk recurrence on the dense resident-slice kernel (the
+        # degree division moves into the driver-side broadcast vector, so
+        # each half-superstep IS a HITS gather) — FP-identical to the
+        # join path, so it shares the unrolled SQL oracle
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.salsa import (
+            salsa_arrow,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        res = salsa_arrow(g, tolerance=0.0, max_iterations=3)
+        return res.scores.select(
+            "id", F.round("hub", 9).alias("hub"),
+            F.round("auth", 9).alias("auth"))
+
+    q["salsa_arrow_3iter"] = salsa_arrow_3iter
+
     def scc_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
             strongly_connected_components,
@@ -998,6 +1026,44 @@ FROM v JOIN h{iterations} ON v.id = h{iterations}.id
 JOIN a{iterations} ON v.id = a{iterations}.id"""
 
 
+def _salsa_sql(iterations: int = 3, digits: int = 9) -> str:
+    """Unrolled L1-normalized SALSA (matches plans/salsa.py exactly):
+    HITS with column-stochastic walk steps. Each gathered contribution is
+    scaled by the SAME FP expression the engine uses — ``h * (1.0/d)``,
+    multiply-by-reciprocal, matching graph.adj's precomputed w — so the
+    oracle is bit-compatible, not just close. No self-loops (raw e0)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"a{i}r AS MATERIALIZED (SELECT e0.dst AS id, "
+            f"SUM(h{i-1}.h * (1.0 / od.d)) AS s "
+            f"FROM e0 JOIN h{i-1} ON e0.src = h{i-1}.id "
+            f"JOIN od ON od.id = e0.src GROUP BY e0.dst),\n"
+            f"a{i} AS MATERIALIZED (SELECT v.id, COALESCE(a{i}r.s, 0.0) / "
+            f"(SELECT SUM(s) FROM a{i}r) AS a "
+            f"FROM v LEFT JOIN a{i}r ON v.id = a{i}r.id),\n"
+            f"h{i}r AS MATERIALIZED (SELECT e0.src AS id, "
+            f"SUM(a{i}.a * (1.0 / idg.d)) AS s "
+            f"FROM e0 JOIN a{i} ON e0.dst = a{i}.id "
+            f"JOIN idg ON idg.id = e0.dst GROUP BY e0.src),\n"
+            f"h{i} AS MATERIALIZED (SELECT v.id, COALESCE(h{i}r.s, 0.0) / "
+            f"(SELECT SUM(s) FROM h{i}r) AS h "
+            f"FROM v LEFT JOIN h{i}r ON v.id = h{i}r.id)"
+        )
+    joined = ",\n".join(steps)
+    return f"""
+WITH e0 AS MATERIALIZED ({EDGES_SQL}),
+v AS MATERIALIZED ({V_SQL}),
+od AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM e0 GROUP BY src),
+idg AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS d FROM e0 GROUP BY dst),
+h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM v) AS h FROM v),
+{joined}
+SELECT v.id, ROUND(h{iterations}.h, {digits}) AS hub,
+       ROUND(a{iterations}.a, {digits}) AS auth
+FROM v JOIN h{iterations} ON v.id = h{iterations}.id
+JOIN a{iterations} ON v.id = a{iterations}.id"""
+
+
 # SCC labels by brute-force mutual reachability (recursive transitive
 # closure — exact at oracle scale; the engine uses FW-BW coloring):
 # comp(v) = MIN over ids mutually reachable with v (incl. v itself)
@@ -1206,6 +1272,8 @@ FROM v LEFT JOIN parts ON v.id = parts.id"""
 
     o["hits_3iter"] = _hits_sql(3, 9)
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
+    o["salsa_3iter"] = _salsa_sql(3, 9)
+    o["salsa_arrow_3iter"] = _salsa_sql(3, 9)
     o["neighborhood_t3"] = f"""
 WITH RECURSIVE {G_CTES},
 ed AS (SELECT src, dst FROM e0 WHERE src <> dst),

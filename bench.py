@@ -373,6 +373,13 @@ def kernel_extras(spark) -> dict:
         t = time.monotonic()
         hits_arrow(g, tolerance=0.0, max_iterations=5).scores.count()
         out["hits_arrow_5iter_sec"] = round(time.monotonic() - t, 3)
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.salsa import (
+            salsa_arrow,
+        )
+
+        t = time.monotonic()
+        salsa_arrow(g, tolerance=0.0, max_iterations=5).scores.count()
+        out["salsa_arrow_5iter_sec"] = round(time.monotonic() - t, 3)
         t = time.monotonic()
         c = coreness(g)
         out["degeneracy"] = int(c.agg(F.max("core")).collect()[0][0])

@@ -185,6 +185,23 @@ def main(argv=None):
 
     section("pagerank_topk", _pagerank_topk)
 
+    def _salsa_topk():
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.salsa import (
+            salsa_arrow,
+        )
+
+        res = salsa_arrow(g, tolerance=args.tolerance, max_iterations=200)
+        summary["salsa_iterations"] = res.iterations
+        hubs = top_k(res.scores.select("id", "hub"), "hub", args.topk) \
+            .withColumn("kind", F.lit("hub"))
+        auths = top_k(res.scores.select(
+            "id", F.col("auth").alias("hub")), "hub", args.topk) \
+            .withColumn("kind", F.lit("authority"))
+        return hubs.unionByName(auths) \
+            .withColumnRenamed("hub", "score")
+
+    section("salsa_topk", _salsa_topk)
+
     if args.host_expr:
         mapping = g.vertices.select(
             "id", F.expr(args.host_expr).alias("group"))

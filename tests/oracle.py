@@ -330,6 +330,58 @@ def bowtie_oracle(n: int, edges: list[tuple[int, int]]) -> list[str]:
     return out
 
 
+def salsa_oracle(
+    n: int,
+    edges: list[tuple[int, int]],
+    weights: list[float] | None = None,
+    tol: float = 1e-10,
+    max_iter: int = 500,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """L1-normalized SALSA (matches plans/salsa.py's recurrence exactly):
+    HITS with column-stochastic walk steps — each gathered contribution is
+    scaled by w(u,v)/W_out(u) (auth) resp. w(u,v)/W_in(v) (hub). Returns
+    (hub, auth, iterations)."""
+    if weights is None:
+        es = sorted(set((int(a), int(b)) for a, b in edges))
+        src = np.array([a for a, _ in es], dtype=np.int64)
+        dst = np.array([b for _, b in es], dtype=np.int64)
+        w = np.ones(len(es))
+    else:
+        agg: dict[tuple[int, int], float] = {}
+        for (a, b), ww in zip(edges, weights):
+            agg[(int(a), int(b))] = agg.get((int(a), int(b)), 0.0) + float(ww)
+        es = sorted(agg)
+        src = np.array([a for a, _ in es], dtype=np.int64)
+        dst = np.array([b for _, b in es], dtype=np.int64)
+        w = np.array([agg[e] for e in es])
+    wout = np.zeros(n)
+    np.add.at(wout, src, w)
+    win = np.zeros(n)
+    np.add.at(win, dst, w)
+    fwd = w / wout[src]          # w(u,v)/W_out(u)
+    bwd = w / win[dst]           # w(u,v)/W_in(v)
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    it = 0
+    while it < max_iter:
+        a_new = np.zeros(n)
+        np.add.at(a_new, dst, h[src] * fwd)
+        s = a_new.sum()
+        if s > 0:
+            a_new /= s
+        h_new = np.zeros(n)
+        np.add.at(h_new, src, a_new[dst] * bwd)
+        s = h_new.sum()
+        if s > 0:
+            h_new /= s
+        err = max(np.abs(h_new - h).max(), np.abs(a_new - a).max())
+        h, a = h_new, a_new
+        it += 1
+        if tol > 0.0 and err <= tol:
+            break
+    return h, a, it
+
+
 def neighborhood_oracle(n: int, edges: list[tuple[int, int]],
                         max_t: int | None = None) -> list[tuple[int, int]]:
     """Exact neighborhood function by per-source BFS: [(t, N(t))] with

@@ -37,7 +37,7 @@ def test_graph_report_job(spark, tmp_path, edges_path):
 
     sections = ["stats", "degree_hist_out", "degree_hist_in", "components",
                 "scc_stats", "bowtie", "core_hist", "neighborhood",
-                "pagerank_topk", "host_graph", "host_ranks"]
+                "pagerank_topk", "salsa_topk", "host_graph", "host_ranks"]
     for s in sections:
         assert spark.read.parquet(f"{out}/{s}").count() > 0, s
 
@@ -53,6 +53,9 @@ def test_graph_report_job(spark, tmp_path, edges_path):
     assert sum(r["n_vertices"] for r in bt.collect()) == n
     topk = spark.read.parquet(f"{out}/pagerank_topk")
     assert topk.count() == 10
+    stopk = spark.read.parquet(f"{out}/salsa_topk")
+    assert stopk.filter("kind = 'hub'").count() == 10
+    assert stopk.filter("kind = 'authority'").count() == 10
     hosts = spark.read.parquet(f"{out}/host_ranks")
     assert hosts.count() == summary["n_hosts"] <= 9
     # host ranks are a probability vector

@@ -23,7 +23,8 @@ from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
     strongly_connected_components,
 )
 
-from oracle import bowtie_oracle, coreness_oracle, hits_oracle, scc_oracle
+from oracle import (bowtie_oracle, coreness_oracle, hits_oracle, salsa_oracle,
+                    scc_oracle)
 
 
 @pytest.fixture(scope="module")
@@ -253,3 +254,102 @@ def test_contract_edges_weighted_and_loops(spark):
     got2 = {(r.src, r.dst): r.weight for r in got2.itertuples(index=False)}
     # inside-group 0: 0->2, 1->3 dropped; inside-group 1: none
     assert got2 == {(0, 1): 2.0, (1, 0): 2.0}
+
+
+# ---------------------------------------------------------------- SALSA
+
+
+def test_salsa_tiny_fixed_iterations_exact(spark, tiny_graph_noloops):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.salsa import salsa
+
+    res = salsa(tiny_graph_noloops, tolerance=0.0, max_iterations=3)
+    assert res.iterations == 3
+    hub = _col(res.scores.select("id", "hub"), 10, "id", "hub")
+    auth = _col(res.scores.select("id", "auth"), 10, "id", "auth")
+    h, a, _ = salsa_oracle(10, datagen.tiny_edges(), tol=0.0, max_iter=3)
+    assert np.allclose(hub, h, atol=1e-12)
+    assert np.allclose(auth, a, atol=1e-12)
+
+
+def test_salsa_arrow_matches_join_path_and_oracle(spark, small_graph):
+    """Dense Arrow SALSA (driver-side walk division + the HITS gather
+    kernel) is FP-close to the join-agg path and exact vs the NumPy
+    oracle at fixed iteration count."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.salsa import (
+        salsa,
+        salsa_arrow,
+    )
+
+    res_a = salsa_arrow(small_graph, tolerance=0.0, max_iterations=6)
+    res_j = salsa(small_graph, tolerance=0.0, max_iterations=6)
+    assert res_a.iterations == res_j.iterations == 6
+    hub_a = _col(res_a.scores.select("id", "hub"), 300, "id", "hub")
+    auth_a = _col(res_a.scores.select("id", "auth"), 300, "id", "auth")
+    hub_j = _col(res_j.scores.select("id", "hub"), 300, "id", "hub")
+    auth_j = _col(res_j.scores.select("id", "auth"), 300, "id", "auth")
+    assert np.allclose(hub_a, hub_j, atol=1e-13)
+    assert np.allclose(auth_a, auth_j, atol=1e-13)
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    h, a, _ = salsa_oracle(300, edges, tol=0.0, max_iter=6)
+    assert np.allclose(hub_a, h, atol=1e-12)
+    assert np.allclose(auth_a, a, atol=1e-12)
+
+
+def test_salsa_stationary_is_degree_proportional(spark):
+    """Lempel & Moran's closed form: when the co-citation (resp.
+    bibliographic-coupling) graph is connected, the SALSA authority
+    (resp. hub) fixed point is EXACTLY indeg/Σindeg (resp.
+    outdeg/Σoutdeg) — an independent check no iteration count shares."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.salsa import salsa
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4),
+             (3, 4), (3, 5), (4, 5), (4, 1), (5, 1), (5, 0)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    g = build_graph(spark.createDataFrame(pdf),
+                    vertices=spark.range(6).select("id"),
+                    add_self_loops=False)
+    try:
+        res = salsa(g, tolerance=1e-12, max_iterations=400)
+        hub = _col(res.scores.select("id", "hub"), 6, "id", "hub")
+        auth = _col(res.scores.select("id", "auth"), 6, "id", "auth")
+        indeg = np.zeros(6)
+        outdeg = np.zeros(6)
+        for s, d in edges:
+            outdeg[s] += 1
+            indeg[d] += 1
+        assert np.allclose(auth, indeg / indeg.sum(), atol=1e-9)
+        assert np.allclose(hub, outdeg / outdeg.sum(), atol=1e-9)
+    finally:
+        g.unpersist()
+
+
+def test_salsa_weighted_walks_match_oracle(spark):
+    """Weighted SALSA walks proportionally to edge weight on BOTH chains
+    (forward w/W_out, backward w/W_in); salsa_arrow refuses weighted."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.salsa import (
+        salsa,
+        salsa_arrow,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src = rng.integers(0, n, 160)
+    dst = (src + 1 + rng.integers(0, n - 1, 160)) % n
+    w = (src * 7 + dst * 13) % 5 + 1.0
+    pdf = pd.DataFrame({"src": src, "dst": dst, "w": w.astype(float)})
+    g = build_graph(spark.createDataFrame(pdf),
+                    vertices=spark.range(n).select("id"),
+                    add_self_loops=False, weight_col="w")
+    try:
+        res = salsa(g, tolerance=0.0, max_iterations=4)
+        hub = _col(res.scores.select("id", "hub"), n, "id", "hub")
+        auth = _col(res.scores.select("id", "auth"), n, "id", "auth")
+        h, a, _ = salsa_oracle(
+            n, list(zip(src.tolist(), dst.tolist())),
+            weights=w.tolist(), tol=0.0, max_iter=4)
+        assert np.allclose(hub, h, atol=1e-12)
+        assert np.allclose(auth, a, atol=1e-12)
+        with pytest.raises(ValueError, match="unweighted"):
+            salsa_arrow(g)
+    finally:
+        g.unpersist()
