@@ -493,6 +493,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["neighborhood_t3"] = neighborhood_t3
 
+    def harmonic_t3(spark, sf):
+        # harmonic centrality H(v) = sum over u of 1/d(u,v) at fixed
+        # horizon t<=3, exact bitset kernel (plans/neighborhood.py);
+        # accumulated as count-at-distance-t * (1.0/t), mirrored by the
+        # oracle's COUNT(*) * (1.0/d)
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+            harmonic_centrality,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return harmonic_centrality(g, max_t=3, mode="exact") \
+            .select("id", F.round("harmonic", 9).alias("harmonic"))
+
+    q["harmonic_t3"] = harmonic_t3
+
     def degree_histogram_out(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
             degree_histogram,
@@ -1286,6 +1301,21 @@ md AS (SELECT a, b, MIN(d) AS d FROM reach GROUP BY a, b)
 SELECT t.t AS t,
        CAST((SELECT COUNT(*) FROM md WHERE md.d <= t.t) AS BIGINT) AS n_pairs
 FROM (VALUES (0), (1), (2), (3)) AS t(t)"""
+    o["harmonic_t3"] = f"""
+WITH RECURSIVE {G_CTES},
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+reach(a, b, d) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT r.a, ed.dst, r.d + 1 FROM reach r JOIN ed ON ed.src = r.b
+  WHERE r.d < 3),
+md AS (SELECT a, b, MIN(d) AS d FROM reach GROUP BY a, b),
+cnt AS (SELECT b AS id, d, COUNT(*) AS c FROM md WHERE d > 0 GROUP BY b, d),
+vd AS (SELECT DISTINCT id FROM v)
+SELECT vd.id,
+       ROUND(COALESCE(SUM(cnt.c * (1.0 / cnt.d)), 0.0), 9) AS harmonic
+FROM vd LEFT JOIN cnt ON vd.id = cnt.id
+GROUP BY vd.id"""
     o["scc"] = SCC_SQL
     o["scc_stats"] = f"""
 WITH scc AS ({SCC_SQL}),

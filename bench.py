@@ -398,6 +398,13 @@ def kernel_extras(spark) -> dict:
         t = time.monotonic()
         nf = neighborhood_function(g, mode="hll", b=6).toPandas()
         out["neighborhood_hll_sec"] = round(time.monotonic() - t, 3)
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+            harmonic_centrality,
+        )
+
+        t = time.monotonic()
+        harmonic_centrality(g, mode="hll", b=6).count()
+        out["harmonic_hll_sec"] = round(time.monotonic() - t, 3)
         vals = nf.sort_values("t")["n_pairs"].to_numpy()
         out["neighborhood_rounds"] = int(nf["t"].max())
         target = 0.9 * vals[-1]

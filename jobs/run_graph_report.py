@@ -202,6 +202,16 @@ def main(argv=None):
 
     section("salsa_topk", _salsa_topk)
 
+    def _harmonic_topk():
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+            harmonic_centrality,
+        )
+
+        hc = harmonic_centrality(g, mode="hll", b=args.hll_b)
+        return top_k(hc, "harmonic", args.topk)
+
+    section("harmonic_topk", _harmonic_topk)
+
     if args.host_expr:
         mapping = g.vertices.select(
             "id", F.expr(args.host_expr).alias("group"))

@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..session import adaptive_execution, eager_state
-from .pagerank_arrow import DenseGraph, _load_rslice
+from .pagerank_arrow import DenseGraph, _load_rslice, _load_slice
 
 _U64 = np.uint64
 
@@ -99,11 +99,15 @@ def hll_estimate(regs: np.ndarray) -> np.ndarray:
 
 
 def _ball_union_fn(resident_dir: str, epoch: str, n_slices: int, state_bc,
-                   exact: bool):
-    """One ball-expansion round for slice ``s``: owned rows start from
-    their own summary and fold in the summaries of their OUT-neighbors
-    (reverse src-residue slice). ``bitwise_or.at`` / ``maximum.at``
-    accumulate correctly under duplicate indices."""
+                   exact: bool, direction: str = "out"):
+    """One ball-expansion round for slice ``s``. ``direction="out"``:
+    owned rows fold in the summaries of their OUT-neighbors (reverse
+    src-residue slice) — balls grow along edges, ``ball_t(v) = {u :
+    d(v,u) <= t}``. ``direction="in"``: owned rows fold their
+    IN-neighbors' summaries (base dst-residue slice) — balls grow against
+    edges, ``ball_t(v) = {u : d(u,v) <= t}`` (the orientation harmonic
+    centrality needs). ``bitwise_or.at`` / ``maximum.at`` accumulate
+    correctly under duplicate indices."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state = state_bc.value
@@ -112,13 +116,17 @@ def _ball_union_fn(resident_dir: str, epoch: str, n_slices: int, state_bc,
             for s in pdf["id"].to_numpy():
                 s = int(s)
                 seg = state[s::P].copy()
-                rs, rd = _load_rslice(resident_dir, epoch, s)
-                if rs.size:
-                    own = np.asarray(rs) // P
+                if direction == "out":
+                    own_idx, nbr_idx = _load_rslice(resident_dir, epoch, s)
+                else:
+                    nbr_idx, own_idx, _w, _d = _load_slice(
+                        resident_dir, epoch, s)
+                if len(own_idx):
+                    own = np.asarray(own_idx) // P
                     if exact:
-                        np.bitwise_or.at(seg, own, state[rd])
+                        np.bitwise_or.at(seg, own, state[np.asarray(nbr_idx)])
                     else:
-                        np.maximum.at(seg, own, state[rd])
+                        np.maximum.at(seg, own, state[np.asarray(nbr_idx)])
                 yield pd.DataFrame({"slice": [s], "seg": [seg.tobytes()]})
 
     return fn
@@ -226,6 +234,97 @@ def effective_diameter(
     i = int(np.argmax(vals >= target))
     lo, hi = vals[i - 1], vals[i]
     return float(i - 1 + (target - lo) / (hi - lo)) if hi > lo else float(i)
+
+
+def harmonic_centrality(
+    graph,
+    max_t: Optional[int] = None,
+    mode: str = "exact",
+    b: int = 6,
+    direction: str = "in",
+    *,
+    dense: Optional[DenseGraph] = None,
+) -> DataFrame:
+    """Harmonic centrality ``H(v) = Σ_{u≠v, d finite} 1/d(u,v)`` — the
+    centrality Boldi & Vigna's "Axioms for centrality" singles out as the
+    one ranking that satisfies all three axioms on arbitrary directed
+    graphs (their web-graph runs rank pages with exactly this), computed
+    from the SAME per-vertex ball summaries as :func:`neighborhood_function`:
+
+        H(v) = Σ_t (|B_t(v)| - |B_{t-1}(v)|) · (1/t)
+
+    since the ball delta at round t counts the vertices at distance
+    exactly t. ``direction="in"`` (default) grows balls AGAINST edges
+    (base dst-residue slices), giving the standard incoming-distance
+    centrality; ``direction="out"`` grows along edges (reverse slices),
+    giving the outward variant Σ 1/d(v,u).
+
+    ``mode="exact"`` (packed bitsets, O(n²/8) state) is the test/oracle
+    tool — FP-reproducible because each round contributes the INTEGER
+    count times ``1.0/t``, matching the driver SQL oracle's
+    ``COUNT(*) * (1.0/d)`` bit-for-bit. ``mode="hll"`` scales with
+    2^b bytes/vertex; per-round deltas are clamped at 0 (the
+    linear-counting switch can wiggle estimates) and carry HLL's
+    ~1.04/√(2^b) relative error. Runs to ``max_t`` if given, else the
+    ball fixpoint. Returns ``(id long, harmonic double)``."""
+    if mode not in ("exact", "hll"):
+        raise ValueError(f"mode must be 'exact' or 'hll', got {mode!r}")
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    dg = dense or DenseGraph(graph)
+    if dg.overlays:
+        raise ValueError(
+            "neighborhood kernels need gen-0 slices — rebuild the dense "
+            "view via build_graph + DenseGraph after applying batches")
+    dg.materialize()
+    if direction == "out":
+        dg.materialize_reverse()
+    spark = graph.edges.sparkSession
+    sc = spark.sparkContext
+    n, P = dg.n, dg.n_slices
+    slice_df = spark.range(0, P, 1, P)
+
+    exact = mode == "exact"
+    if exact:
+        width = (n + 63) // 64
+        state = np.zeros((n, width), dtype=np.uint64)
+        state[np.arange(n), np.arange(n) >> 6] = (
+            _U64(1) << (np.arange(n, dtype=np.uint64) & _U64(63)))
+        counts = _popcount_rows(state).astype(np.float64)
+        dtype = np.uint64
+    else:
+        width = 1 << b
+        state = hll_init(dg.ids, b)
+        counts = hll_estimate(state)
+        dtype = np.uint8
+
+    h = np.zeros(n)
+    t, limit = 0, max_t if max_t is not None else n
+    with adaptive_execution(spark, False):
+        while t < limit:
+            state_bc = sc.broadcast(state)
+            parts = slice_df.mapInPandas(
+                _ball_union_fn(dg.resident_dir, dg.epoch, P, state_bc,
+                               exact, direction),
+                "slice int, seg binary",
+            ).toPandas()
+            new = np.empty_like(state)
+            for s, blob in zip(parts["slice"], parts["seg"]):
+                new[int(s)::P] = np.frombuffer(
+                    blob, dtype=dtype).reshape(-1, width)
+            state_bc.destroy()
+            t += 1
+            new_counts = (_popcount_rows(new).astype(np.float64) if exact
+                          else hll_estimate(new))
+            delta = np.maximum(new_counts - counts, 0.0)
+            h += delta * (1.0 / t)
+            if np.array_equal(new, state):
+                break
+            state, counts = new, new_counts
+    if dense is None:
+        dg.unpersist()
+    return spark.createDataFrame(
+        pd.DataFrame({"id": dg.ids, "harmonic": h}))
 
 
 def neighborhood_function_sharded(

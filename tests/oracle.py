@@ -382,6 +382,44 @@ def salsa_oracle(
     return h, a, it
 
 
+def harmonic_oracle(n: int, edges: list[tuple[int, int]],
+                    max_t: int | None = None,
+                    direction: str = "in") -> np.ndarray:
+    """Exact harmonic centrality by per-source BFS (matches
+    plans/neighborhood.harmonic_centrality's exact mode): H(v) =
+    Σ_{u≠v, 0<d<=T} 1/d where d = d(u,v) for direction='in'
+    (incoming distances, the standard definition), d(v,u) for 'out'.
+    Accumulated as count-at-distance-t × (1.0/t), the engine's FP
+    order."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in set((int(a), int(b)) for a, b in edges):
+        if a != b:
+            adj[a].append(b)
+    T = max_t if max_t is not None else n
+    # full forward-distance matrix d(s, u) by BFS from every source
+    INF = n + 1
+    dmat = np.full((n, n), INF, dtype=np.int64)
+    for s in range(n):
+        dmat[s, s] = 0
+        frontier = [s]
+        d = 0
+        while frontier and d < T:
+            d += 1
+            nxt = []
+            for x in frontier:
+                for y in adj[x]:
+                    if dmat[s, y] == INF:
+                        dmat[s, y] = d
+                        nxt.append(y)
+            frontier = nxt
+    # 'in': H(v) = Σ over u of 1/d(u,v); 'out': H(v) = Σ over u of 1/d(v,u)
+    dv = dmat.T if direction == "in" else dmat
+    h = np.zeros(n)
+    for t in range(1, T + 1):
+        h += (dv == t).sum(axis=1).astype(np.float64) * (1.0 / t)
+    return h
+
+
 def neighborhood_oracle(n: int, edges: list[tuple[int, int]],
                         max_t: int | None = None) -> list[tuple[int, int]]:
     """Exact neighborhood function by per-source BFS: [(t, N(t))] with

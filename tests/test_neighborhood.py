@@ -136,3 +136,64 @@ def test_sharded_matches_dense_hll(spark, chain_graph):
     k = min(len(d), len(s))
     assert k >= 4
     assert np.allclose(d[:k], s[:k], rtol=1e-9)
+
+
+# ------------------------------------------------------ harmonic centrality
+
+
+def test_harmonic_chain_closed_form(spark, chain_graph):
+    """On the 0->1->...->9 chain H_in(v) = Σ_{t=1..v} 1/t (every earlier
+    vertex at its exact distance); the detached triangle vertices each see
+    the other two at distances 1 and 2."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+        harmonic_centrality,
+    )
+
+    got = harmonic_centrality(chain_graph, mode="exact").toPandas() \
+        .sort_values("id")["harmonic"].to_numpy()
+    want = np.zeros(13)
+    for v in range(10):
+        want[v] = sum(1.0 / t for t in range(1, v + 1))
+    want[10] = want[11] = want[12] = 1.0 + 0.5
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_harmonic_matches_bfs_oracle_small(spark, small_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+        harmonic_centrality,
+    )
+    from oracle import harmonic_oracle
+
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    got = harmonic_centrality(small_graph, mode="exact").toPandas() \
+        .sort_values("id")["harmonic"].to_numpy()
+    assert np.allclose(got, harmonic_oracle(300, edges), atol=1e-10)
+    # outward variant + horizon truncation
+    got3 = harmonic_centrality(small_graph, max_t=3, mode="exact",
+                               direction="out").toPandas() \
+        .sort_values("id")["harmonic"].to_numpy()
+    assert np.allclose(
+        got3, harmonic_oracle(300, edges, max_t=3, direction="out"),
+        atol=1e-10)
+
+
+def test_harmonic_hll_tracks_exact(spark, small_graph):
+    """HLL-mode harmonic centrality is a noisy but strongly rank-correlated
+    estimate of the exact scores (b=8 → ~6.5% register error)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+        harmonic_centrality,
+    )
+
+    ex = harmonic_centrality(small_graph, mode="exact").toPandas() \
+        .sort_values("id")["harmonic"].to_numpy()
+    ap = harmonic_centrality(small_graph, mode="hll", b=8).toPandas() \
+        .sort_values("id")["harmonic"].to_numpy()
+    nz = ex > 0
+    assert nz.any()
+    rel = np.abs(ap[nz] - ex[nz]) / ex[nz]
+    assert np.median(rel) < 0.25
+    # rank correlation (Spearman via argsort of argsort)
+    r1 = np.argsort(np.argsort(ex))
+    r2 = np.argsort(np.argsort(ap))
+    rho = np.corrcoef(r1, r2)[0, 1]
+    assert rho > 0.9
