@@ -508,6 +508,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["harmonic_t3"] = harmonic_t3
 
+    def random_walks_q(spark, sf):
+        # seeded walk corpus (DeepWalk front-end), affine selection
+        # strategy — same plan shape as the production hash strategy but
+        # expressible in ANSI SQL, so the whole operator (ranked
+        # adjacency, rank-directed equi-join per step, dead-end
+        # termination) is oracle-checked end-to-end
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.walks import (
+            random_walks,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return random_walks(g, walk_length=3, walks_per_vertex=2,
+                            strategy="affine")
+
+    q["random_walks"] = random_walks_q
+
     def degree_histogram_out(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
             degree_histogram,
@@ -1041,6 +1057,37 @@ FROM v JOIN h{iterations} ON v.id = h{iterations}.id
 JOIN a{iterations} ON v.id = a{iterations}.id"""
 
 
+def _walks_sql(walk_length: int = 3, walks_per_vertex: int = 2) -> str:
+    """Unrolled affine-strategy random walks (matches plans/walks.py
+    exactly): ranked adjacency, per-step rank-directed join with
+    ``rn = 1 + (start*31 + walk*13 + step*7) % outdeg``, dead ends
+    terminate. No self-loops (raw e0)."""
+    wis = ", ".join(f"({i})" for i in range(walks_per_vertex))
+    steps = []
+    prev = "s0"
+    for i in range(1, walk_length + 1):
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT s.start, s.walk, a.dst AS vertex "
+            f"FROM {prev} s JOIN adj a ON a.src = s.vertex "
+            f"AND a.rn = 1 + (s.start * 31 + s.walk * 13 + {i * 7}) "
+            f"% a.outdeg)")
+        prev = f"s{i}"
+    joined = ",\n".join(steps)
+    sel = "\nUNION ALL ".join(
+        f"SELECT start, walk, {i} AS step, vertex FROM s{i}"
+        for i in range(walk_length + 1))
+    return f"""
+WITH e0 AS MATERIALIZED ({EDGES_SQL}),
+v AS MATERIALIZED ({V_SQL}),
+adj AS MATERIALIZED (SELECT src, dst,
+  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+  COUNT(*) OVER (PARTITION BY src) AS outdeg FROM e0),
+s0 AS MATERIALIZED (SELECT v.id AS start, t.wi AS walk, v.id AS vertex
+  FROM v CROSS JOIN (VALUES {wis}) AS t(wi)),
+{joined}
+{sel}"""
+
+
 def _salsa_sql(iterations: int = 3, digits: int = 9) -> str:
     """Unrolled L1-normalized SALSA (matches plans/salsa.py exactly):
     HITS with column-stochastic walk steps. Each gathered contribution is
@@ -1316,6 +1363,7 @@ SELECT vd.id,
        ROUND(COALESCE(SUM(cnt.c * (1.0 / cnt.d)), 0.0), 9) AS harmonic
 FROM vd LEFT JOIN cnt ON vd.id = cnt.id
 GROUP BY vd.id"""
+    o["random_walks"] = _walks_sql(3)
     o["scc"] = SCC_SQL
     o["scc_stats"] = f"""
 WITH scc AS ({SCC_SQL}),

@@ -1,0 +1,122 @@
+"""Random-walk corpus generation (plans/walks.py): affine strategy vs a
+NumPy mirror, hash-strategy walk validity/determinism, dead-end
+termination, and skip-gram pair extraction."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark import datagen
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph
+from pagerank_barrierfree_openmp_dynamic_spark.plans.walks import (
+    random_walks,
+    skipgram_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def walk_graph(spark):
+    n = 60
+    edges_pdf = datagen.synth_edges(n, seed=9)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+        add_self_loops=False,
+    )
+    g._edges_pdf = edges_pdf
+    yield g
+    g.unpersist()
+
+
+def _walks_mirror(n, edges, walk_length, walks_per_vertex):
+    """Pure-Python mirror of the affine strategy."""
+    adj = {}
+    for s, d in sorted(set(map(tuple, edges))):
+        adj.setdefault(s, []).append(d)
+    rows = []
+    for start in range(n):
+        for wi in range(walks_per_vertex):
+            cur = start
+            rows.append((start, wi, 0, cur))
+            for step in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[(start * 31 + wi * 13 + step * 7) % len(nbrs)]
+                rows.append((start, wi, step, cur))
+    return rows
+
+
+def test_affine_matches_mirror(spark, walk_graph):
+    edges = list(walk_graph._edges_pdf.itertuples(index=False))
+    got = random_walks(walk_graph, walk_length=4, walks_per_vertex=2,
+                       strategy="affine").toPandas()
+    got_set = set(map(tuple, got.to_numpy()))
+    want = set(_walks_mirror(60, edges, 4, 2))
+    assert got_set == want
+
+
+def test_hash_walks_are_valid_and_deterministic(spark, walk_graph):
+    edges = set(map(tuple, walk_graph._edges_pdf.itertuples(index=False)))
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    c1 = random_walks(walk_graph, walk_length=5, walks_per_vertex=2,
+                      seed=7).toPandas()
+    c2 = random_walks(walk_graph, walk_length=5, walks_per_vertex=2,
+                      seed=7).toPandas()
+    key = ["start", "walk", "step"]
+    p1 = c1.sort_values(key).reset_index(drop=True)
+    p2 = c2.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, p2)
+    # every consecutive hop is a real edge; walks only stop at dead ends
+    for (start, wi), grp in p1.groupby(["start", "walk"]):
+        grp = grp.sort_values("step")
+        vs = grp["vertex"].tolist()
+        assert grp["step"].tolist() == list(range(len(vs)))
+        for a, b in zip(vs, vs[1:]):
+            assert (a, b) in edges
+        if len(vs) < 6:  # terminated early -> last vertex is a dead end
+            assert outdeg.get(vs[-1], 0) == 0
+    # a different seed changes at least one walk on a branching graph
+    c3 = random_walks(walk_graph, walk_length=5, walks_per_vertex=2,
+                      seed=8).toPandas().sort_values(key).reset_index(drop=True)
+    assert not p1.equals(c3)
+
+
+def test_starts_subset_and_validation(spark, walk_graph):
+    starts = walk_graph.vertices.filter("id < 5")
+    c = random_walks(walk_graph, walk_length=3, walks_per_vertex=1,
+                     starts=starts).toPandas()
+    assert set(c["start"]) <= set(range(5))
+    assert (c["step"] == 0).sum() == 5
+    with pytest.raises(ValueError, match="strategy"):
+        random_walks(walk_graph, strategy="bogus")
+    with pytest.raises(ValueError, match="walk_length"):
+        random_walks(walk_graph, walk_length=0)
+
+
+def test_skipgram_pairs_on_chain(spark):
+    """A single 5-vertex path walk yields the closed-form pair count:
+    ordered pairs within window w of each other = 2*(w*L - w*(w+1)/2)
+    for L+1 vertices."""
+    g = build_graph(
+        spark.createDataFrame(pd.DataFrame(
+            {"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]})),
+        vertices=spark.range(5).select("id"),
+        add_self_loops=False,
+    )
+    try:
+        corpus = random_walks(g, walk_length=4, walks_per_vertex=1,
+                              starts=spark.range(1).select("id"))
+        pairs = skipgram_pairs(corpus, window=2).toPandas()
+        # vertices 0..4 in a line; pairs within distance 2: for L=4 steps
+        # (5 vertices): 2*(2*4 - 3) = 10... enumerate exactly:
+        want = set()
+        for i in range(5):
+            for j in range(5):
+                if i != j and abs(i - j) <= 2:
+                    want.add((i, j))
+        assert set(map(tuple, pairs.to_numpy())) == want
+    finally:
+        g.unpersist()
