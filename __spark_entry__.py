@@ -524,6 +524,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["random_walks"] = random_walks_q
 
+    def modularity_lpa2(spark, sf):
+        # partition quality of the 2-iteration LPA labels: Leicht-Newman
+        # directed modularity (operators/metrics.py) — the community loop
+        # closed with its standard score
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+            modularity,
+        )
+
+        g = _graph(spark, sf)
+        lab = label_propagation(g, iterations=2)
+        return modularity(g, lab).select(
+            F.round("modularity", 9).alias("modularity"),
+            "n_communities", "m")
+
+    q["modularity_lpa2"] = modularity_lpa2
+
+    def assortativity_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+            degree_assortativity,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return degree_assortativity(g, mode="out-in").select(
+            F.round("assortativity", 6).alias("assortativity"), "m")
+
+    q["assortativity"] = assortativity_q
+
     def degree_histogram_out(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
             degree_histogram,
@@ -1364,6 +1391,34 @@ SELECT vd.id,
 FROM vd LEFT JOIN cnt ON vd.id = cnt.id
 GROUP BY vd.id"""
     o["random_walks"] = _walks_sql(3)
+    o["modularity_lpa2"] = f"""
+WITH lab AS ({_lpa_sql(2)}),
+e0 AS ({EDGES_SQL}),
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+e2 AS (SELECT ls.label AS lsrc, ld.label AS ldst
+       FROM ed JOIN lab ls ON ed.src = ls.id
+               JOIN lab ld ON ed.dst = ld.id),
+per_c AS (
+  SELECT c, SUM(o) AS ko, SUM(i) AS ki, SUM(w) AS ec FROM (
+    SELECT lsrc AS c, 1 AS o, 0 AS i,
+           CASE WHEN lsrc = ldst THEN 1 ELSE 0 END AS w FROM e2
+    UNION ALL
+    SELECT ldst AS c, 0 AS o, 1 AS i, 0 AS w FROM e2) GROUP BY c),
+tot AS (SELECT SUM(ko) AS m, COUNT(*) AS nc, SUM(ec) AS ec_tot,
+               SUM(ko * ki) AS koki FROM per_c)
+SELECT ROUND(CAST(ec_tot AS DOUBLE) / m
+             - 1.0 * CAST(koki AS DOUBLE) / m / m, 9) AS modularity,
+       CAST(nc AS BIGINT) AS n_communities, CAST(m AS BIGINT) AS m
+FROM tot"""
+    o["assortativity"] = f"""
+WITH e0 AS ({EDGES_SQL}),
+od AS (SELECT src AS id, COUNT(*) AS d FROM e0 GROUP BY src),
+idg AS (SELECT dst AS id, COUNT(*) AS d FROM e0 GROUP BY dst)
+SELECT ROUND(CORR(CAST(od.d AS DOUBLE), CAST(idg.d AS DOUBLE)), 6)
+         AS assortativity,
+       CAST(COUNT(*) AS BIGINT) AS m
+FROM e0 JOIN od ON e0.src = od.id
+        LEFT JOIN idg ON e0.dst = idg.id"""
     o["scc"] = SCC_SQL
     o["scc_stats"] = f"""
 WITH scc AS ({SCC_SQL}),

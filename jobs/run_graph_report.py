@@ -212,6 +212,25 @@ def main(argv=None):
 
     section("harmonic_topk", _harmonic_topk)
 
+    def _communities():
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+            degree_assortativity,
+            modularity,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.labelprop import (
+            label_propagation,
+        )
+
+        lab = label_propagation(g, iterations=5)
+        mrow = modularity(g, lab).collect()[0]
+        summary["lpa_modularity"] = round(float(mrow["modularity"]), 6)
+        summary["lpa_communities"] = int(mrow["n_communities"])
+        arow = degree_assortativity(g, mode="out-in").collect()[0]
+        summary["degree_assortativity"] = round(float(arow["assortativity"]), 6)
+        return lab
+
+    section("communities", _communities)
+
     if args.host_expr:
         mapping = g.vertices.select(
             "id", F.expr(args.host_expr).alias("group"))

@@ -38,7 +38,7 @@ def test_graph_report_job(spark, tmp_path, edges_path):
     sections = ["stats", "degree_hist_out", "degree_hist_in", "components",
                 "scc_stats", "bowtie", "core_hist", "neighborhood",
                 "pagerank_topk", "salsa_topk", "harmonic_topk",
-                "host_graph", "host_ranks"]
+                "communities", "host_graph", "host_ranks"]
     for s in sections:
         assert spark.read.parquet(f"{out}/{s}").count() > 0, s
 
@@ -63,3 +63,8 @@ def test_graph_report_job(spark, tmp_path, edges_path):
     tot = sum(r["rank"] for r in hosts.collect())
     assert abs(tot - 1.0) < 1e-9
     assert 0.0 <= summary["effective_diameter"] <= summary["neighborhood_rounds"]
+    assert -1.0 <= summary["degree_assortativity"] <= 1.0
+    assert -1.0 <= summary["lpa_modularity"] <= 1.0
+    comm = spark.read.parquet(f"{out}/communities")
+    assert comm.count() == n
+    assert summary["lpa_communities"] == comm.select("label").distinct().count()

@@ -1,0 +1,140 @@
+"""Graph-quality metrics (operators/metrics.py): directed modularity and
+degree assortativity vs NumPy mirrors and hand-checkable fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark import datagen
+from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph
+from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+    degree_assortativity,
+    modularity,
+)
+
+
+@pytest.fixture(scope="module")
+def two_cliques(spark):
+    """Two directed 3-cliques joined by one bridge edge — a partition
+    along the cliques has high modularity, the all-one-community partition
+    has zero."""
+    edges = []
+    for base in (0, 3):
+        for a in range(3):
+            for b in range(3):
+                if a != b:
+                    edges.append((base + a, base + b))
+    edges.append((2, 3))
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    g = build_graph(spark.createDataFrame(pdf),
+                    vertices=spark.range(6).select("id"),
+                    add_self_loops=False)
+    g._edge_list = edges
+    yield g
+    g.unpersist()
+
+
+def _modularity_mirror(edges, labels, gamma=1.0):
+    m = len(edges)
+    ec, ko, ki = {}, {}, {}
+    for s, d in edges:
+        ko[labels[s]] = ko.get(labels[s], 0) + 1
+        ki[labels[d]] = ki.get(labels[d], 0) + 1
+        if labels[s] == labels[d]:
+            ec[labels[s]] = ec.get(labels[s], 0) + 1
+    ec_tot = sum(ec.values())
+    koki = sum(ko.get(c, 0) * ki.get(c, 0) for c in set(ko) | set(ki))
+    return float(ec_tot) / m - gamma * float(koki) / m / m
+
+
+def test_modularity_two_cliques(spark, two_cliques):
+    labels = spark.createDataFrame(
+        pd.DataFrame({"id": range(6), "label": [0, 0, 0, 1, 1, 1]}))
+    row = modularity(two_cliques, labels).collect()[0]
+    want = _modularity_mirror(two_cliques._edge_list,
+                              {i: i // 3 for i in range(6)})
+    assert row["n_communities"] == 2
+    assert row["m"] == 13
+    assert abs(row["modularity"] - want) < 1e-12
+    assert row["modularity"] > 0.4  # cliques are real communities
+
+    # degenerate all-in-one partition: Q = e/m - 1 * (m*m)/m^2 = 0
+    one = spark.createDataFrame(
+        pd.DataFrame({"id": range(6), "label": [7] * 6}))
+    assert abs(modularity(two_cliques, one).collect()[0]["modularity"]) < 1e-12
+
+
+def test_modularity_random_matches_mirror(spark):
+    n = 80
+    edges_pdf = datagen.synth_edges(n, seed=13)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"), add_self_loops=False)
+    try:
+        edges = sorted(set(map(tuple, edges_pdf.itertuples(index=False))))
+        edges = [(s, d) for s, d in edges if s != d]
+        labels = {i: i % 5 for i in range(n)}
+        lab_df = spark.createDataFrame(
+            pd.DataFrame({"id": list(range(n)),
+                          "label": [labels[i] for i in range(n)]}))
+        got = modularity(g, lab_df, gamma=1.3).collect()[0]["modularity"]
+        want = _modularity_mirror(edges, labels, gamma=1.3)
+        assert abs(got - want) < 1e-12
+    finally:
+        g.unpersist()
+
+
+def test_assortativity_star_is_disassortative(spark):
+    """A hub pointing at leaves that point back: high-degree endpoints
+    always pair with degree-1 endpoints -> r = -1 on the 2-point degree
+    pattern... verified against the NumPy corrcoef mirror instead of a
+    closed form."""
+    n = 8
+    edges = [(0, i) for i in range(1, n)] + [(i, 0) for i in range(1, n)]
+    pdf = pd.DataFrame(edges, columns=["src", "dst"])
+    g = build_graph(spark.createDataFrame(pdf),
+                    vertices=spark.range(n).select("id"),
+                    add_self_loops=False)
+    try:
+        outd = {}
+        ind = {}
+        for s, d in edges:
+            outd[s] = outd.get(s, 0) + 1
+            ind[d] = ind.get(d, 0) + 1
+        xs = np.array([outd[s] for s, _ in edges], dtype=float)
+        ys = np.array([ind[d] for _, d in edges], dtype=float)
+        want = float(np.corrcoef(xs, ys)[0, 1])
+        got = degree_assortativity(g, mode="out-in").collect()[0]
+        assert got["m"] == len(edges)
+        assert abs(got["assortativity"] - want) < 1e-9
+        assert got["assortativity"] < -0.9  # star: strongly disassortative
+    finally:
+        g.unpersist()
+
+
+def test_assortativity_modes_and_validation(spark):
+    n = 50
+    edges_pdf = datagen.synth_edges(n, seed=21)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"), add_self_loops=False)
+    try:
+        edges = sorted(set(map(tuple, edges_pdf.itertuples(index=False))))
+        outd, ind = {}, {}
+        for s, d in edges:
+            outd[s] = outd.get(s, 0) + 1
+            ind[d] = ind.get(d, 0) + 1
+        for mode in ("out-in", "in-out", "out-out", "in-in"):
+            sk, dk = mode.split("-")
+            xs = np.array([(outd if sk == "out" else ind).get(s, 0)
+                           for s, _ in edges], dtype=float)
+            ys = np.array([(ind if dk == "in" else outd).get(d, 0)
+                           for _, d in edges], dtype=float)
+            want = float(np.corrcoef(xs, ys)[0, 1])
+            got = degree_assortativity(g, mode=mode).collect()[0][
+                "assortativity"]
+            assert abs(got - want) < 1e-9, mode
+        with pytest.raises(ValueError, match="mode"):
+            degree_assortativity(g, mode="sideways")
+    finally:
+        g.unpersist()
