@@ -120,3 +120,36 @@ def test_skipgram_pairs_on_chain(spark):
         assert set(map(tuple, pairs.to_numpy())) == want
     finally:
         g.unpersist()
+
+
+def test_run_walks_job(spark, tmp_path):
+    """The spark-submit walk job end-to-end: edges parquet in, corpus +
+    skip-gram pairs parquet out, consistent JSON summary."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    edges_pdf = datagen.synth_edges(40, seed=4)
+    ep = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA) \
+        .write.parquet(ep)
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_walks
+
+    out = str(tmp_path / "walks")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_walks.main(["--edges", ep, "--output", out,
+                             "--walk-length", "3", "--walks-per-vertex", "2",
+                             "--pairs-window", "2"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == summary["corpus_rows"]
+    assert summary["walks"] == summary["n_vertices"] * 2
+    # live walks never increase step-over-step (dead ends only shrink)
+    live = summary["live_walks_per_step"]
+    assert all(a >= b for a, b in zip(live, live[1:]))
+    pairs = spark.read.parquet(f"{out}/pairs")
+    assert pairs.count() == summary["pairs_rows"] > 0
