@@ -551,6 +551,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["assortativity"] = assortativity_q
 
+    def landmark_distances_t3(spark, sf):
+        # multi-source BFS distance sketch from the 3 top-out-degree
+        # pivots, horizon 3 (plans/distances.py) — long-format
+        # (id, landmark, dist), unreached pairs absent
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.distances import (
+            landmark_distances,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return landmark_distances(g, 3, max_t=3)
+
+    q["landmark_distances_t3"] = landmark_distances_t3
+
     def degree_histogram_out(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
             degree_histogram,
@@ -1419,6 +1432,18 @@ SELECT ROUND(CORR(CAST(od.d AS DOUBLE), CAST(idg.d AS DOUBLE)), 6)
        CAST(COUNT(*) AS BIGINT) AS m
 FROM e0 JOIN od ON e0.src = od.id
         LEFT JOIN idg ON e0.dst = idg.id"""
+    o["landmark_distances_t3"] = f"""
+WITH RECURSIVE e0 AS ({EDGES_SQL}),
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e0 GROUP BY src),
+lm AS (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 3),
+reach(l, v, d) AS (
+  SELECT id AS l, id AS v, 0 AS d FROM lm
+  UNION
+  SELECT r.l, ed.dst, r.d + 1 FROM reach r JOIN ed ON ed.src = r.v
+  WHERE r.d < 3)
+SELECT v AS id, l AS landmark, MIN(d) AS dist
+FROM reach GROUP BY l, v"""
     o["scc"] = SCC_SQL
     o["scc_stats"] = f"""
 WITH scc AS ({SCC_SQL}),
