@@ -564,6 +564,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["landmark_distances_t3"] = landmark_distances_t3
 
+    def reciprocity_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+            reciprocity,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return reciprocity(g).select(
+            F.round("reciprocity", 9).alias("reciprocity"), "m")
+
+    q["reciprocity"] = reciprocity_q
+
+    def clustering_coefficient_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+            clustering_coefficient,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return clustering_coefficient(g).select(
+            F.round("global_cc", 9).alias("global_cc"),
+            F.round("avg_cc", 9).alias("avg_cc"),
+            "n_triangles")
+
+    q["clustering_coefficient"] = clustering_coefficient_q
+
     def degree_histogram_out(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
             degree_histogram,
@@ -1371,6 +1395,46 @@ parts AS (SELECT id, COUNT(*) AS tri_count FROM (
   UNION ALL SELECT z AS id FROM t) GROUP BY id)
 SELECT v.id, COALESCE(parts.tri_count, 0) AS tri_count
 FROM v LEFT JOIN parts ON v.id = parts.id"""
+
+    o["reciprocity"] = f"""
+WITH {G_CTES},
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst)
+SELECT ROUND(CAST((SELECT COUNT(*) FROM ed a WHERE EXISTS (
+                SELECT 1 FROM ed b
+                WHERE b.src = a.dst AND b.dst = a.src)) AS DOUBLE)
+             / (SELECT COUNT(*) FROM ed), 9) AS reciprocity,
+       CAST((SELECT COUNT(*) FROM ed) AS BIGINT) AS m"""
+    o["clustering_coefficient"] = f"""
+WITH {G_CTES},
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM e0 WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS d FROM (
+  SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und) GROUP BY id),
+o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.u ELSE und.v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+                  THEN und.v ELSE und.u END AS b
+      FROM und JOIN deg du ON und.u = du.id JOIN deg dv ON und.v = dv.id),
+w AS (SELECT o1.a AS x, o1.b AS y, o2.b AS z FROM o o1 JOIN o o2 ON o1.b = o2.a),
+t AS (SELECT x, y, z FROM w
+      WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.z)),
+parts AS (SELECT id, COUNT(*) AS tri_count FROM (
+  SELECT x AS id FROM t UNION ALL SELECT y AS id FROM t
+  UNION ALL SELECT z AS id FROM t) GROUP BY id),
+j AS (SELECT v.id, COALESCE(parts.tri_count, 0) AS tc,
+             COALESCE(deg.d, 0) AS d
+      FROM v LEFT JOIN parts ON v.id = parts.id
+             LEFT JOIN deg ON v.id = deg.id),
+agg AS (SELECT SUM(tc) AS tri3,
+               SUM(CAST(d AS DOUBLE) * (d - 1) / 2.0) AS triads,
+               AVG(CASE WHEN d >= 2 THEN
+                   tc / (CAST(d AS DOUBLE) * (d - 1) / 2.0) END) AS avg_cc
+        FROM j)
+SELECT ROUND(CASE WHEN triads > 0 THEN tri3 / triads ELSE 0.0 END, 9)
+         AS global_cc,
+       ROUND(COALESCE(avg_cc, 0.0), 9) AS avg_cc,
+       CAST(tri3 / 3 AS BIGINT) AS n_triangles
+FROM agg"""
 
     o["hits_3iter"] = _hits_sql(3, 9)
     o["hits_arrow_3iter"] = _hits_sql(3, 9)

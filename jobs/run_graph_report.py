@@ -227,6 +227,16 @@ def main(argv=None):
         summary["lpa_communities"] = int(mrow["n_communities"])
         arow = degree_assortativity(g, mode="out-in").collect()[0]
         summary["degree_assortativity"] = round(float(arow["assortativity"]), 6)
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+            clustering_coefficient,
+            reciprocity,
+        )
+
+        rrow = reciprocity(g).collect()[0]
+        summary["reciprocity"] = round(float(rrow["reciprocity"]), 6)
+        crow = clustering_coefficient(g).collect()[0]
+        summary["global_clustering"] = round(float(crow["global_cc"]), 6)
+        summary["avg_clustering"] = round(float(crow["avg_cc"]), 6)
         return lab
 
     section("communities", _communities)

@@ -89,6 +89,64 @@ def modularity(
         "modularity double, n_communities long, m long")
 
 
+def reciprocity(graph: LinkGraph, exclude_self_loops: bool = True) -> DataFrame:
+    """One-row ``(reciprocity double, m long)``: fraction of directed
+    edges whose reverse edge also exists — the classic "mutual links"
+    statistic of directed web/social graphs. One left-semi self-join of
+    the edge table against its transpose (src-partitioned both sides)."""
+    e = graph.edges.select("src", "dst")
+    if exclude_self_loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    both = e.join(rev, ["src", "dst"], "left_semi").count()
+    m = e.count()
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(both / m if m else 0.0, m)], "reciprocity double, m long")
+
+
+def clustering_coefficient(graph: LinkGraph) -> DataFrame:
+    """One-row ``(global_cc double, avg_cc double, n_triangles long)``
+    over the undirected simple view (the triangle-counting orientation):
+    global = 3·triangles / open-or-closed triads
+    (Σ_v deg(v)·(deg(v)−1)/2), average = mean over vertices with
+    deg ≥ 2 of tri(v) / (deg(v) choose 2) — Watts-Strogatz. Reuses the
+    per-vertex triangle kernel (``plans/triangles.py``) plus one
+    undirected-degree aggregation."""
+    from ..plans.triangles import triangles_per_vertex
+
+    tri = triangles_per_vertex(graph)  # (id, tri_count), all vertices
+    e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("_d")) \
+        .select(F.col("src").alias("id"), "_d")
+    j = tri.join(deg, "id", "left") \
+        .select("id", "tri_count",
+                F.coalesce("_d", F.lit(0)).alias("d"))
+    row = j.agg(
+        F.sum("tri_count").alias("tri3"),   # Σ_v tri(v) = 3 · #triangles
+        F.sum(F.col("d").cast("double") * (F.col("d") - 1) / 2.0)
+         .alias("triads"),
+        F.avg(
+            F.when(F.col("d") >= 2,
+                   F.col("tri_count")
+                   / (F.col("d").cast("double") * (F.col("d") - 1) / 2.0))
+        ).alias("avg_cc"),
+    ).collect()[0]
+    tri3 = int(row["tri3"] or 0)
+    triads = float(row["triads"] or 0.0)
+    spark = graph.edges.sparkSession
+    return spark.createDataFrame(
+        [(tri3 / triads if triads else 0.0,
+          float(row["avg_cc"]) if row["avg_cc"] is not None else 0.0,
+          tri3 // 3)],
+        "global_cc double, avg_cc double, n_triangles long")
+
+
 def degree_assortativity(
     graph: LinkGraph,
     mode: str = "out-in",

@@ -138,3 +138,47 @@ def test_assortativity_modes_and_validation(spark):
             degree_assortativity(g, mode="sideways")
     finally:
         g.unpersist()
+
+
+def test_reciprocity_known_fixture(spark, two_cliques):
+    """Both 3-cliques are fully reciprocated (12 edges); the bridge
+    (2,3) is not: r = 12/13."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+        reciprocity,
+    )
+
+    row = reciprocity(two_cliques).collect()[0]
+    assert row["m"] == 13
+    assert abs(row["reciprocity"] - 12.0 / 13.0) < 1e-12
+
+
+def test_clustering_coefficient_clique_and_mirror(spark, two_cliques):
+    """Undirected view: two triangles; vertices 2 and 3 gain the bridge
+    degree. Checked against a brute-force mirror."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+        clustering_coefficient,
+    )
+
+    und = set()
+    for s, d in two_cliques._edge_list:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    deg = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    tris = [t for t in
+            (tuple(sorted(c)) for c in
+             __import__("itertools").combinations(range(6), 3))
+            if all((min(a, b), max(a, b)) in und
+                   for a, b in __import__("itertools").combinations(t, 2))]
+    tri_v = {v: sum(v in t for t in tris) for v in range(6)}
+    triads = sum(d * (d - 1) / 2.0 for d in deg.values())
+    want_global = 3.0 * len(tris) / triads
+    ccs = [tri_v[v] / (deg[v] * (deg[v] - 1) / 2.0)
+           for v in range(6) if deg.get(v, 0) >= 2]
+    want_avg = sum(ccs) / len(ccs)
+    row = clustering_coefficient(two_cliques).collect()[0]
+    assert row["n_triangles"] == len(tris) == 2
+    assert abs(row["global_cc"] - want_global) < 1e-12
+    assert abs(row["avg_cc"] - want_avg) < 1e-12
