@@ -540,6 +540,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["modularity_lpa2"] = modularity_lpa2
 
+    def node2vec_walks_q(spark, sf):
+        # second-order biased walks (node2vec p/q search bias), affine
+        # draw — the dst-ordered cumsum inverse-CDF pick and the
+        # (prev,dst) membership probe are both mirrored exactly in SQL
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.walks import (
+            node2vec_walks,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return node2vec_walks(g, walk_length=3, walks_per_vertex=2,
+                              p=0.5, q=2.0, strategy="affine")
+
+    q["node2vec_walks"] = node2vec_walks_q
+
     def assortativity_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
             degree_assortativity,
@@ -1152,6 +1166,48 @@ s0 AS MATERIALIZED (SELECT v.id AS start, t.wi AS walk, v.id AS vertex
 {sel}"""
 
 
+def _node2vec_sql(walk_length: int = 3, walks_per_vertex: int = 2,
+                  p: float = 0.5, q: float = 2.0) -> str:
+    """Unrolled affine-strategy node2vec (matches plans/walks.py's
+    node2vec_walks exactly): per step, candidates = cur's out-edges with
+    search bias 1/p (return) / 1 (common neighbor of prev) / 1/q
+    (explore), dst-ordered window cumsum, inverse-CDF pick with
+    u = ((start*31 + walk*13 + step*7) % 2^20) / 2^20, tot = MAX(cum)
+    (the order-pinned total). The bias reciprocals are embedded as exact
+    double literals."""
+    rp, rq = repr(1.0 / p), repr(1.0 / q)
+    M = 1 << 20
+    wis = ", ".join(f"({i})" for i in range(walks_per_vertex))
+    steps = []
+    for i in range(1, walk_length + 1):
+        steps.append(
+            f"c{i} AS MATERIALIZED (SELECT s.start, s.walk, s.prev, s.cur, "
+            f"a.dst, 1.0 * CASE WHEN a.dst = s.prev THEN {rp} "
+            f"WHEN EXISTS (SELECT 1 FROM e0 pe WHERE pe.src = s.prev "
+            f"AND pe.dst = a.dst) THEN 1.0 ELSE {rq} END AS wgt "
+            f"FROM s{i-1} s JOIN e0 a ON a.src = s.cur),\n"
+            f"k{i} AS MATERIALIZED (SELECT *, SUM(wgt) OVER "
+            f"(PARTITION BY start, walk ORDER BY dst) AS cum FROM c{i}),\n"
+            f"t{i} AS MATERIALIZED (SELECT *, MAX(cum) OVER "
+            f"(PARTITION BY start, walk) AS tot, "
+            f"CAST((start * 31 + walk * 13 + {i * 7}) % {M} AS DOUBLE) "
+            f"/ {float(M)!r} AS u FROM k{i}),\n"
+            f"s{i} AS MATERIALIZED (SELECT start, walk, cur AS prev, "
+            f"MIN(dst) AS cur FROM t{i} WHERE cum > u * tot "
+            f"GROUP BY start, walk, cur)")
+    joined = ",\n".join(steps)
+    sel = "\nUNION ALL ".join(
+        f"SELECT start, walk, {i} AS step, cur AS vertex FROM s{i}"
+        for i in range(walk_length + 1))
+    return f"""
+WITH e0 AS MATERIALIZED ({EDGES_SQL}),
+v AS MATERIALIZED ({V_SQL}),
+s0 AS MATERIALIZED (SELECT v.id AS start, t.wi AS walk, v.id AS prev,
+  v.id AS cur FROM v CROSS JOIN (VALUES {wis}) AS t(wi)),
+{joined}
+{sel}"""
+
+
 def _salsa_sql(iterations: int = 3, digits: int = 9) -> str:
     """Unrolled L1-normalized SALSA (matches plans/salsa.py exactly):
     HITS with column-stochastic walk steps. Each gathered contribution is
@@ -1468,6 +1524,7 @@ SELECT vd.id,
 FROM vd LEFT JOIN cnt ON vd.id = cnt.id
 GROUP BY vd.id"""
     o["random_walks"] = _walks_sql(3)
+    o["node2vec_walks"] = _node2vec_sql(3, 2, 0.5, 2.0)
     o["modularity_lpa2"] = f"""
 WITH lab AS ({_lpa_sql(2)}),
 e0 AS ({EDGES_SQL}),

@@ -50,6 +50,11 @@ def main(argv=None):
     ap.add_argument("--walks-per-vertex", type=int, default=4)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--strategy", default="hash", choices=["hash", "affine"])
+    ap.add_argument("--p", type=float, default=None,
+                    help="node2vec return bias; giving --p/--q switches to "
+                         "second-order biased walks")
+    ap.add_argument("--q", type=float, default=None,
+                    help="node2vec in-out (explore) bias")
     ap.add_argument("--pairs-window", type=int, default=0,
                     help="also write skip-gram pairs within this window "
                          "(0 = corpus only)")
@@ -62,11 +67,24 @@ def main(argv=None):
     t_build = time.monotonic() - t0
 
     t0 = time.monotonic()
-    corpus = random_walks(
-        g, walk_length=args.walk_length,
-        walks_per_vertex=args.walks_per_vertex,
-        seed=args.seed, strategy=args.strategy,
-    )
+    if args.p is not None or args.q is not None:
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.walks import (
+            node2vec_walks,
+        )
+
+        corpus = node2vec_walks(
+            g, walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex,
+            p=args.p if args.p is not None else 1.0,
+            q=args.q if args.q is not None else 1.0,
+            seed=args.seed, strategy=args.strategy,
+        )
+    else:
+        corpus = random_walks(
+            g, walk_length=args.walk_length,
+            walks_per_vertex=args.walks_per_vertex,
+            seed=args.seed, strategy=args.strategy,
+        )
     out = args.output.rstrip("/")
     corpus.write.mode("overwrite").format(args.format).save(f"{out}/corpus")
     t_walks = time.monotonic() - t0
@@ -85,6 +103,8 @@ def main(argv=None):
                                 for s in sorted(per_step)],
         "build_sec": round(t_build, 3),
         "walks_sec": round(t_walks, 3),
+        "mode": ("node2vec" if (args.p is not None or args.q is not None)
+                 else "first-order"),
     }
     if args.pairs_window > 0:
         t0 = time.monotonic()

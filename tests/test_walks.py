@@ -153,3 +153,116 @@ def test_run_walks_job(spark, tmp_path):
     assert all(a >= b for a, b in zip(live, live[1:]))
     pairs = spark.read.parquet(f"{out}/pairs")
     assert pairs.count() == summary["pairs_rows"] > 0
+
+
+# ------------------------------------------------------------- node2vec
+
+
+def _n2v_mirror(n, edges, walk_length, walks_per_vertex, p, q):
+    """Pure-Python mirror of the affine-strategy node2vec walk, including
+    the dst-ordered cumulative-sum inverse-CDF draw."""
+    M = 1 << 20
+    adj = {}
+    eset = set()
+    for s, d in sorted(set(map(tuple, edges))):
+        adj.setdefault(s, []).append(d)
+        eset.add((s, d))
+    rows = []
+    for start in range(n):
+        for wi in range(walks_per_vertex):
+            prev = cur = start
+            rows.append((start, wi, 0, cur))
+            for step in range(1, walk_length + 1):
+                cands = adj.get(cur)
+                if not cands:
+                    break
+                u = ((start * 31 + wi * 13 + step * 7) % M) / M
+                cum = []
+                acc = 0.0
+                for d in cands:  # ascending dst order
+                    if d == prev:
+                        a = 1.0 / p
+                    elif (prev, d) in eset:
+                        a = 1.0
+                    else:
+                        a = 1.0 / q
+                    acc += 1.0 * a
+                    cum.append(acc)
+                tot = cum[-1]
+                nxt = next(d for d, c in zip(cands, cum) if c > u * tot)
+                prev, cur = cur, nxt
+                rows.append((start, wi, step, cur))
+    return rows
+
+
+def test_node2vec_matches_mirror(spark, walk_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.walks import (
+        node2vec_walks,
+    )
+
+    edges = list(walk_graph._edges_pdf.itertuples(index=False))
+    got = node2vec_walks(walk_graph, walk_length=4, walks_per_vertex=2,
+                         p=0.5, q=2.0, strategy="affine").toPandas()
+    got_set = set(map(tuple, got.to_numpy()))
+    want = set(_n2v_mirror(60, edges, 4, 2, 0.5, 2.0))
+    assert got_set == want
+    # p=q=1: unbiased second-order = plain inverse-CDF uniform draw
+    got1 = node2vec_walks(walk_graph, walk_length=3, walks_per_vertex=1,
+                          p=1.0, q=1.0, strategy="affine").toPandas()
+    want1 = set(_n2v_mirror(60, edges, 3, 1, 1.0, 1.0))
+    assert set(map(tuple, got1.to_numpy())) == want1
+
+
+def test_node2vec_hash_valid_and_bias_sensitivity(spark, walk_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.walks import (
+        node2vec_walks,
+    )
+    import pytest as _pt
+
+    edges = set(map(tuple, walk_graph._edges_pdf.itertuples(index=False)))
+    c1 = node2vec_walks(walk_graph, walk_length=5, walks_per_vertex=2,
+                        p=0.25, q=4.0, seed=5).toPandas()
+    key = ["start", "walk", "step"]
+    p1 = c1.sort_values(key).reset_index(drop=True)
+    for (_, _), grp in p1.groupby(["start", "walk"]):
+        vs = grp.sort_values("step")["vertex"].tolist()
+        for a, b in zip(vs, vs[1:]):
+            assert (a, b) in edges
+    # determinism for fixed seed
+    c2 = node2vec_walks(walk_graph, walk_length=5, walks_per_vertex=2,
+                        p=0.25, q=4.0, seed=5).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, c2)
+    # strong return-bias (small p) vs strong explore-bias must differ
+    c3 = node2vec_walks(walk_graph, walk_length=5, walks_per_vertex=2,
+                        p=4.0, q=0.25, seed=5).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert not p1.equals(c3)
+    with _pt.raises(ValueError, match="positive"):
+        node2vec_walks(walk_graph, p=0.0)
+
+
+def test_run_walks_job_node2vec_mode(spark, tmp_path):
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    edges_pdf = datagen.synth_edges(30, seed=6)
+    ep = str(tmp_path / "edges.parquet")
+    spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA) \
+        .write.parquet(ep)
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_walks
+
+    out = str(tmp_path / "n2v")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_walks.main(["--edges", ep, "--output", out,
+                             "--walk-length", "3", "--walks-per-vertex", "1",
+                             "--p", "0.5", "--q", "2.0"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["mode"] == "node2vec"
+    assert spark.read.parquet(f"{out}/corpus").count() \
+        == summary["corpus_rows"] > 0
