@@ -554,6 +554,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["node2vec_walks"] = node2vec_walks_q
 
+    def ppr_batch_3iter(spark, sf):
+        # batched multi-seed personalized PageRank, sparse long format —
+        # the "related pages" query; 4 seeds at sf0.01
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.ppr import (
+            personalized_pagerank_batch,
+        )
+
+        g = _graph(spark, sf)
+        seeds = g.vertices.filter(F.col("id") % 25 == 0)
+        ppr = personalized_pagerank_batch(g, seeds, iterations=3)
+        return ppr.select("seed", "id", F.round("rank", 9).alias("rank"))
+
+    q["ppr_batch_3iter"] = ppr_batch_3iter
+
     def assortativity_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
             degree_assortativity,
@@ -1166,6 +1180,35 @@ s0 AS MATERIALIZED (SELECT v.id AS start, t.wi AS walk, v.id AS vertex
 {sel}"""
 
 
+def _ppr_batch_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled sparse batched PPR (matches plans/ppr.py exactly): per
+    iteration one (seed, dst) gather summing d·r·w over in-edges, then a
+    union with the k teleport rows and a (seed, id) re-sum — at most two
+    addends per group, a single order-irrelevant FP addition. Damping
+    literals embedded via repr for bit-equality with the engine."""
+    d, t = repr(float(damping)), repr(1.0 - float(damping))
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"g{i} AS MATERIALIZED (SELECT r.seed, e.dst AS id, "
+            f"SUM({d} * r.rank * deg.w) AS rank "
+            f"FROM e JOIN r{i-1} r ON e.src = r.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY r.seed, e.dst),\n"
+            f"r{i} AS MATERIALIZED (SELECT seed, id, SUM(rank) AS rank "
+            f"FROM (SELECT * FROM g{i} "
+            f"UNION ALL SELECT id AS seed, id, {t} FROM sd) "
+            f"GROUP BY seed, id)")
+    joined = ",\n".join(steps)
+    return f"""
+WITH {G_CTES},
+e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
+deg AS (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),
+sd AS (SELECT id FROM v WHERE id % 25 = 0),
+r0 AS (SELECT id AS seed, id, 1.0 AS rank FROM sd),
+{joined}
+SELECT seed, id, ROUND(rank, 9) AS rank FROM r{iterations}"""
+
+
 def _node2vec_sql(walk_length: int = 3, walks_per_vertex: int = 2,
                   p: float = 0.5, q: float = 2.0) -> str:
     """Unrolled affine-strategy node2vec (matches plans/walks.py's
@@ -1525,6 +1568,7 @@ FROM vd LEFT JOIN cnt ON vd.id = cnt.id
 GROUP BY vd.id"""
     o["random_walks"] = _walks_sql(3)
     o["node2vec_walks"] = _node2vec_sql(3, 2, 0.5, 2.0)
+    o["ppr_batch_3iter"] = _ppr_batch_sql(3, 0.85)
     o["modularity_lpa2"] = f"""
 WITH lab AS ({_lpa_sql(2)}),
 e0 AS ({EDGES_SQL}),
