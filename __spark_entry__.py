@@ -795,6 +795,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda spark, sf: quality_score(_docs(spark, sf))
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf))
     q["fingerprints"] = lambda spark, sf: fingerprint(_docs(spark, sf))
+
+    def tfidf_top3(spark, sf):
+        # smoothed TF-IDF, top-3 terms per doc (tfidf desc, term asc)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+            tfidf_terms,
+        )
+
+        return tfidf_terms(_docs(spark, sf), top_k=3).select(
+            "doc_id", "term", "tf", "df",
+            F.round("tfidf", 6).alias("tfidf"))
+
+    q["tfidf_top3"] = tfidf_top3
+
+    def bm25_scan_join_data(spark, sf):
+        # Okapi BM25 scores for the query "data scan join"
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+            bm25_scores,
+        )
+
+        return bm25_scores(_docs(spark, sf), "data scan join").select(
+            "doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_scan_join_data"] = bm25_scan_join_data
     q["simhash"] = lambda spark, sf: simhash(_docs(spark, sf))
     q["simhash_near_dup"] = lambda spark, sf: simhash_near_dup_pairs(
         simhash(_docs(spark, sf)), max_hamming=2
@@ -1784,6 +1807,39 @@ SELECT doc_id, md5(text) AS md5,
          x -> md5(x)), 'min') AS min_token_hash,
        CAST(length(text) AS INTEGER) AS n_chars
 FROM documents"""
+    _k1, _b = 1.2, 0.75
+    o["tfidf_top3"] = f"""
+WITH toks AS ({TOKS_SQL}),
+t AS (SELECT doc_id, UNNEST(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+      CAST(tf.tf AS DOUBLE) * (LN((n.n + 1.0)
+        / (CAST(dfq.df AS DOUBLE) + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY tfidf DESC, term ASC) AS rn FROM s)
+SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf FROM r WHERE rn <= 3"""
+    o["bm25_scan_join_data"] = f"""
+WITH toks AS ({TOKS_SQL}),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+dl AS (SELECT doc_id, LEN(toks) AS len FROM toks),
+avgl AS (SELECT CAST(SUM(len) AS DOUBLE) / (SELECT n FROM n) AS a FROM dl),
+t AS (SELECT doc_id, UNNEST(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+       WHERE term IN ('data', 'join', 'scan') GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+per AS (SELECT tf.doc_id,
+        LN(1.0 + (n.n - CAST(dfq.df AS DOUBLE) + 0.5)
+           / (CAST(dfq.df AS DOUBLE) + 0.5))
+        * (CAST(tf.tf AS DOUBLE) * {1.0 + _k1!r})
+        / (CAST(tf.tf AS DOUBLE) + {_k1!r} * ({1.0 - _b!r}
+           + {_b!r} * CAST(dl.len AS DOUBLE) / avgl.a)) AS s
+        FROM tf JOIN dfq ON tf.term = dfq.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN n CROSS JOIN avgl)
+SELECT doc_id, ROUND(SUM(s), 6) AS score FROM per GROUP BY doc_id"""
     o["simhash"] = f"WITH {_simhash_ctes()} SELECT doc_id, simhash FROM sig"
     # blocking mirrors functions.text.simhash_blocks exactly (pigeonhole on
     # max_hamming + 1 disjoint bit segments)

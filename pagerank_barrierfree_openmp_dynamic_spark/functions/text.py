@@ -199,3 +199,92 @@ def simhash_near_dup_pairs(sig: DataFrame, id_col: str = "doc_id",
     return cand.select("a", "b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-document TF-IDF over the whitespace token model:
+    ``tfidf = tf · (ln((N+1)/(df+1)) + 1)`` (the smoothed sklearn
+    variant — never zero, no division hazards). Returns
+    ``(doc_id, term, tf, df, tfidf)``; with ``top_k`` only each
+    document's k highest-scoring terms survive (ties broken by term
+    ascending — deterministic). Shape: one explode + two
+    map-side-combinable aggregations + a term-keyed join; no Python."""
+    from pyspark.sql import Window
+
+    n = df.count()
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = (F.log((F.lit(float(n) + 1.0))
+                 / (F.col("df").cast("double") + F.lit(1.0)))
+           + F.lit(1.0))
+    out = (
+        tf.join(dfreq, "term")
+        .select("doc_id", "term", "tf", "df",
+                (F.col("tf").cast("double") * idf).alias("tfidf"))
+    )
+    if top_k is not None:
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("tfidf"), F.asc("term"))
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") <= top_k).drop("_rn"))
+    return out
+
+
+def bm25_scores(
+    df: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a whitespace-tokenized query
+    string (terms deduplicated): ``score(d) = Σ_t idf_t ·
+    tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avglen))`` with
+    ``idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))``. Returns
+    ``(doc_id, score)`` for documents matching at least one query term.
+    The query-term frame is tiny and broadcast; corpus statistics
+    (document frequency, lengths, avg length) are single aggregations
+    over the exploded token table."""
+    spark = df.sparkSession
+    terms = sorted(set(t for t in query.split() if t))
+    if not terms:
+        raise ValueError("query has no terms")
+    n = df.count()
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(F.col(text_col)).alias("_toks"))
+    dl = toks.select("doc_id", F.size("_toks").alias("len"))
+    avglen = (dl.agg(F.sum("len")).collect()[0][0] or 0) / float(n)
+    tf = (
+        toks.select("doc_id", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n)) - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5)))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+             / (F.col("tf").cast("double")
+                + F.lit(k1) * (F.lit(1.0 - b)
+                               + F.lit(b) * F.col("len").cast("double")
+                               / F.lit(avglen)))).alias("_s"),
+        )
+    )
+    return per_term.groupBy("doc_id").agg(F.sum("_s").alias("score"))

@@ -467,3 +467,72 @@ def test_run_dedup_job_cli(spark, tmp_path, docs):
     # canonical set is a subset of the input ids
     in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert {r.doc_id for r in kept.select("doc_id").collect()} <= in_ids
+
+
+def test_tfidf_terms_matches_mirror(docs, docs_pdf):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+        tfidf_terms,
+    )
+    import math
+
+    got = tfidf_terms(docs, top_k=3).toPandas()
+    # brute-force mirror
+    n = len(docs_pdf)
+    tf = {}
+    dfreq = {}
+    for r in docs_pdf.itertuples(index=False):
+        seen = {}
+        for t in _toks(r.text):
+            seen[t] = seen.get(t, 0) + 1
+        for t, c in seen.items():
+            tf[(r.doc_id, t)] = c
+            dfreq[t] = dfreq.get(t, 0) + 1
+    best = {}
+    for (d, t), c in tf.items():
+        s = c * (math.log((n + 1.0) / (dfreq[t] + 1.0)) + 1.0)
+        best.setdefault(d, []).append((-s, t, c))
+    want = set()
+    for d, lst in best.items():
+        for negs, t, c in sorted(lst)[:3]:
+            want.add((d, t, c, dfreq[t], round(-negs, 6)))
+    got_set = {(r.doc_id, r.term, r.tf, r.df, round(r.tfidf, 6))
+               for r in got.itertuples(index=False)}
+    assert got_set == want
+
+
+def test_bm25_scores_matches_mirror(docs, docs_pdf):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+        bm25_scores,
+    )
+    import math
+
+    q = "data scan join"
+    got = bm25_scores(docs, q).toPandas()
+    terms = sorted(set(q.split()))
+    n = len(docs_pdf)
+    lens = {r.doc_id: len(_toks(r.text))
+            for r in docs_pdf.itertuples(index=False)}
+    avglen = sum(lens.values()) / float(n)
+    tf = {}
+    dfreq = {t: 0 for t in terms}
+    for r in docs_pdf.itertuples(index=False):
+        cs = {}
+        for t in _toks(r.text):
+            if t in dfreq:
+                cs[t] = cs.get(t, 0) + 1
+        for t, c in cs.items():
+            tf[(r.doc_id, t)] = c
+            dfreq[t] += 1
+    k1, b = 1.2, 0.75
+    want = {}
+    for (d, t), c in tf.items():
+        idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        s = idf * (c * (k1 + 1.0)) / (c + k1 * ((1.0 - b)
+                                                + b * lens[d] / avglen))
+        want[d] = want.get(d, 0.0) + s
+    got_map = {r.doc_id: r.score for r in got.itertuples(index=False)}
+    assert set(got_map) == set(want)
+    for d in want:
+        assert abs(got_map[d] - want[d]) < 1e-9
+    with pytest.raises(ValueError, match="terms"):
+        bm25_scores(docs, "   ")
