@@ -415,6 +415,23 @@ def kernel_extras(spark) -> dict:
         t = time.monotonic()
         neighborhood_function_sharded(g, max_t=4, b=6)
         out["neighborhood_sharded_4r_sec"] = round(time.monotonic() - t, 3)
+        # walk corpus + batched PPR at bench scale (single samples)
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.ppr import (
+            personalized_pagerank_batch,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.walks import (
+            random_walks,
+        )
+
+        t = time.monotonic()
+        nrows = random_walks(g, walk_length=10, walks_per_vertex=1).count()
+        out["walks_10step_sec"] = round(time.monotonic() - t, 3)
+        out["walks_corpus_rows"] = int(nrows)
+        seeds = g.vertices.limit(64).localCheckpoint(eager=True)
+        t = time.monotonic()
+        nppr = personalized_pagerank_batch(g, seeds, iterations=3).count()
+        out["ppr_64seed_3iter_sec"] = round(time.monotonic() - t, 3)
+        out["ppr_state_rows"] = int(nppr)
     finally:
         g.unpersist()
     return out
