@@ -568,6 +568,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ppr_batch_3iter"] = ppr_batch_3iter
 
+    def cocitation_jaccard(spark, sf):
+        # link-structure related pages: Jaccard of in-neighbor sets for
+        # pairs sharing >= 50 citers (candidate-bounded self-join)
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.cocitation import (
+            cocitation_similarity,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return cocitation_similarity(g, min_shared=50).select(
+            "a", "b", "shared", F.round("jaccard", 9).alias("jaccard"))
+
+    q["cocitation_jaccard"] = cocitation_jaccard
+
     def assortativity_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
             degree_assortativity,
@@ -1592,6 +1605,17 @@ GROUP BY vd.id"""
     o["random_walks"] = _walks_sql(3)
     o["node2vec_walks"] = _node2vec_sql(3, 2, 0.5, 2.0)
     o["ppr_batch_3iter"] = _ppr_batch_sql(3, 0.85)
+    o["cocitation_jaccard"] = f"""
+WITH {G_CTES},
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+deg AS (SELECT dst, COUNT(*) AS d FROM ed GROUP BY dst),
+pr AS (SELECT x.dst AS a, y.dst AS b, COUNT(*) AS shared
+       FROM ed x JOIN ed y ON x.src = y.src AND x.dst < y.dst
+       GROUP BY x.dst, y.dst HAVING COUNT(*) >= 50)
+SELECT pr.a, pr.b, pr.shared,
+       ROUND(CAST(pr.shared AS DOUBLE)
+             / CAST(da.d + db.d - pr.shared AS DOUBLE), 9) AS jaccard
+FROM pr JOIN deg da ON pr.a = da.dst JOIN deg db ON pr.b = db.dst"""
     o["modularity_lpa2"] = f"""
 WITH lab AS ({_lpa_sql(2)}),
 e0 AS ({EDGES_SQL}),

@@ -182,3 +182,67 @@ def test_clustering_coefficient_clique_and_mirror(spark, two_cliques):
     assert row["n_triangles"] == len(tris) == 2
     assert abs(row["global_cc"] - want_global) < 1e-12
     assert abs(row["avg_cc"] - want_avg) < 1e-12
+
+
+def test_cocitation_jaccard_mirror_and_cap(spark):
+    """Co-citation Jaccard vs brute force, both directions, and the
+    max_fan cap excluding boilerplate citers from pairs AND degrees."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.cocitation import (
+        cocitation_similarity,
+    )
+
+    n = 40
+    edges_pdf = datagen.synth_edges(n, seed=29)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"), add_self_loops=False)
+    try:
+        edges = sorted(set(map(tuple, edges_pdf.itertuples(index=False))))
+        edges = [(s, d) for s, d in edges if s != d]
+
+        def mirror(es, min_shared):
+            inn = {}
+            for s, d in es:
+                inn.setdefault(d, set()).add(s)
+            out = {}
+            vs = sorted(inn)
+            for i, a in enumerate(vs):
+                for b in vs[i + 1:]:
+                    sh = len(inn[a] & inn[b])
+                    if sh >= min_shared:
+                        out[(a, b)] = (sh, sh / len(inn[a] | inn[b]))
+            return out
+
+        got = cocitation_similarity(g, min_shared=2).toPandas()
+        got_map = {(r.a, r.b): (r.shared, r.jaccard)
+                   for r in got.itertuples(index=False)}
+        want = mirror(edges, 2)
+        assert set(got_map) == set(want)
+        for k in want:
+            assert got_map[k][0] == want[k][0]
+            assert abs(got_map[k][1] - want[k][1]) < 1e-12
+
+        # bibliographic coupling = co-citation on the reversed graph
+        got_out = cocitation_similarity(g, min_shared=2,
+                                        direction="out").toPandas()
+        want_out = mirror([(d, s) for s, d in edges], 2)
+        assert {(r.a, r.b) for r in got_out.itertuples(index=False)} \
+            == set(want_out)
+
+        # fan cap: recompute the mirror on the capped edge set
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        capped_edges = [(s, d) for s, d in edges if outdeg[s] <= 5]
+        got_cap = cocitation_similarity(g, min_shared=1,
+                                        max_fan=5).toPandas()
+        want_cap = mirror(capped_edges, 1)
+        got_cap_map = {(r.a, r.b): (r.shared, r.jaccard)
+                       for r in got_cap.itertuples(index=False)}
+        assert set(got_cap_map) == set(want_cap)
+        for k in want_cap:
+            assert abs(got_cap_map[k][1] - want_cap[k][1]) < 1e-12
+        with pytest.raises(ValueError, match="min_shared"):
+            cocitation_similarity(g, min_shared=0)
+    finally:
+        g.unpersist()
