@@ -831,6 +831,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 6).alias("score"))
 
     q["bm25_scan_join_data"] = bm25_scan_join_data
+
+    def source_report_q(spark, sf):
+        # per-source (domain-level) corpus quality rollup
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+            source_report,
+        )
+
+        return source_report(_docs(spark, sf))
+
+    q["source_report"] = source_report_q
     q["simhash"] = lambda spark, sf: simhash(_docs(spark, sf))
     q["simhash_near_dup"] = lambda spark, sf: simhash_near_dup_pairs(
         simhash(_docs(spark, sf)), max_hamming=2
@@ -1864,6 +1874,30 @@ per AS (SELECT tf.doc_id,
         JOIN dl ON tf.doc_id = dl.doc_id
         CROSS JOIN n CROSS JOIN avgl)
 SELECT doc_id, ROUND(SUM(s), 6) AS score FROM per GROUP BY doc_id"""
+    o["source_report"] = f"""
+WITH tq AS ({o["token_stats"]}),
+qq AS ({o["quality_scores"]}),
+lq AS ({o["lang_id"]}),
+b AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+j AS (SELECT b.source, b.h, tq.n_tokens, qq.quality, lq.lang_pred
+      FROM b JOIN tq USING (doc_id) JOIN qq USING (doc_id)
+             JOIN lq USING (doc_id)),
+agg AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+               ROUND(AVG(quality), 6) AS avg_quality,
+               COUNT(DISTINCT h) AS nd
+        FROM j GROUP BY source),
+lc AS (SELECT source, lang_pred, COUNT(*) AS c FROM j
+       GROUP BY source, lang_pred),
+tl AS (SELECT source, lang_pred AS top_lang FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY c DESC, lang_pred ASC) AS rn FROM lc)
+       WHERE rn = 1)
+SELECT agg.source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+       avg_quality, tl.top_lang,
+       ROUND(1.0 - CAST(nd AS DOUBLE) / n_docs, 6) AS dup_rate
+FROM agg JOIN tl USING (source)"""
     o["simhash"] = f"WITH {_simhash_ctes()} SELECT doc_id, simhash FROM sig"
     # blocking mirrors functions.text.simhash_blocks exactly (pigeonhole on
     # max_hamming + 1 disjoint bit segments)

@@ -288,3 +288,52 @@ def bm25_scores(
         )
     )
     return per_term.groupBy("doc_id").agg(F.sum("_s").alias("score"))
+
+
+def source_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source (domain-level) corpus quality report — the rollup a
+    training-data pipeline filters sources on: ``(source, n_docs,
+    n_tokens, avg_tokens, avg_quality, top_lang, dup_rate)``.
+    ``top_lang`` is the modal :func:`lang_id` prediction (ties broken by
+    language code ascending); ``dup_rate = 1 − distinct(md5)/docs`` is
+    the within-source exact-duplicate share. Composes the existing
+    token/quality/lang operators (all JVM expressions) and reduces with
+    two map-side-combinable aggregations plus one tiny per-source mode
+    window."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(source_col).alias("source"),
+                     F.md5(F.col(text_col)).alias("_h"))
+    tc = token_count(df, text_col, id_col).select("doc_id", "n_tokens")
+    q = quality_score(df, text_col, id_col).select("doc_id", "quality")
+    lp = lang_id(df, text_col, id_col).select("doc_id", "lang_pred")
+    j = base.join(tc, "doc_id").join(q, "doc_id").join(lp, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.countDistinct("_h").alias("_nd"),
+    )
+    lc = j.groupBy("source", "lang_pred").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("source").orderBy(F.desc("_c"),
+                                             F.asc("lang_pred"))
+    top = (lc.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select("source", F.col("lang_pred").alias("top_lang")))
+    return (
+        agg.join(top, "source")
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens").cast("double")
+                    / F.col("n_docs"), 6).alias("avg_tokens"),
+            "avg_quality", "top_lang",
+            F.round(F.lit(1.0) - F.col("_nd").cast("double")
+                    / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+    )

@@ -536,3 +536,26 @@ def test_bm25_scores_matches_mirror(docs, docs_pdf):
         assert abs(got_map[d] - want[d]) < 1e-9
     with pytest.raises(ValueError, match="terms"):
         bm25_scores(docs, "   ")
+
+
+def test_source_report_mirror(docs, docs_pdf):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+        source_report,
+    )
+    import hashlib as _hl
+
+    got = source_report(docs).toPandas().set_index("source")
+    # mirror: counts/tokens/dup exact; avg_quality checked loosely against
+    # the per-doc quality ops (already mirror-tested elsewhere)
+    by_src = {}
+    for r in docs_pdf.itertuples(index=False):
+        by_src.setdefault(r.source, []).append(r)
+    assert set(got.index) == set(by_src)
+    for s, rows in by_src.items():
+        assert got.loc[s, "n_docs"] == len(rows)
+        assert got.loc[s, "n_tokens"] == sum(len(_toks(r.text)) for r in rows)
+        nd = len({_hl.md5(r.text.encode()).hexdigest() for r in rows})
+        assert abs(got.loc[s, "dup_rate"] - (1.0 - nd / len(rows))) < 1e-9
+        assert 0.0 <= got.loc[s, "avg_quality"] <= 1.0
+        assert abs(got.loc[s, "avg_tokens"]
+                   - got.loc[s, "n_tokens"] / got.loc[s, "n_docs"]) < 1e-6
