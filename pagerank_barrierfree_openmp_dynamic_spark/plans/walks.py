@@ -60,6 +60,14 @@ def random_walks(
                          f"{strategy!r}")
     if walk_length < 1:
         raise ValueError("walk_length must be >= 1")
+    if graph.weighted:
+        # the rank-directed lookup draws neighbors UNIFORMLY; silently
+        # ignoring weights would be wrong — the weighted first-order walk
+        # is node2vec_walks(p=1, q=1), whose inverse-CDF draw honors w
+        raise ValueError(
+            "random_walks draws uniformly and would ignore edge weights; "
+            "use node2vec_walks(p=1.0, q=1.0) for weight-proportional "
+            "first-order walks")
     spark = graph.edges.sparkSession
 
     # Ranked adjacency + out-degree, built once: the window runs over the

@@ -102,3 +102,21 @@ def test_top_degree_landmarks_deterministic(spark, dist_graph):
             .set_index("src")["count"])
     want = sorted(degs.index, key=lambda v: (-degs[v], v))[:5]
     assert a == want
+
+
+def test_diameter_lower_bound_chain(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.distances import (
+        diameter_lower_bound,
+    )
+
+    g = build_graph(
+        spark.createDataFrame(pd.DataFrame(
+            {"src": list(range(7)), "dst": list(range(1, 8))})),
+        vertices=spark.range(8).select("id"), add_self_loops=False)
+    try:
+        # vertex 0 has out-degree 1 like everyone; landmarks include low
+        # ids on ties -> the sweep from 0 realizes the true diameter 7
+        assert diameter_lower_bound(g, k=8) == 7
+        assert diameter_lower_bound(g, k=8, max_t=3) == 3
+    finally:
+        g.unpersist()

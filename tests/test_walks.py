@@ -266,3 +266,24 @@ def test_run_walks_job_node2vec_mode(spark, tmp_path):
     assert summary["mode"] == "node2vec"
     assert spark.read.parquet(f"{out}/corpus").count() \
         == summary["corpus_rows"] > 0
+
+
+def test_random_walks_refuses_weighted(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.walks import (
+        node2vec_walks,
+    )
+
+    pdf = pd.DataFrame({"src": [0, 0, 1, 2], "dst": [1, 2, 2, 0],
+                        "w": [1.0, 3.0, 1.0, 1.0]})
+    g = build_graph(spark.createDataFrame(pdf),
+                    vertices=spark.range(3).select("id"),
+                    add_self_loops=False, weight_col="w")
+    try:
+        with pytest.raises(ValueError, match="node2vec_walks"):
+            random_walks(g, walk_length=2)
+        # the weighted path works and produces valid hops
+        c = node2vec_walks(g, walk_length=3, walks_per_vertex=1,
+                           strategy="affine").toPandas()
+        assert len(c) > 0
+    finally:
+        g.unpersist()
