@@ -581,6 +581,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cocitation_jaccard"] = cocitation_jaccard
 
+    def two_hop_betweenness_q(spark, sf):
+        # exact horizon-2 betweenness: middles of distance-2 pairs earn
+        # 1/sigma2(s,t) — the wedge-join (triangle) shape, no iteration
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.betweenness import (
+            two_hop_betweenness,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return two_hop_betweenness(g).select(
+            "id", F.round("score", 9).alias("score"))
+
+    q["two_hop_betweenness"] = two_hop_betweenness_q
+
     def assortativity_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
             degree_assortativity,
@@ -1626,6 +1639,17 @@ SELECT pr.a, pr.b, pr.shared,
        ROUND(CAST(pr.shared AS DOUBLE)
              / CAST(da.d + db.d - pr.shared AS DOUBLE), 9) AS jaccard
 FROM pr JOIN deg da ON pr.a = da.dst JOIN deg db ON pr.b = db.dst"""
+    o["two_hop_betweenness"] = f"""
+WITH {G_CTES},
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+w AS (SELECT x.src AS s, x.dst AS v, y.dst AS t
+      FROM ed x JOIN ed y ON x.dst = y.src
+      WHERE x.src <> y.dst AND NOT EXISTS (
+        SELECT 1 FROM ed d WHERE d.src = x.src AND d.dst = y.dst)),
+sg AS (SELECT s, t, COUNT(*) AS sig FROM w GROUP BY s, t)
+SELECT w.v AS id, ROUND(SUM(1.0 / sg.sig), 9) AS score
+FROM w JOIN sg ON w.s = sg.s AND w.t = sg.t
+GROUP BY w.v"""
     o["modularity_lpa2"] = f"""
 WITH lab AS ({_lpa_sql(2)}),
 e0 AS ({EDGES_SQL}),

@@ -420,6 +420,51 @@ def harmonic_oracle(n: int, edges: list[tuple[int, int]],
     return h
 
 
+def brandes_oracle(n: int, edges: list[tuple[int, int]],
+                   sources: list[int] | None = None,
+                   max_depth: int | None = None) -> np.ndarray:
+    """Exact directed unweighted Brandes betweenness (Brandes 2001),
+    restricted to the given sources (default: all) — raw dependency
+    sums, endpoints excluded. ``max_depth`` truncates the BFS like
+    plans/betweenness.betweenness_sampled."""
+    from collections import deque
+
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in sorted(set((int(a), int(b)) for a, b in edges)):
+        if a != b:
+            adj[a].append(b)
+    bc = np.zeros(n)
+    T = max_depth if max_depth is not None else n
+    for s in (sources if sources is not None else range(n)):
+        sigma = np.zeros(n)
+        dist = np.full(n, -1)
+        preds: list[list[int]] = [[] for _ in range(n)]
+        sigma[s] = 1.0
+        dist[s] = 0
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)  # dequeue order is nondecreasing in dist
+            if dist[v] >= T:
+                continue  # horizon vertices are reached but not expanded
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = np.zeros(n)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        delta[s] = 0.0
+        bc += delta
+        bc[s] -= delta[s]
+    return bc
+
+
 def neighborhood_oracle(n: int, edges: list[tuple[int, int]],
                         max_t: int | None = None) -> list[tuple[int, int]]:
     """Exact neighborhood function by per-source BFS: [(t, N(t))] with
