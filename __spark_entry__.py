@@ -594,6 +594,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["two_hop_betweenness"] = two_hop_betweenness_q
 
+    def luby_mis_r3(spark, sf):
+        # deterministic Luby MIS, first 3 rounds (bit-reproducible
+        # prefix; rounds=None runs to a certified maximal set)
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.mis import (
+            luby_mis,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return luby_mis(g, rounds=3)
+
+    q["luby_mis_r3"] = luby_mis_r3
+
     def assortativity_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
             degree_assortativity,
@@ -1650,6 +1662,36 @@ sg AS (SELECT s, t, COUNT(*) AS sig FROM w GROUP BY s, t)
 SELECT w.v AS id, ROUND(SUM(1.0 / sg.sig), 9) AS score
 FROM w JOIN sg ON w.s = sg.s AND w.t = sg.t
 GROUP BY w.v"""
+    mis_steps = []
+    for r in (1, 2, 3):
+        mis_steps.append(
+            f"p{r} AS MATERIALIZED (SELECT id, (id * 1103515245 + {r * 12345}) "
+            f"% 2147483647 AS p FROM u{r-1}),\n"
+            f"nm{r} AS MATERIALIZED (SELECT pu.id AS id, "
+            f"MIN(pv.p * 4294967296 + pv.id) AS mk "
+            f"FROM und JOIN p{r} pu ON und.src = pu.id "
+            f"JOIN p{r} pv ON und.dst = pv.id GROUP BY pu.id),\n"
+            f"w{r} AS MATERIALIZED (SELECT p.id FROM p{r} p LEFT JOIN nm{r} "
+            f"ON p.id = nm{r}.id WHERE nm{r}.id IS NULL "
+            f"OR p.p * 4294967296 + p.id < nm{r}.mk),\n"
+            f"l{r} AS MATERIALIZED (SELECT DISTINCT und.dst AS id FROM und "
+            f"JOIN w{r} ON und.src = w{r}.id "
+            f"WHERE und.dst IN (SELECT id FROM u{r-1}) "
+            f"AND und.dst NOT IN (SELECT id FROM w{r})),\n"
+            f"d{r} AS MATERIALIZED (SELECT id, 'in' AS state FROM w{r} "
+            f"UNION ALL SELECT id, 'out' AS state FROM l{r}),\n"
+            f"u{r} AS MATERIALIZED (SELECT id FROM u{r-1} "
+            f"WHERE id NOT IN (SELECT id FROM d{r}))")
+    o["luby_mis_r3"] = f"""
+WITH {G_CTES},
+ed AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+u0 AS MATERIALIZED (SELECT DISTINCT id FROM v),
+{",".join(mis_steps)}
+SELECT id, state FROM d1 UNION ALL SELECT id, state FROM d2
+UNION ALL SELECT id, state FROM d3
+UNION ALL SELECT id, 'undecided' AS state FROM u3"""
     o["modularity_lpa2"] = f"""
 WITH lab AS ({_lpa_sql(2)}),
 e0 AS ({EDGES_SQL}),
