@@ -606,6 +606,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["luby_mis_r3"] = luby_mis_r3
 
+    def heavy_hitters_events(spark, sf):
+        # exact-verified heavy hitters (CMS candidate bound + one exact
+        # pass) over the event stream's user ids
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.sketch import (
+            heavy_hitters,
+        )
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return heavy_hitters(ev, "user_id", threshold=50,
+                             width=256, depth=4, seed=7)
+
+    q["heavy_hitters_events"] = heavy_hitters_events
+
+    def cms_estimates(spark, sf):
+        # raw count-min estimates for every distinct user id — checks
+        # the sketch table itself (portable LCG hashing mirrored in SQL)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.sketch import (
+            cms_build,
+            cms_query,
+        )
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        sk = cms_build(ev, "user_id", width=256, depth=4, seed=7)
+        keys = ev.select(F.col("user_id").alias("key")).distinct()
+        return cms_query(sk, keys, width=256, depth=4, seed=7)
+
+    q["cms_estimates"] = cms_estimates
+
     def assortativity_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
             degree_assortativity,
@@ -1682,6 +1710,31 @@ GROUP BY w.v"""
             f"UNION ALL SELECT id, 'out' AS state FROM l{r}),\n"
             f"u{r} AS MATERIALIZED (SELECT id FROM u{r-1} "
             f"WHERE id NOT IN (SELECT id FROM d{r}))")
+    # count-min sketch oracles: the SAME LCG probe family as
+    # functions/sketch._hash_params(depth=4, seed=7), width 256
+    _cms_params = [(1282168119, 714574461), (238199717, 563808704),
+                   (1341714962, 413042947), (297746560, 262277190)]
+    _cms_probes = " UNION ALL ".join(
+        f"SELECT {i} AS row, ((user_id * {a} + {b}) % 2147483647) % 256 "
+        f"AS bucket FROM events"
+        for i, (a, b) in enumerate(_cms_params))
+    _cms_keyprobes = " UNION ALL ".join(
+        f"SELECT key, {i} AS row, "
+        f"((key * {a} + {b}) % 2147483647) % 256 AS bucket FROM ks"
+        for i, (a, b) in enumerate(_cms_params))
+    o["heavy_hitters_events"] = """
+SELECT user_id AS key, COUNT(*) AS count FROM events
+GROUP BY user_id HAVING COUNT(*) >= 50"""
+    o["cms_estimates"] = f"""
+WITH pr AS MATERIALIZED ({_cms_probes}),
+sk AS MATERIALIZED (SELECT row, bucket, COUNT(*) AS count FROM pr
+                    GROUP BY row, bucket),
+ks AS MATERIALIZED (SELECT DISTINCT user_id AS key FROM events),
+kp AS MATERIALIZED ({_cms_keyprobes})
+SELECT kp.key, MIN(COALESCE(sk.count, 0)) AS estimate
+FROM kp LEFT JOIN sk ON kp.row = sk.row AND kp.bucket = sk.bucket
+GROUP BY kp.key"""
+
     o["luby_mis_r3"] = f"""
 WITH {G_CTES},
 ed AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
