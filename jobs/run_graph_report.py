@@ -241,6 +241,15 @@ def main(argv=None):
 
     section("communities", _communities)
 
+    def _betweenness_topk():
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.betweenness import (
+            two_hop_betweenness,
+        )
+
+        return top_k(two_hop_betweenness(g), "score", args.topk)
+
+    section("betweenness_topk", _betweenness_topk)
+
     if args.host_expr:
         mapping = g.vertices.select(
             "id", F.expr(args.host_expr).alias("group"))

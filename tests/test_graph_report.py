@@ -38,7 +38,8 @@ def test_graph_report_job(spark, tmp_path, edges_path):
     sections = ["stats", "degree_hist_out", "degree_hist_in", "components",
                 "scc_stats", "bowtie", "core_hist", "neighborhood",
                 "pagerank_topk", "salsa_topk", "harmonic_topk",
-                "communities", "host_graph", "host_ranks"]
+                "communities", "betweenness_topk", "host_graph",
+                "host_ranks"]
     for s in sections:
         assert spark.read.parquet(f"{out}/{s}").count() > 0, s
 
