@@ -581,6 +581,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cocitation_jaccard"] = cocitation_jaccard
 
+    def adamic_adar_links(spark, sf):
+        # link prediction: Adamic-Adar score over shared citers (>= 97),
+        # candidate-bounded like cocitation. The sf0.01 fixture graph is
+        # near-complete, so existing links are KEPT here (the missing-link
+        # anti-join would be vacuous — it's oracle-tested in pytest)
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.linkpred import (
+            adamic_adar,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return adamic_adar(g, min_shared=97, exclude_linked=False).select(
+            "a", "b", "shared", F.round("score", 9).alias("score"))
+
+    q["adamic_adar_links"] = adamic_adar_links
+
     def two_hop_betweenness_q(spark, sf):
         # exact horizon-2 betweenness: middles of distance-2 pairs earn
         # 1/sigma2(s,t) — the wedge-join (triangle) shape, no iteration
@@ -1679,6 +1694,16 @@ SELECT pr.a, pr.b, pr.shared,
        ROUND(CAST(pr.shared AS DOUBLE)
              / CAST(da.d + db.d - pr.shared AS DOUBLE), 9) AS jaccard
 FROM pr JOIN deg da ON pr.a = da.dst JOIN deg db ON pr.b = db.dst"""
+    o["adamic_adar_links"] = f"""
+WITH {G_CTES},
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+fan AS (SELECT src, COUNT(*) AS f FROM ed GROUP BY src HAVING COUNT(*) >= 2),
+ew AS (SELECT ed.src, ed.dst, 1.0 / LN(fan.f) AS w
+       FROM ed JOIN fan ON ed.src = fan.src),
+pr AS (SELECT x.dst AS a, y.dst AS b, COUNT(*) AS shared, SUM(x.w) AS score
+       FROM ew x JOIN ew y ON x.src = y.src AND x.dst < y.dst
+       GROUP BY x.dst, y.dst HAVING COUNT(*) >= 97)
+SELECT a, b, shared, ROUND(score, 9) AS score FROM pr"""
     o["two_hop_betweenness"] = f"""
 WITH {G_CTES},
 ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
