@@ -287,6 +287,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_personalized_3iter"] = pagerank_personalized_3iter
 
+    # -- TrustRank (plans/trustrank.py): personalized PR whose teleport is
+    # confined to a trusted seed set (ids ≡ 0 mod 25); spam mass compares it
+    # against ordinary PageRank run with identical options
+    def trustrank_3iter(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.trustrank import (
+            trustrank,
+        )
+
+        g = _graph(spark, sf)
+        seeds = g.vertices.filter(F.col("id") % 25 == 0).select("id")
+        res = trustrank(
+            g, seeds,
+            PageRankOptions(tolerance=0.0, max_iterations=3,
+                            metrics_level="none"),
+        )
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    q["trustrank_3iter"] = trustrank_3iter
+
+    def spam_mass_3iter(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.trustrank import (
+            spam_mass,
+        )
+
+        g = _graph(spark, sf)
+        seeds = g.vertices.filter(F.col("id") % 25 == 0).select("id")
+        sm = spam_mass(
+            g, seeds,
+            PageRankOptions(tolerance=0.0, max_iterations=3,
+                            metrics_level="none"),
+        )
+        return sm.select(
+            "id", F.round("rank", 9).alias("rank"),
+            F.round("trust", 9).alias("trust"),
+            F.round("spam_mass", 6).alias("spam_mass"),
+        )
+
+    q["spam_mass_3iter"] = spam_mass_3iter
+
     # -- top-k ranks (sorts/limits, deterministic tie-break by id) --
     def pagerank_topk(spark, sf):
         g = _graph(spark, sf)
@@ -1183,6 +1222,63 @@ r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
 SELECT id, ROUND(rank, 9) AS rank FROM r3"""
 
 
+def _trust_chain_sql(prefix: str) -> str:
+    """The 3-iteration TrustRank recurrence CTEs (teleport confined to the
+    uniform seed set ids ≡ 0 mod 25), named ``{prefix}0..{prefix}3``."""
+    iters = []
+    for i in range(1, 4):
+        iters.append(
+            f"{prefix}{i} AS (SELECT v.id, (1.0 - {DAMPING}) * pn.p "
+            f"+ {DAMPING} * COALESCE(s.s, 0.0) AS rank "
+            f"FROM v JOIN pn ON v.id = pn.id LEFT JOIN ("
+            f"SELECT e.dst, SUM({prefix}{i-1}.rank * deg.w) AS s FROM e "
+            f"JOIN {prefix}{i-1} ON e.src = {prefix}{i-1}.id "
+            f"JOIN deg ON e.src = deg.src "
+            f"GROUP BY e.dst) s ON s.dst = v.id)"
+        )
+    seed_ctes = f"""p0 AS (SELECT id, 1.0 AS pw FROM v WHERE id % 25 = 0),
+pt AS (SELECT SUM(pw) AS t FROM p0),
+pn AS (SELECT v.id, COALESCE(p0.pw, 0.0) / pt.t AS p
+       FROM v LEFT JOIN p0 ON v.id = p0.id CROSS JOIN pt),
+{prefix}0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn)"""
+    return seed_ctes + ",\n" + ",\n".join(iters)
+
+
+def _trustrank_3iter_sql() -> str:
+    return f"""
+WITH {G_CTES},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
+deg AS (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),
+{_trust_chain_sql("t")}
+SELECT id, ROUND(rank, 9) AS rank FROM t3"""
+
+
+def _spam_mass_3iter_sql() -> str:
+    """Ordinary PageRank chain and TrustRank chain over the same graph,
+    joined: spam mass = (rank − trust) / rank."""
+    pr_iters = []
+    for i in range(1, 4):
+        pr_iters.append(
+            f"r{i} AS (SELECT v.id, (1.0 - {DAMPING}) / nn.n + {DAMPING} * "
+            f"COALESCE(s.s, 0.0) AS rank FROM v CROSS JOIN nn LEFT JOIN ("
+            f"SELECT e.dst, SUM(r{i-1}.rank * deg.w) AS s FROM e "
+            f"JOIN r{i-1} ON e.src = r{i-1}.id JOIN deg ON e.src = deg.src "
+            f"GROUP BY e.dst) s ON s.dst = v.id)"
+        )
+    return f"""
+WITH {G_CTES},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
+deg AS (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
+{",".join(pr_iters)},
+{_trust_chain_sql("t")}
+SELECT r3.id, ROUND(r3.rank, 9) AS rank, ROUND(t3.rank, 9) AS trust,
+       ROUND((r3.rank - t3.rank) / r3.rank, 6) AS spam_mass
+FROM r3 JOIN t3 ON r3.id = t3.id"""
+
+
 def _pagerank_deadend_3iter_sql() -> str:
     """DEAD=true recurrence on the raw (no self-loop) edge table: every
     iteration re-sums the rank mass on zero-out-degree vertices and folds it
@@ -1557,6 +1653,8 @@ SELECT src, dst FROM e2 WHERE src % 13 <> 1 AND dst % 13 <> 1"""
     o["host_graph"] = f"SELECT * FROM ({HOST_EDGES_SQL})"
     o["host_pagerank_3iter"] = _pagerank_weighted_3iter_sql(HOST_EDGES_SQL)
     o["pagerank_personalized_3iter"] = _pagerank_personalized_3iter_sql()
+    o["trustrank_3iter"] = _trustrank_3iter_sql()
+    o["spam_mass_3iter"] = _spam_mass_3iter_sql()
     o["pagerank_topk"] = (
         f"SELECT id, rank FROM ({_pagerank_3iter_sql()}) base "
         "ORDER BY rank DESC, id ASC LIMIT 15"

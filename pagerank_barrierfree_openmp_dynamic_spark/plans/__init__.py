@@ -17,3 +17,9 @@ from .labelprop import (  # noqa: F401
     resume_label_propagation_arrow,
 )
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
+from .trustrank import (  # noqa: F401
+    inverse_pagerank,
+    select_seeds,
+    spam_mass,
+    trustrank,
+)
