@@ -436,6 +436,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hits_3iter"] = hits_3iter
 
+    # -- spectral family (plans/centrality.py): Katz and eigenvector
+    # centrality on the raw (no self-loop) graph, same in-gather shape
+    def katz_3iter(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.centrality import (
+            katz_centrality,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        res = katz_centrality(g, alpha=0.1, beta=1.0, tolerance=0.0,
+                              max_iterations=3)
+        return res.scores.select("id", F.round("score", 9).alias("score"))
+
+    q["katz_3iter"] = katz_3iter
+
+    def eigencent_3iter(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.centrality import (
+            eigenvector_centrality,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        res = eigenvector_centrality(g, tolerance=0.0, max_iterations=3)
+        return res.scores.select("id", F.round("score", 9).alias("score"))
+
+    q["eigencent_3iter"] = eigencent_3iter
+
     def hits_arrow_3iter(spark, sf):
         # same recurrence on the dense resident-slice kernel (two narrow
         # jobs per superstep, no edge shuffle post-warmup) — FP-identical
@@ -1359,6 +1384,51 @@ FROM v JOIN h{iterations} ON v.id = h{iterations}.id
 JOIN a{iterations} ON v.id = a{iterations}.id"""
 
 
+def _katz_sql(iterations: int = 3, alpha: float = 0.1, beta: float = 1.0,
+              digits: int = 9) -> str:
+    """Unrolled Katz recurrence (matches plans/centrality.py exactly):
+    x_0 = β, x_i = β + α·Σ in-edge x_{i-1}, final L1 normalization; no
+    self-loops (raw e0)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"k{i}r AS MATERIALIZED (SELECT e0.dst AS id, SUM(k{i-1}.x) AS s "
+            f"FROM e0 JOIN k{i-1} ON e0.src = k{i-1}.id GROUP BY e0.dst),\n"
+            f"k{i} AS MATERIALIZED (SELECT v.id, "
+            f"{beta} + {alpha} * COALESCE(k{i}r.s, 0.0) AS x "
+            f"FROM v LEFT JOIN k{i}r ON v.id = k{i}r.id)"
+        )
+    joined = ",\n".join(steps)
+    return f"""
+WITH e0 AS MATERIALIZED ({EDGES_SQL}),
+v AS MATERIALIZED ({V_SQL}),
+k0 AS MATERIALIZED (SELECT id, {beta} AS x FROM v),
+{joined}
+SELECT id, ROUND(x / (SELECT SUM(x) FROM k{iterations}), {digits}) AS score
+FROM k{iterations}"""
+
+
+def _eigencent_sql(iterations: int = 3, digits: int = 9) -> str:
+    """Unrolled L1-normalized power iteration on the in-adjacency (matches
+    plans/centrality.py exactly): x_0 = 1/N; no self-loops (raw e0)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"x{i}r AS MATERIALIZED (SELECT e0.dst AS id, SUM(x{i-1}.x) AS s "
+            f"FROM e0 JOIN x{i-1} ON e0.src = x{i-1}.id GROUP BY e0.dst),\n"
+            f"x{i} AS MATERIALIZED (SELECT v.id, COALESCE(x{i}r.s, 0.0) / "
+            f"(SELECT SUM(s) FROM x{i}r) AS x "
+            f"FROM v LEFT JOIN x{i}r ON v.id = x{i}r.id)"
+        )
+    joined = ",\n".join(steps)
+    return f"""
+WITH e0 AS MATERIALIZED ({EDGES_SQL}),
+v AS MATERIALIZED ({V_SQL}),
+x0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT COUNT(*) FROM v) AS x FROM v),
+{joined}
+SELECT id, ROUND(x, {digits}) AS score FROM x{iterations}"""
+
+
 def _walks_sql(walk_length: int = 3, walks_per_vertex: int = 2) -> str:
     """Unrolled affine-strategy random walks (matches plans/walks.py
     exactly): ranked adjacency, per-step rank-directed join with
@@ -1748,6 +1818,8 @@ SELECT ROUND(CASE WHEN triads > 0 THEN tri3 / triads ELSE 0.0 END, 9)
 FROM agg"""
 
     o["hits_3iter"] = _hits_sql(3, 9)
+    o["katz_3iter"] = _katz_sql(3, 0.1, 1.0, 9)
+    o["eigencent_3iter"] = _eigencent_sql(3, 9)
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
     o["salsa_3iter"] = _salsa_sql(3, 9)
     o["salsa_arrow_3iter"] = _salsa_sql(3, 9)

@@ -17,6 +17,10 @@ from .labelprop import (  # noqa: F401
     resume_label_propagation_arrow,
 )
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
+from .centrality import (  # noqa: F401
+    eigenvector_centrality,
+    katz_centrality,
+)
 from .trustrank import (  # noqa: F401
     inverse_pagerank,
     select_seeds,
