@@ -461,6 +461,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eigencent_3iter"] = eigencent_3iter
 
+    # -- rank-order analytics (operators/rankcmp.py): does in-degree
+    # predict PageRank position / head membership on this graph?
+    def rank_degree_spearman(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.rankcmp import (
+            spearman,
+        )
+
+        g = _graph(spark, sf)
+        res = pagerank(g, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                          metrics_level="none"))
+        ranks = res.ranks.select("id", F.round("rank", 9).alias("rank"))
+        deg = g.in_degrees().select(
+            F.col("dst").alias("id"), F.col("deg").cast("double").alias("rank"))
+        return spearman(ranks, deg).select(
+            F.round("spearman", 6).alias("spearman"), "n")
+
+    q["rank_degree_spearman"] = rank_degree_spearman
+
+    def rank_degree_topk_overlap(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.rankcmp import (
+            topk_overlap,
+        )
+
+        g = _graph(spark, sf)
+        res = pagerank(g, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                          metrics_level="none"))
+        ranks = res.ranks.select("id", F.round("rank", 9).alias("rank"))
+        deg = g.in_degrees().select(
+            F.col("dst").alias("id"), F.col("deg").cast("double").alias("rank"))
+        return topk_overlap(ranks, deg, 20)
+
+    q["rank_degree_topk_overlap"] = rank_degree_topk_overlap
+
     def hits_arrow_3iter(spark, sf):
         # same recurrence on the dense resident-slice kernel (two narrow
         # jobs per superstep, no edge shuffle post-warmup) — FP-identical
@@ -1384,6 +1417,61 @@ FROM v JOIN h{iterations} ON v.id = h{iterations}.id
 JOIN a{iterations} ON v.id = a{iterations}.id"""
 
 
+def _rankcmp_ctes() -> str:
+    """Shared CTE prefix for the rank-order analytics oracles: the 3-iter
+    PageRank chain (same recurrence as ``_pagerank_sql``) rounded to 9
+    d.p. as ``pr(id, val)`` plus self-looped in-degree as ``indeg(id,
+    val)``."""
+    iters = []
+    for i in range(1, 4):
+        iters.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, "
+            f"(1.0 - {DAMPING}) / (SELECT n FROM nn) + {DAMPING} * "
+            f"COALESCE(s.s, 0.0) AS rank FROM v LEFT JOIN ("
+            f"SELECT t.dst, SUM(r{i-1}.rank * t.w) AS s FROM t "
+            f"JOIN r{i-1} ON t.src = r{i-1}.id "
+            f"GROUP BY t.dst) s ON s.dst = v.id)"
+        )
+    joined = ",\n".join(iters)
+    return f"""e0 AS MATERIALIZED ({EDGES_SQL}),
+v AS MATERIALIZED ({V_SQL}),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
+deg AS MATERIALIZED (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),
+t AS MATERIALIZED (SELECT e.src, e.dst, deg.w FROM e JOIN deg ON e.src = deg.src),
+r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),
+{joined},
+pr AS MATERIALIZED (SELECT id, ROUND(rank, 9) AS val FROM r3),
+indeg AS MATERIALIZED (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS val
+                       FROM e GROUP BY dst)"""
+
+
+def _rank_degree_spearman_sql() -> str:
+    """Average-tie rank positions on both vectors, then Pearson CORR —
+    matches operators/rankcmp.py:spearman exactly (ties averaged over
+    their block)."""
+    return f"""
+WITH {_rankcmp_ctes()},
+pa AS (SELECT id, AVG(rn) OVER (PARTITION BY val) AS ra FROM (
+  SELECT id, val, ROW_NUMBER() OVER (ORDER BY val, id) AS rn FROM pr)),
+pb AS (SELECT id, AVG(rn) OVER (PARTITION BY val) AS rb FROM (
+  SELECT id, val, ROW_NUMBER() OVER (ORDER BY val, id) AS rn FROM indeg))
+SELECT ROUND(CORR(pa.ra, pb.rb), 6) AS spearman, COUNT(*) AS n
+FROM pa JOIN pb ON pa.id = pb.id"""
+
+
+def _rank_degree_topk_overlap_sql(k: int = 20) -> str:
+    return f"""
+WITH {_rankcmp_ctes()},
+ta AS (SELECT id FROM pr ORDER BY val DESC, id ASC LIMIT {k}),
+tb AS (SELECT id FROM indeg ORDER BY val DESC, id ASC LIMIT {k}),
+i AS (SELECT COUNT(*) AS c FROM ta WHERE id IN (SELECT id FROM tb)),
+u AS (SELECT COUNT(*) AS c FROM (SELECT id FROM ta UNION SELECT id FROM tb))
+SELECT i.c AS intersection, u.c AS union_size,
+       CAST(i.c AS DOUBLE) / u.c AS jaccard, {k} AS k
+FROM i, u"""
+
+
 def _katz_sql(iterations: int = 3, alpha: float = 0.1, beta: float = 1.0,
               digits: int = 9) -> str:
     """Unrolled Katz recurrence (matches plans/centrality.py exactly):
@@ -1820,6 +1908,8 @@ FROM agg"""
     o["hits_3iter"] = _hits_sql(3, 9)
     o["katz_3iter"] = _katz_sql(3, 0.1, 1.0, 9)
     o["eigencent_3iter"] = _eigencent_sql(3, 9)
+    o["rank_degree_spearman"] = _rank_degree_spearman_sql()
+    o["rank_degree_topk_overlap"] = _rank_degree_topk_overlap_sql(20)
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
     o["salsa_3iter"] = _salsa_sql(3, 9)
     o["salsa_arrow_3iter"] = _salsa_sql(3, 9)
