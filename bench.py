@@ -432,6 +432,48 @@ def kernel_extras(spark) -> dict:
         nppr = personalized_pagerank_batch(g, seeds, iterations=3).count()
         out["ppr_64seed_3iter_sec"] = round(time.monotonic() - t, 3)
         out["ppr_state_rows"] = int(nppr)
+        # spectral + anti-spam + rank-order family (single samples)
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.rankcmp import (
+            spearman,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.centrality import (
+            eigenvector_centrality,
+            katz_centrality,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+            PageRankOptions,
+            pagerank,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.trustrank import (
+            spam_mass,
+        )
+
+        t = time.monotonic()
+        eigenvector_centrality(g, tolerance=0.0,
+                               max_iterations=5).scores.count()
+        out["eigencent_5iter_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        kr = katz_centrality(g, alpha="auto", tolerance=1e-8,
+                             max_iterations=100)
+        kr.scores.count()
+        out["katz_auto_sec"] = round(time.monotonic() - t, 3)
+        out["katz_iterations"] = kr.iterations
+        t = time.monotonic()
+        sm = spam_mass(
+            g, g.vertices.filter(F.col("id") % 25 == 0),
+            PageRankOptions(tolerance=0.0, max_iterations=5,
+                            dead_end_teleport=True, metrics_level="none"))
+        sm.count()
+        out["spam_mass_5iter_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        rk = pagerank(g, PageRankOptions(
+            tolerance=0.0, max_iterations=3, dead_end_teleport=True,
+            metrics_level="none")).ranks
+        deg = g.in_degrees().select(
+            F.col("dst").alias("id"), F.col("deg").cast("double").alias("rank"))
+        row = spearman(rk, deg).collect()[0]
+        out["rank_degree_spearman"] = round(float(row["spearman"]), 4)
+        out["spearman_sec"] = round(time.monotonic() - t, 3)
     finally:
         g.unpersist()
     return out
