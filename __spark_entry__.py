@@ -461,6 +461,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eigencent_3iter"] = eigencent_3iter
 
+    # -- k-truss cohesion (plans/truss.py): 2 fixed support-peel sweeps at
+    # k=3 (edges that keep >=1 triangle among survivors) — the fixpoint
+    # operator ktruss() iterates exactly this, pytest-oracled
+    def ktruss_peel2(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.truss import (
+            ktruss_peel,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return ktruss_peel(g, k=3, rounds=2)
+
+    q["ktruss_peel2"] = ktruss_peel2
+
     # -- rank-order analytics (operators/rankcmp.py): does in-degree
     # predict PageRank position / head membership on this graph?
     def rank_degree_spearman(spark, sf):
@@ -1446,6 +1459,34 @@ indeg AS MATERIALIZED (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS val
                        FROM e GROUP BY dst)"""
 
 
+def _ktruss_peel_sql(k: int = 3, rounds: int = 2) -> str:
+    """Unrolled support peeling (matches plans/truss.py:ktruss_peel):
+    per round, triangles among survivors via the x<y<z three-edge join,
+    support = per-edge triangle count, keep support >= k-2."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({EDGES_SQL})",
+        "und0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM e0 WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"und{i-1}"
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT a.u AS x, a.v AS y, b.v AS z "
+            f"FROM {p} a JOIN {p} b ON a.u = b.u AND a.v < b.v "
+            f"JOIN {p} c ON c.u = a.v AND c.v = b.v)")
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT u, v, COUNT(*) AS c FROM ("
+            f"SELECT x AS u, y AS v FROM t{i} UNION ALL "
+            f"SELECT x AS u, z AS v FROM t{i} UNION ALL "
+            f"SELECT y AS u, z AS v FROM t{i}) GROUP BY u, v)")
+        ctes.append(
+            f"und{i} AS MATERIALIZED (SELECT {p}.u, {p}.v FROM {p} "
+            f"JOIN s{i} ON {p}.u = s{i}.u AND {p}.v = s{i}.v "
+            f"WHERE s{i}.c >= {k - 2})")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT u, v FROM und{rounds}")
+
+
 def _rank_degree_spearman_sql() -> str:
     """Average-tie rank positions on both vectors, then Pearson CORR —
     matches operators/rankcmp.py:spearman exactly (ties averaged over
@@ -1908,6 +1949,7 @@ FROM agg"""
     o["hits_3iter"] = _hits_sql(3, 9)
     o["katz_3iter"] = _katz_sql(3, 0.1, 1.0, 9)
     o["eigencent_3iter"] = _eigencent_sql(3, 9)
+    o["ktruss_peel2"] = _ktruss_peel_sql(3, 2)
     o["rank_degree_spearman"] = _rank_degree_spearman_sql()
     o["rank_degree_topk_overlap"] = _rank_degree_topk_overlap_sql(20)
     o["hits_arrow_3iter"] = _hits_sql(3, 9)

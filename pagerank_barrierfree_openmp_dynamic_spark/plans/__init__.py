@@ -21,6 +21,7 @@ from .centrality import (  # noqa: F401
     eigenvector_centrality,
     katz_centrality,
 )
+from .truss import ktruss, ktruss_peel  # noqa: F401
 from .trustrank import (  # noqa: F401
     inverse_pagerank,
     select_seeds,
