@@ -507,6 +507,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rank_degree_topk_overlap"] = rank_degree_topk_overlap
 
+    # -- crawl-churn report: how much did the ranking move after the edge
+    # batch? (spearman + head overlap between base- and batched-graph
+    # 3-iter ranks — the order-statistics twin of naive_dynamic's norms)
+    def rank_churn_after_batch(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.rankcmp import (
+            spearman,
+            topk_overlap,
+        )
+
+        g = _graph(spark, sf)
+        opts = PageRankOptions(tolerance=0.0, max_iterations=3,
+                               metrics_level="none")
+        a = pagerank(g, opts).ranks.select(
+            "id", F.round("rank", 9).alias("rank"))
+        g2 = apply_batch(g, _batch(spark, sf))
+        b = pagerank(g2, opts).ranks.select(
+            "id", F.round("rank", 9).alias("rank"))
+        sp = spearman(a, b).select(
+            F.round("spearman", 6).alias("spearman"), "n")
+        return sp.crossJoin(topk_overlap(a, b, 20))
+
+    q["rank_churn_after_batch"] = rank_churn_after_batch
+
     def hits_arrow_3iter(spark, sf):
         # same recurrence on the dense resident-slice kernel (two narrow
         # jobs per superstep, no edge shuffle post-warmup) — FP-identical
@@ -1501,6 +1524,55 @@ SELECT ROUND(CORR(pa.ra, pb.rb), 6) AS spearman, COUNT(*) AS n
 FROM pa JOIN pb ON pa.id = pb.id"""
 
 
+def _churn_chain(sfx: str, edge_cte: str) -> str:
+    """One suffixed 3-iter PageRank chain ending in ``pr{sfx}(id, val)``
+    (rounded 9 d.p.) — two of these with different edge CTEs compose the
+    crawl-churn oracle."""
+    iters = []
+    for i in range(1, 4):
+        iters.append(
+            f"r{i}{sfx} AS MATERIALIZED (SELECT v{sfx}.id, "
+            f"(1.0 - {DAMPING}) / (SELECT n FROM nn{sfx}) + {DAMPING} * "
+            f"COALESCE(s.s, 0.0) AS rank FROM v{sfx} LEFT JOIN ("
+            f"SELECT t{sfx}.dst, SUM(r{i-1}{sfx}.rank * t{sfx}.w) AS s "
+            f"FROM t{sfx} JOIN r{i-1}{sfx} ON t{sfx}.src = r{i-1}{sfx}.id "
+            f"GROUP BY t{sfx}.dst) s ON s.dst = v{sfx}.id)"
+        )
+    return f"""e0{sfx} AS MATERIALIZED ({edge_cte}),
+v{sfx} AS MATERIALIZED (SELECT src AS id FROM e0{sfx}
+                        UNION SELECT dst AS id FROM e0{sfx}),
+nn{sfx} AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v{sfx}),
+e{sfx} AS MATERIALIZED (SELECT src, dst FROM e0{sfx}
+                        UNION SELECT id AS src, id AS dst FROM v{sfx}),
+deg{sfx} AS MATERIALIZED (SELECT src, 1.0 / COUNT(*) AS w FROM e{sfx}
+                          GROUP BY src),
+t{sfx} AS MATERIALIZED (SELECT e{sfx}.src, e{sfx}.dst, deg{sfx}.w
+                        FROM e{sfx} JOIN deg{sfx} ON e{sfx}.src = deg{sfx}.src),
+r0{sfx} AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn{sfx}) AS rank
+                         FROM v{sfx}),
+{",".join(iters)},
+pr{sfx} AS MATERIALIZED (SELECT id, ROUND(rank, 9) AS val FROM r3{sfx})"""
+
+
+def _rank_churn_sql(k: int = 20) -> str:
+    return f"""
+WITH {_churn_chain("a", EDGES_SQL)},
+{_churn_chain("b", BATCHED_EDGES_SQL)},
+pa AS (SELECT id, AVG(rn) OVER (PARTITION BY val) AS ra FROM (
+  SELECT id, val, ROW_NUMBER() OVER (ORDER BY val, id) AS rn FROM pra)),
+pb AS (SELECT id, AVG(rn) OVER (PARTITION BY val) AS rb FROM (
+  SELECT id, val, ROW_NUMBER() OVER (ORDER BY val, id) AS rn FROM prb)),
+sp AS (SELECT ROUND(CORR(pa.ra, pb.rb), 6) AS spearman, COUNT(*) AS n
+       FROM pa JOIN pb ON pa.id = pb.id),
+topa AS (SELECT id FROM pra ORDER BY val DESC, id ASC LIMIT {k}),
+topb AS (SELECT id FROM prb ORDER BY val DESC, id ASC LIMIT {k}),
+i AS (SELECT COUNT(*) AS c FROM topa WHERE id IN (SELECT id FROM topb)),
+u AS (SELECT COUNT(*) AS c FROM (SELECT id FROM topa UNION SELECT id FROM topb))
+SELECT sp.spearman, sp.n, i.c AS intersection, u.c AS union_size,
+       CAST(i.c AS DOUBLE) / u.c AS jaccard, {k} AS k
+FROM sp, i, u"""
+
+
 def _rank_degree_topk_overlap_sql(k: int = 20) -> str:
     return f"""
 WITH {_rankcmp_ctes()},
@@ -1952,6 +2024,7 @@ FROM agg"""
     o["ktruss_peel2"] = _ktruss_peel_sql(3, 2)
     o["rank_degree_spearman"] = _rank_degree_spearman_sql()
     o["rank_degree_topk_overlap"] = _rank_degree_topk_overlap_sql(20)
+    o["rank_churn_after_batch"] = _rank_churn_sql(20)
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
     o["salsa_3iter"] = _salsa_sql(3, 9)
     o["salsa_arrow_3iter"] = _salsa_sql(3, 9)
