@@ -530,6 +530,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rank_churn_after_batch"] = rank_churn_after_batch
 
+    def louvain_pass1(spark, sf):
+        # one Louvain pass (parity-gated synchronous local moves with the
+        # per-sweep modularity guard, plans/louvain.py) at a FIXED sweep
+        # budget so the unrolled SQL oracle replays the exact state
+        # machine: 4 sweeps, each a candidates→score→argmax→parity-gated
+        # update chain with a scalar freeze flag mirroring the Q-drop
+        # revert-and-stop
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.louvain import (
+            louvain,
+        )
+
+        g = _graph(spark, sf)
+        res = louvain(g, max_passes=1, max_sweeps=4)
+        return res.labels.select("id", "community")
+
+    q["louvain_pass1"] = louvain_pass1
+
     def hits_arrow_3iter(spark, sf):
         # same recurrence on the dense resident-slice kernel (two narrow
         # jobs per superstep, no edge shuffle post-warmup) — FP-identical
@@ -1573,6 +1590,80 @@ SELECT sp.spearman, sp.n, i.c AS intersection, u.c AS union_size,
 FROM sp, i, u"""
 
 
+def _louvain_sql(sweeps: int = 4) -> str:
+    """Unrolled one-pass Louvain oracle (plans/louvain.py semantics):
+    parity-gated synchronous sweeps, scores rounded 12 dp with the
+    smallest-community tie-break, and the per-sweep modularity guard
+    expressed as a cumulative scalar freeze flag — a sweep whose joint
+    moves lower Q is reverted and every later sweep becomes a no-op,
+    replaying the Spark loop's break. Quiet-stop needs no flag: two
+    consecutive no-move sweeps make every later sweep recompute an
+    identical no-move proposal."""
+    parts = [f"""{G_CTES},
+und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                     FROM e0 WHERE src <> dst GROUP BY 1, 2),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst, 1.0 AS w FROM und
+                     UNION ALL
+                     SELECT b AS src, a AS dst, 1.0 AS w FROM und),
+deg AS MATERIALIZED (SELECT v.id, COALESCE(SUM(s.w), 0.0) AS k
+                     FROM v LEFT JOIN sym s ON v.id = s.src GROUP BY v.id),
+m AS MATERIALIZED (SELECT SUM(w) AS m2 FROM sym),
+lab0 AS MATERIALIZED (SELECT id, id AS c FROM v),
+qtot0 AS (SELECT l.c, SUM(d.k) AS tot FROM lab0 l JOIN deg d USING (id)
+          GROUP BY l.c),
+qin0 AS (SELECT la.c, SUM(s.w) AS in2 FROM sym s
+         JOIN lab0 la ON s.src = la.id JOIN lab0 lb ON s.dst = lb.id
+         WHERE la.c = lb.c GROUP BY la.c),
+qb0 AS (SELECT ROUND(SUM(COALESCE(qi.in2, 0.0) / (SELECT m2 FROM m)
+                         - POW(t.tot / (SELECT m2 FROM m), 2)), 12) AS q
+        FROM qtot0 t LEFT JOIN qin0 qi USING (c)),
+frz0 AS (SELECT FALSE AS f)"""]
+    for i in range(1, sweeps + 1):
+        p = (i - 1) % 2  # parity of 0-based sweep index
+        parts.append(f""",
+tot{i} AS (SELECT l.c AS tc, SUM(d.k) AS tot FROM lab{i-1} l
+           JOIN deg d USING (id) GROUP BY l.c),
+nbr{i} AS (SELECT s.src, l.c AS nc, SUM(s.w) AS k_in FROM sym s
+           JOIN lab{i-1} l ON s.dst = l.id WHERE s.src <> s.dst
+           GROUP BY s.src, l.c),
+cand{i} AS (SELECT src, nc, SUM(k_in) AS k_in FROM (
+              SELECT src, nc, k_in FROM nbr{i}
+              UNION ALL
+              SELECT id AS src, c AS nc, 0.0 AS k_in FROM lab{i-1})
+            GROUP BY src, nc),
+sc{i} AS (SELECT c.src, c.nc,
+            ROUND(c.k_in - d.k * (t.tot - CASE WHEN c.nc = l.c
+                                               THEN d.k ELSE 0.0 END)
+                  / (SELECT m2 FROM m), 12) AS score
+          FROM cand{i} c JOIN tot{i} t ON c.nc = t.tc
+          JOIN lab{i-1} l ON c.src = l.id JOIN deg d ON c.src = d.id),
+win{i} AS (SELECT src, nc FROM (
+             SELECT src, nc, ROW_NUMBER() OVER (PARTITION BY src
+               ORDER BY score DESC, nc ASC) AS rn FROM sc{i}) WHERE rn = 1),
+prop{i} AS MATERIALIZED (SELECT l.id,
+             CASE WHEN w.nc IS NOT NULL AND w.nc <> l.c AND l.id % 2 = {p}
+                  THEN w.nc ELSE l.c END AS c
+           FROM lab{i-1} l LEFT JOIN win{i} w ON l.id = w.src),
+ptot{i} AS (SELECT l.c, SUM(d.k) AS tot FROM prop{i} l JOIN deg d USING (id)
+            GROUP BY l.c),
+pin{i} AS (SELECT la.c, SUM(s.w) AS in2 FROM sym s
+           JOIN prop{i} la ON s.src = la.id JOIN prop{i} lb ON s.dst = lb.id
+           WHERE la.c = lb.c GROUP BY la.c),
+q{i} AS (SELECT ROUND(SUM(COALESCE(qi.in2, 0.0) / (SELECT m2 FROM m)
+                          - POW(t.tot / (SELECT m2 FROM m), 2)), 12) AS q
+         FROM ptot{i} t LEFT JOIN pin{i} qi USING (c)),
+frz{i} AS (SELECT (SELECT f FROM frz{i-1})
+                  OR (SELECT q FROM q{i}) < (SELECT q FROM qb{i-1}) AS f),
+qb{i} AS (SELECT CASE WHEN (SELECT f FROM frz{i})
+                      THEN (SELECT q FROM qb{i-1})
+                      ELSE (SELECT q FROM q{i}) END AS q),
+lab{i} AS MATERIALIZED (SELECT p.id,
+             CASE WHEN (SELECT f FROM frz{i}) THEN l.c ELSE p.c END AS c
+           FROM prop{i} p JOIN lab{i-1} l USING (id))""")
+    parts.append(f"\nSELECT id, c AS community FROM lab{sweeps}")
+    return "WITH " + "".join(parts)
+
+
 def _rank_degree_topk_overlap_sql(k: int = 20) -> str:
     return f"""
 WITH {_rankcmp_ctes()},
@@ -2025,6 +2116,7 @@ FROM agg"""
     o["rank_degree_spearman"] = _rank_degree_spearman_sql()
     o["rank_degree_topk_overlap"] = _rank_degree_topk_overlap_sql(20)
     o["rank_churn_after_batch"] = _rank_churn_sql(20)
+    o["louvain_pass1"] = _louvain_sql(4)
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
     o["salsa_3iter"] = _salsa_sql(3, 9)
     o["salsa_arrow_3iter"] = _salsa_sql(3, 9)

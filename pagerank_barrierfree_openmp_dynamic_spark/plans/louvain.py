@@ -1,0 +1,296 @@
+"""Distributed Louvain community detection (modularity optimization).
+
+Not in the reference repo (BASELINE.json's north rule adds community
+detection alongside PageRank/CC/LPA); the algorithm is the classic
+Blondel et al. 2008 two-level loop — greedy local moves, then graph
+contraction — reshaped for synchronous data-parallel execution the way
+distributed Louvain implementations do (parallel local moves with an
+oscillation gate instead of the sequential vertex scan).
+
+Determinism (the repo's SURVEY §7 hard part e, same treatment as LPA):
+
+- **Synchronous sweeps with a parity gate.** All vertices evaluate their
+  best move against the *same* frozen community state; only vertices with
+  ``id % 2 == sweep % 2`` may actually move. Two vertices that would swap
+  communities under a fully-synchronous update (the classic Louvain
+  oscillation) can never both move in one sweep, and the schedule is a
+  pure function of (id, sweep) — independent of partitioning or row order.
+- **Total tie-break order.** Candidate scores are rounded to
+  ``precision`` decimals and ties go to the smallest community id. A
+  tied move toward a smaller id is allowed (labels coalesce and the
+  moving vertex's community id strictly decreases, so neutral moves
+  cannot cycle); a tied move toward a larger id never happens because the
+  current community wins the tie.
+- Community ids are always original vertex ids (each vertex starts in
+  community ``id`` and moves only adopt *existing* ids), so contracted
+  super-vertices keep stable, partition-independent identities.
+- **Per-sweep modularity guard.** Synchronous moves are individually
+  improving against the frozen state but can jointly overshoot (many
+  vertices piling into one community at once), so unlike sequential
+  Louvain, Q is not automatically monotone. Each sweep's partition is
+  scored; a sweep that lowers Q (rounded to ``precision``) is reverted
+  and ends the pass. Pass-start Q on the contracted graph equals the
+  previous partition's Q (self-loop rows carry the intra weight), so
+  the guard makes the whole optimization globally non-decreasing.
+
+The result therefore matches the NumPy mirror (``tests/oracle.py::
+louvain_oracle``) label-for-label — the same exactness contract the
+repo's LPA and async PageRank kernels carry.
+
+Scale shape (100-TB story): each sweep is two map-side-combinable hash
+aggregations (neighbor-community weights grouped by (src, community);
+community totals grouped by community) plus one per-src window — all
+keyed by src or community, no cross-join, no driver-side state beyond
+one scalar move-count per sweep. The symmetric edge view is persisted
+once per pass and reused by every sweep; contraction shrinks the edge
+table between passes (groupBy (c_src, c_dst)), so later passes run on a
+graph that is typically orders of magnitude smaller.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators.graph import LinkGraph
+from ..session import adaptive_execution, eager_state
+
+
+@dataclass
+class LouvainResult:
+    """Final partition + per-pass diagnostics."""
+
+    labels: DataFrame  # (id, community)
+    modularity: float
+    passes: int
+    sweeps: list[int] = field(default_factory=list)  # sweeps used per pass
+    history: list[float] = field(default_factory=list)  # Q after each pass
+
+
+def _symmetric_view(graph: LinkGraph) -> DataFrame:
+    """Loop-free undirected view as symmetric rows (src, dst, w=1.0) —
+    the same undirected community view LPA and the undirected metrics
+    use. Directed reciprocal pairs collapse to one undirected edge."""
+    e = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .select("src", "dst", F.lit(1.0).alias("w"))
+    )
+
+
+def _sweep(
+    sym: DataFrame,
+    lab: DataFrame,
+    deg: DataFrame,
+    two_m: float,
+    parity: int,
+    gamma: float,
+    precision: int,
+) -> DataFrame:
+    """One synchronous local-move sweep: every vertex scores all neighbor
+    communities plus its own against the frozen state; parity-matching
+    vertices adopt the argmax. Returns the new labels (id, c)."""
+    tot = (
+        lab.join(deg, "id")
+        .groupBy(F.col("c").alias("tc"))
+        .agg(F.sum("k").alias("tot"))
+    )
+    # weight from each vertex to each neighboring community (self-loop
+    # rows — contracted intra-community weight — are excluded: that
+    # weight moves with the vertex, so it is constant across candidates)
+    nbr = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .join(lab.select(F.col("id").alias("dst"), F.col("c").alias("nc")),
+              "dst")
+        .groupBy("src", "nc")
+        .agg(F.sum("w").alias("k_in"))
+    )
+    # the current community is always a candidate, even with no internal
+    # neighbors (k_in = 0) — staying put must be scoreable
+    cand = nbr.unionByName(
+        lab.select(F.col("id").alias("src"), F.col("c").alias("nc"),
+                   F.lit(0.0).alias("k_in"))
+    ).groupBy("src", "nc").agg(F.sum("k_in").alias("k_in"))
+    scored = (
+        cand.join(tot, cand.nc == tot.tc)
+        .join(lab.select(F.col("id").alias("src"), F.col("c").alias("cur")),
+              "src")
+        .join(deg.select(F.col("id").alias("src"), "k"), "src")
+        .select(
+            "src", "nc", "cur",
+            F.round(
+                F.col("k_in")
+                - gamma * F.col("k")
+                * (F.col("tot")
+                   - F.when(F.col("nc") == F.col("cur"), F.col("k"))
+                      .otherwise(F.lit(0.0)))
+                / F.lit(two_m),
+                precision,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(),
+                                          F.col("nc").asc())
+    winner = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # parity gate: only half the vertices may move per sweep, so a
+        # would-swap pair never oscillates and the schedule is a pure
+        # function of (id, sweep)
+        .filter((F.col("src") % 2 == parity) & (F.col("nc") != F.col("cur")))
+        .select(F.col("src").alias("id"), F.col("nc").alias("new_c"))
+    )
+    return lab.join(winner, "id", "left").select(
+        "id", F.coalesce("new_c", "c").alias("c")
+    )
+
+
+def _pass_modularity(sym: DataFrame, lab: DataFrame, deg: DataFrame,
+                     two_m: float, gamma: float) -> float:
+    """Q = Σ_c [ intra2(c)/2m − γ·(Σtot(c)/2m)² ] where intra2(c) is the
+    symmetric-row (i.e. doubled) intra-community weight."""
+    intra = (
+        sym.join(lab.select(F.col("id").alias("src"),
+                            F.col("c").alias("cs")), "src")
+        .join(lab.select(F.col("id").alias("dst"),
+                         F.col("c").alias("cd")), "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("c"))
+        .agg(F.sum("w").alias("in2"))
+    )
+    tot = (
+        lab.join(deg, "id").groupBy("c").agg(F.sum("k").alias("tot"))
+    )
+    row = (
+        tot.join(intra, "c", "left")
+        .select(
+            F.sum(
+                F.coalesce(F.col("in2"), F.lit(0.0)) / F.lit(two_m)
+                - gamma * F.pow(F.col("tot") / F.lit(two_m), F.lit(2.0))
+            ).alias("q")
+        )
+        .collect()[0]
+    )
+    return float(row["q"] or 0.0)
+
+
+def louvain(
+    graph: LinkGraph,
+    max_passes: int = 3,
+    max_sweeps: int = 10,
+    gamma: float = 1.0,
+    precision: int = 12,
+) -> LouvainResult:
+    """Run Louvain community detection; returns final per-vertex labels
+    (``community`` = the original vertex id the community coalesced onto),
+    the undirected modularity of the final partition, and per-pass
+    diagnostics. A pass ends when a full parity cycle (two consecutive
+    sweeps) moves nothing or ``max_sweeps`` is hit; the algorithm ends
+    when a pass's local-move phase moved nothing or ``max_passes``."""
+    spark = graph.edges.sparkSession
+    sym0 = _symmetric_view(graph).repartition(graph.partitions, "src")
+    sym0 = sym0.persist()
+    two_m = (sym0.agg(F.sum("w")).collect()[0][0] or 0.0)
+    if two_m == 0.0:
+        labels = graph.vertices.select(
+            "id", F.col("id").alias("community"))
+        return LouvainResult(labels, 0.0, 0, [], [])
+
+    # orig_id -> current community, threaded through every pass
+    mapping = graph.vertices.select("id", F.col("id").alias("c"))
+    mapping = mapping.localCheckpoint(eager=True)
+
+    sym = sym0
+    vertices = graph.vertices.select("id")
+    sweeps_used: list[int] = []
+    history: list[float] = []
+    passes = 0
+    with adaptive_execution(spark, False):
+        for p in range(max_passes):
+            deg = sym.groupBy(F.col("src").alias("id")).agg(
+                F.sum("w").alias("k"))
+            # isolated vertices carry k = 0 and never move
+            deg = vertices.join(deg, "id", "left").select(
+                "id", F.coalesce("k", F.lit(0.0)).alias("k"))
+            deg = deg.persist()
+            lab = vertices.select("id", F.col("id").alias("c"))
+            lab = lab.localCheckpoint(eager=True)
+            q_prev = round(_pass_modularity(sym, lab, deg, two_m, gamma),
+                           precision)
+            moved_total = 0
+            quiet = 0
+            s = 0
+            while s < max_sweeps and quiet < 2:
+                new_lab = eager_state(
+                    _sweep(sym, lab, deg, two_m, s % 2, gamma, precision))
+                moved = (
+                    new_lab.join(lab.withColumnRenamed("c", "c0"), "id")
+                    .filter(F.col("c") != F.col("c0")).count()
+                )
+                s += 1
+                if moved == 0:
+                    quiet += 1
+                    continue
+                q_new = round(
+                    _pass_modularity(sym, new_lab, deg, two_m, gamma),
+                    precision)
+                if q_new < q_prev:
+                    # synchronous overshoot: this sweep's joint moves
+                    # lowered Q — revert it and end the pass
+                    break
+                lab, q_prev = new_lab, q_new
+                moved_total += moved
+                quiet = 0
+            sweeps_used.append(s)
+            passes += 1
+            history.append(q_prev)
+            deg.unpersist()
+            if moved_total == 0:
+                break
+            # thread the hierarchy: orig -> old community -> new community
+            mapping = mapping.join(
+                lab.select(F.col("id").alias("_cid"),
+                           F.col("c").alias("new_c")),
+                mapping.c == F.col("_cid"),
+            ).select("id", F.col("new_c").alias("c"))
+            mapping = mapping.localCheckpoint(eager=True)
+            if p == max_passes - 1:
+                break  # no further pass will consume the contraction
+            # contract: communities become vertices, weights sum; the
+            # symmetric representation makes intra weight land on the
+            # (c, c) self-loop row already doubled, which is exactly what
+            # the next pass's degree sum needs
+            relabel = lab.select(F.col("id").alias("v"),
+                                 F.col("c").alias("cv"))
+            new_sym = (
+                sym.join(relabel.withColumnRenamed("v", "src")
+                         .withColumnRenamed("cv", "c_src"), "src")
+                .join(relabel.withColumnRenamed("v", "dst")
+                      .withColumnRenamed("cv", "c_dst"), "dst")
+                .groupBy(F.col("c_src").alias("src"),
+                         F.col("c_dst").alias("dst"))
+                .agg(F.sum("w").alias("w"))
+                .repartition(graph.partitions, "src")
+            )
+            new_sym = new_sym.persist()
+            new_sym.count()
+            if sym is not sym0:
+                sym.unpersist()
+            sym = new_sym
+            vertices = lab.select(F.col("c").alias("id")).distinct()
+            vertices = vertices.localCheckpoint(eager=True)
+    if sym is not sym0:
+        sym.unpersist()
+    sym0.unpersist()
+    labels = mapping.select("id", F.col("c").alias("community"))
+    return LouvainResult(labels, history[-1] if history else 0.0,
+                         passes, sweeps_used, history)

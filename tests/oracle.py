@@ -497,3 +497,106 @@ def neighborhood_oracle(n: int, edges: list[tuple[int, int]],
         cum += dist_counts.get(t, 0)
         out.append((t, cum))
     return out
+
+
+def louvain_oracle(
+    n: int,
+    edges: list[tuple[int, int]],
+    max_passes: int = 3,
+    max_sweeps: int = 10,
+    gamma: float = 1.0,
+    precision: int = 12,
+) -> tuple[np.ndarray, list[float]]:
+    """Exact mirror of ``plans/louvain.py``: parity-gated synchronous
+    local-move sweeps (score rounded to ``precision``, ties to the
+    smallest community id, ``id % 2 == sweep % 2`` may move) + graph
+    contraction. Returns (community per original vertex, per-pass
+    modularity history). Must match the Spark implementation
+    label-for-label."""
+    und = set()
+    for a, b in edges:
+        a, b = int(a), int(b)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    # symmetric weighted rows keyed by src: {src: {dst: w}}
+    sym: dict[int, dict[int, float]] = {}
+    for a, b in und:
+        sym.setdefault(a, {})[b] = sym.setdefault(a, {}).get(b, 0.0) + 1.0
+        sym.setdefault(b, {})[a] = sym.setdefault(b, {}).get(a, 0.0) + 1.0
+    two_m = sum(w for nb in sym.values() for w in nb.values())
+    mapping = {i: i for i in range(n)}
+    if two_m == 0.0:
+        return np.arange(n, dtype=np.int64), []
+
+    def _q(sym, lab, deg, vertices):
+        intra: dict[int, float] = {}
+        tot: dict[int, float] = {}
+        for v in vertices:
+            tot[lab[v]] = tot.get(lab[v], 0.0) + deg[v]
+            for u, w in sym.get(v, {}).items():
+                if lab[u] == lab[v]:
+                    intra[lab[v]] = intra.get(lab[v], 0.0) + w
+        return sum(intra.get(c, 0.0) / two_m - gamma * (tc / two_m) ** 2
+                   for c, tc in tot.items())
+
+    vertices = sorted(range(n))
+    history: list[float] = []
+    for _p in range(max_passes):
+        deg = {v: sum(sym.get(v, {}).values()) for v in vertices}
+        lab = {v: v for v in vertices}
+        q_prev = round(_q(sym, lab, deg, vertices), precision)
+        moved_total = 0
+        quiet = 0
+        s = 0
+        while s < max_sweeps and quiet < 2:
+            tot: dict[int, float] = {}
+            for v in vertices:
+                tot[lab[v]] = tot.get(lab[v], 0.0) + deg[v]
+            new_lab = dict(lab)
+            moved = 0
+            for v in vertices:
+                k_in: dict[int, float] = {lab[v]: 0.0}
+                for u, w in sym.get(v, {}).items():
+                    if u == v:
+                        continue
+                    c = lab[u]
+                    k_in[c] = k_in.get(c, 0.0) + w
+                best_c, best_s = None, None
+                for c in sorted(k_in):
+                    t = tot[c] - (deg[v] if c == lab[v] else 0.0)
+                    score = round(k_in[c] - gamma * deg[v] * t / two_m,
+                                  precision)
+                    if best_s is None or score > best_s or (
+                            score == best_s and c < best_c):
+                        best_c, best_s = c, score
+                if best_c != lab[v] and v % 2 == s % 2:
+                    new_lab[v] = best_c
+                    moved += 1
+            s += 1
+            if moved == 0:
+                quiet += 1
+                continue
+            q_new = round(_q(sym, new_lab, deg, vertices), precision)
+            if q_new < q_prev:
+                # synchronous overshoot: revert the sweep, end the pass
+                break
+            lab, q_prev = new_lab, q_new
+            moved_total += moved
+            quiet = 0
+        history.append(q_prev)
+        if moved_total == 0:
+            break
+        mapping = {i: lab[c] for i, c in mapping.items()}
+        new_sym: dict[int, dict[int, float]] = {}
+        for v, nb in sym.items():
+            cv = lab[v]
+            d = new_sym.setdefault(cv, {})
+            for u, w in nb.items():
+                cu = lab[u]
+                d[cu] = d.get(cu, 0.0) + w
+        sym = new_sym
+        vertices = sorted(set(lab.values()))
+    out = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        out[i] = mapping[i]
+    return out, history
