@@ -547,6 +547,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["louvain_pass1"] = louvain_pass1
 
+    def louvain_conductance(spark, sf):
+        # community-quality report for the louvain_pass1 partition:
+        # per-community cut / min(vol, 2m−vol) on the undirected view
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+            community_conductance,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.louvain import (
+            louvain,
+        )
+
+        g = _graph(spark, sf)
+        res = louvain(g, max_passes=1, max_sweeps=4)
+        return community_conductance(g, res.labels, "community").select(
+            "community", "cut", "volume",
+            F.round("conductance", 9).alias("conductance"))
+
+    q["louvain_conductance"] = louvain_conductance
+
     def hits_arrow_3iter(spark, sf):
         # same recurrence on the dense resident-slice kernel (two narrow
         # jobs per superstep, no edge shuffle post-warmup) — FP-identical
@@ -1590,15 +1608,17 @@ SELECT sp.spearman, sp.n, i.c AS intersection, u.c AS union_size,
 FROM sp, i, u"""
 
 
-def _louvain_sql(sweeps: int = 4) -> str:
-    """Unrolled one-pass Louvain oracle (plans/louvain.py semantics):
-    parity-gated synchronous sweeps, scores rounded 12 dp with the
-    smallest-community tie-break, and the per-sweep modularity guard
-    expressed as a cumulative scalar freeze flag — a sweep whose joint
-    moves lower Q is reverted and every later sweep becomes a no-op,
-    replaying the Spark loop's break. Quiet-stop needs no flag: two
-    consecutive no-move sweeps make every later sweep recompute an
-    identical no-move proposal."""
+def _louvain_chain(sweeps: int = 4) -> str:
+    """CTE body for the unrolled one-pass Louvain state machine
+    (plans/louvain.py semantics): parity-gated synchronous sweeps, scores
+    rounded 12 dp with the smallest-community tie-break, and the
+    per-sweep modularity guard expressed as a cumulative scalar freeze
+    flag — a sweep whose joint moves lower Q is reverted and every later
+    sweep becomes a no-op, replaying the Spark loop's break. Quiet-stop
+    needs no flag: two consecutive no-move sweeps make every later sweep
+    recompute an identical no-move proposal. Final labels land in
+    ``lab{sweeps}(id, c)``; ``sym``/``deg`` stay visible for follow-on
+    metrics."""
     parts = [f"""{G_CTES},
 und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                      FROM e0 WHERE src <> dst GROUP BY 1, 2),
@@ -1660,8 +1680,36 @@ qb{i} AS (SELECT CASE WHEN (SELECT f FROM frz{i})
 lab{i} AS MATERIALIZED (SELECT p.id,
              CASE WHEN (SELECT f FROM frz{i}) THEN l.c ELSE p.c END AS c
            FROM prop{i} p JOIN lab{i-1} l USING (id))""")
-    parts.append(f"\nSELECT id, c AS community FROM lab{sweeps}")
-    return "WITH " + "".join(parts)
+    return "".join(parts)
+
+
+def _louvain_sql(sweeps: int = 4) -> str:
+    return (f"WITH {_louvain_chain(sweeps)}\n"
+            f"SELECT id, c AS community FROM lab{sweeps}")
+
+
+def _louvain_conductance_sql(sweeps: int = 4) -> str:
+    """Per-community conductance of the louvain_pass1 partition —
+    cut/min(vol, 2m−vol) over the same symmetric view the chain built."""
+    return f"""WITH {_louvain_chain(sweeps)},
+per AS (SELECT l.c AS community, COUNT(*) AS volume,
+               CAST(SUM(CASE WHEN l.c <> l2.c THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cut
+        FROM sym s JOIN lab{sweeps} l ON s.src = l.id
+        JOIN lab{sweeps} l2 ON s.dst = l2.id
+        GROUP BY l.c),
+allc AS (SELECT DISTINCT c AS community FROM lab{sweeps}),
+tt AS (SELECT SUM(volume) AS t FROM per)
+SELECT a.community,
+       COALESCE(p.cut, 0) AS cut,
+       COALESCE(p.volume, 0) AS volume,
+       CASE WHEN LEAST(COALESCE(p.volume, 0),
+                       tt.t - COALESCE(p.volume, 0)) > 0
+            THEN ROUND(CAST(COALESCE(p.cut, 0) AS DOUBLE)
+                       / LEAST(COALESCE(p.volume, 0),
+                               tt.t - COALESCE(p.volume, 0)), 9)
+            ELSE 0.0 END AS conductance
+FROM allc a LEFT JOIN per p USING (community), tt"""
 
 
 def _rank_degree_topk_overlap_sql(k: int = 20) -> str:
@@ -2117,6 +2165,7 @@ FROM agg"""
     o["rank_degree_topk_overlap"] = _rank_degree_topk_overlap_sql(20)
     o["rank_churn_after_batch"] = _rank_churn_sql(20)
     o["louvain_pass1"] = _louvain_sql(4)
+    o["louvain_conductance"] = _louvain_conductance_sql(4)
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
     o["salsa_3iter"] = _salsa_sql(3, 9)
     o["salsa_arrow_3iter"] = _salsa_sql(3, 9)

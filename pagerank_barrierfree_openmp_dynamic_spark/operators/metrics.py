@@ -185,3 +185,66 @@ def degree_assortativity(
         [(float(row["r"]) if row["r"] is not None else float("nan"),
           int(row["m"]))],
         "assortativity double, m long")
+
+
+def community_conductance(
+    graph: LinkGraph,
+    labels: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-community conductance over the loop-free undirected view (the
+    same view Louvain/LPA optimize): for community c with volume
+    ``vol(c) = Σ_{v∈c} deg(v)`` and cut ``cut(c)`` = number of undirected
+    edges with exactly one endpoint in c,
+
+        φ(c) = cut(c) / min(vol(c), 2m − vol(c))
+
+    (0 when the denominator is 0 — an edgeless or whole-graph community).
+    The standard community-quality diagnostic next to modularity: low
+    conductance = few escape edges relative to internal mass.
+
+    Returns (community, cut, volume, conductance), one row per community
+    in ``labels`` (including edgeless ones).
+
+    Scale shape: one symmetric edge view joined twice against the label
+    table, then a single map-side-combinable groupBy community — per-row
+    work O(1), state O(communities); no Python in the plan.
+    """
+    lab = labels.select("id", F.col(label_col).alias("_c"))
+    und = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .unionByName(und.select(F.col("b").alias("src"),
+                                F.col("a").alias("dst")))
+    j = (
+        sym.join(lab.select(F.col("id").alias("src"),
+                            F.col("_c").alias("cs")), "src")
+        .join(lab.select(F.col("id").alias("dst"),
+                         F.col("_c").alias("cd")), "dst")
+    )
+    per = j.groupBy(F.col("cs").alias("community")).agg(
+        F.count("*").alias("volume"),
+        F.sum((F.col("cs") != F.col("cd")).cast("long")).alias("cut"),
+    )
+    all_c = lab.select(F.col("_c").alias("community")).distinct()
+    per = all_c.join(per, "community", "left").select(
+        "community",
+        F.coalesce("cut", F.lit(0)).alias("cut"),
+        F.coalesce("volume", F.lit(0)).alias("volume"),
+    )
+    # total volume = 2m (each undirected edge counted twice)
+    total = per.agg(F.sum("volume").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "community", "cut", "volume",
+            F.when(F.least(F.col("volume"), F.col("t") - F.col("volume")) > 0,
+                   F.col("cut")
+                   / F.least(F.col("volume"), F.col("t") - F.col("volume")))
+            .otherwise(F.lit(0.0)).alias("conductance"),
+        )
+    )

@@ -246,3 +246,53 @@ def test_cocitation_jaccard_mirror_and_cap(spark):
             cocitation_similarity(g, min_shared=0)
     finally:
         g.unpersist()
+
+
+def test_community_conductance_matches_mirror(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+        community_conductance,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.louvain import louvain
+
+    n = 120
+    pdf = datagen.synth_edges(n, seed=37)
+    edges = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64"))
+    verts = spark.createDataFrame(pd.DataFrame({"id": range(n)}).astype("int64"))
+    g = build_graph(df, vertices=verts)
+    res = louvain(g, max_passes=2, max_sweeps=6)
+    got = (
+        community_conductance(g, res.labels, label_col="community")
+        .toPandas().sort_values("community").reset_index(drop=True)
+    )
+
+    lab = res.labels.toPandas().set_index("id")["community"].to_dict()
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    vol, cut = {}, {}
+    for c in set(lab.values()):
+        vol[c] = 0
+        cut[c] = 0
+    for a, b in und:
+        vol[lab[a]] += 1
+        vol[lab[b]] += 1
+        if lab[a] != lab[b]:
+            cut[lab[a]] += 1
+            cut[lab[b]] += 1
+    two_m = 2 * len(und)
+    for _, row in got.iterrows():
+        c = row["community"]
+        assert row["volume"] == vol[c]
+        assert row["cut"] == cut[c]
+        denom = min(vol[c], two_m - vol[c])
+        want = cut[c] / denom if denom > 0 else 0.0
+        assert abs(row["conductance"] - want) < 1e-15
+    assert set(got["community"]) == set(lab.values())
+    # real communities exist: some multi-member community keeps most of
+    # its edge mass inside (leftover singletons sit at exactly 1.0)
+    assert (got["conductance"] < 0.75).any()
+    assert got["conductance"].between(0.0, 1.0).all()
+    g.unpersist()
