@@ -565,6 +565,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["louvain_conductance"] = louvain_conductance
 
+    def document_splits(spark, sf):
+        # deterministic train/val/test assignment by hashed doc_id —
+        # stable across runs/engines (explicit affine+quadratic mod hash,
+        # functions/sampling.py), pure scan-stage filter, no shuffle
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (
+            assign_split,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return assign_split(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=7).select("doc_id", "split")
+
+    q["document_splits"] = document_splits
+
+    def edge_holdout_sample(spark, sf):
+        # 30% uniform edge sample by (src, dst) pair hash — the
+        # evaluation-subgraph primitive; same hash family as splits
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (
+            sample_edges,
+        )
+
+        return sample_edges(_edges(spark, sf), 0.3, seed=3) \
+            .select("src", "dst")
+
+    q["edge_holdout_sample"] = edge_holdout_sample
+
     def hits_arrow_3iter(spark, sf):
         # same recurrence on the dense resident-slice kernel (two narrow
         # jobs per superstep, no edge shuffle post-warmup) — FP-identical
@@ -1712,6 +1739,46 @@ SELECT a.community,
 FROM allc a LEFT JOIN per p USING (community), tt"""
 
 
+def _hash_bucket_sql(key: str, seed: int, other: str | None = None) -> str:
+    """SQL mirror of functions/sampling.hash_bucket: affine-mod combine,
+    then the quadratic scramble x → (x² + x) mod M."""
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (
+        _A, _B, _C, _M,
+    )
+
+    h = f"(({key}) % {_M}) * {_A} + {seed * _C}"
+    if other is not None:
+        h += f" + (({other}) % {_M}) * {_B}"
+    return (f"(((({h}) % {_M}) * (({h}) % {_M}) + (({h}) % {_M})) % {_M})")
+
+
+def _document_splits_sql() -> str:
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import _M
+
+    h = _hash_bucket_sql("doc_id", 7)
+    # accumulate thresholds exactly as assign_split does (float cumsum),
+    # so boundary hash values bucket identically
+    cum = 0.8
+    t_train = int(cum * _M)
+    cum += 0.1
+    t_val = int(cum * _M)
+    return f"""
+SELECT doc_id,
+       CASE WHEN {h} < {t_train} THEN 'train'
+            WHEN {h} < {t_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
+
+def _edge_holdout_sample_sql() -> str:
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import _M
+
+    h = _hash_bucket_sql("src", 3, "dst")
+    return f"""
+WITH e0 AS ({EDGES_SQL})
+SELECT src, dst FROM e0 WHERE {h} < {int(0.3 * _M)}"""
+
+
 def _rank_degree_topk_overlap_sql(k: int = 20) -> str:
     return f"""
 WITH {_rankcmp_ctes()},
@@ -2166,6 +2233,8 @@ FROM agg"""
     o["rank_churn_after_batch"] = _rank_churn_sql(20)
     o["louvain_pass1"] = _louvain_sql(4)
     o["louvain_conductance"] = _louvain_conductance_sql(4)
+    o["document_splits"] = _document_splits_sql()
+    o["edge_holdout_sample"] = _edge_holdout_sample_sql()
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
     o["salsa_3iter"] = _salsa_sql(3, 9)
     o["salsa_arrow_3iter"] = _salsa_sql(3, 9)

@@ -1,0 +1,112 @@
+"""Deterministic hash-split sampling for training-data pipelines.
+
+Not a reference operator (the reference is a PageRank engine,
+``/root/reference/src/pagerank.hxx``); these are the corpus-subsetting
+primitives a 100-TB link/text pipeline needs around it: held-out
+train/val/test splits that are stable across runs, machines, and data
+layout, plus cheap subgraph samples for evaluation.
+
+Everything here is an **explicit affine-mod hash** — not Spark's
+``xxhash64`` or ``rand()`` — for three reasons:
+
+- **Reproducible by any engine.** The same arithmetic runs in DuckDB /
+  any SQL dialect, so splits can be re-derived (and oracle-checked)
+  outside Spark. A split that only Spark can recompute is a liability in
+  a multi-tool pipeline.
+- **Stateless and shuffle-free.** Membership is a pure function of the
+  key and seed: a filter that evaluates inside the scan stage, preserves
+  any existing partitioning, and pushes down — no sampling state, no
+  ``rand()`` non-determinism under task retry (Spark re-executes lost
+  partitions; ``rand()`` would resample them differently).
+- **Consistent across tables.** Hashing the *key* (doc_id, vertex id)
+  means every table sharing that key lands on the same side of the
+  split — edges, labels, and embeddings for a held-out document all stay
+  held out.
+
+The affine combination alone is LINEAR in the keys — on small/dense key
+ranges its residues form a lattice whose stripes correlate with the
+threshold (measured: a 0.30 edge-sample kept 0.41 on a 400-vertex
+synthetic graph, at every seed). A quadratic scrambling round
+(``x → x² + x mod M``) breaks the linearity; the same fixture lands
+within ±0.015 of the target at every seed tested.
+
+Overflow safety at 10^12-key scale: operands are reduced mod M (2^31−1)
+before multiplying, so every intermediate stays ≤ ~4.7e18 < 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_A = 1103515245
+_B = 976369
+_C = 69069
+_M = 2147483647  # 2^31 - 1 (prime)
+
+
+def hash_bucket(key: Column, seed: int = 42,
+                other: Column | None = None) -> Column:
+    """Hash of one or two integer key columns into [0, M): an affine-mod
+    combination followed by a quadratic scrambling round (see module
+    docstring). ``pmod`` keeps negative keys well-defined."""
+    h = F.pmod(key.cast("long"), F.lit(_M)) * F.lit(_A) + F.lit(seed * _C)
+    if other is not None:
+        h = h + F.pmod(other.cast("long"), F.lit(_M)) * F.lit(_B)
+    x = F.pmod(h, F.lit(_M))
+    return F.pmod(x * x + x, F.lit(_M))
+
+
+def sample_by_key(df: DataFrame, key: str, frac: float,
+                  seed: int = 42) -> DataFrame:
+    """Keep rows whose key hashes below ``frac`` of the hash space. A
+    pure filter: partition-preserving, scan-stage, retry-stable."""
+    return df.filter(hash_bucket(F.col(key), seed) < int(frac * _M))
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+    other_key: str | None = None,
+) -> DataFrame:
+    """Add a ``split`` column partitioning rows by hashed key into named
+    fractions, e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``.
+    Deterministic, disjoint, exhaustive (the last split absorbs the
+    rounding remainder). Iteration order of ``weights`` fixes the
+    threshold order, so pass an ordered dict."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = hash_bucket(F.col(key), seed,
+                    F.col(other_key) if other_key else None)
+    names = list(weights)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    thresholds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        thresholds.append((name, int(cum * _M)))
+    for name, t in reversed(thresholds):
+        expr = F.when(h < F.lit(t), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def sample_edges(edges: DataFrame, frac: float, seed: int = 42) -> DataFrame:
+    """Uniform edge sample: keep edges whose (src, dst) pair-hash falls
+    below ``frac``. Pure filter over the edge table."""
+    return edges.filter(
+        hash_bucket(F.col("src"), seed, F.col("dst")) < int(frac * _M))
+
+
+def sample_vertices_induced(edges: DataFrame, frac: float,
+                            seed: int = 42) -> DataFrame:
+    """Vertex-induced subgraph sample: keep edges where BOTH endpoints'
+    vertex hashes fall below ``frac`` (expected edge retention ≈ frac²
+    on independent endpoints). Still a pure filter — vertex membership
+    is recomputed from the id, no vertex-list join or broadcast."""
+    t = int(frac * _M)
+    return edges.filter(
+        (hash_bucket(F.col("src"), seed) < t)
+        & (hash_bucket(F.col("dst"), seed) < t))
