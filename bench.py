@@ -474,6 +474,28 @@ def kernel_extras(spark) -> dict:
         row = spearman(rk, deg).collect()[0]
         out["rank_degree_spearman"] = round(float(row["spearman"]), 4)
         out["spearman_sec"] = round(time.monotonic() - t, 3)
+
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+            community_conductance,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.louvain import (
+            louvain,
+        )
+
+        t = time.monotonic()
+        louv = louvain(g, max_passes=2, max_sweeps=6)
+        out["louvain_sec"] = round(time.monotonic() - t, 3)
+        out["louvain_modularity"] = round(louv.modularity, 4)
+        out["louvain_passes"] = louv.passes
+        out["louvain_sweeps"] = louv.sweeps
+        t = time.monotonic()
+        cond = community_conductance(g, louv.labels, "community")
+        row = cond.agg(
+            F.count("*").alias("nc"),
+            F.expr("median(conductance)").alias("medc")).collect()[0]
+        out["louvain_communities"] = int(row["nc"])
+        out["louvain_median_conductance"] = round(float(row["medc"]), 4)
+        out["conductance_sec"] = round(time.monotonic() - t, 3)
     finally:
         g.unpersist()
     return out
