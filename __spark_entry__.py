@@ -580,6 +580,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["document_splits"] = document_splits
 
+    def louvain_host_weighted(spark, sf):
+        # weighted Louvain on the contracted host graph: communities of
+        # hosts by inter-host link MASS (undirected weight = sum of
+        # directed link counts), same fixed 4-sweep state machine
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.louvain import (
+            louvain,
+        )
+
+        g = build_graph(_host_edges(spark, sf), weight_col="weight")
+        res = louvain(g, max_passes=1, max_sweeps=4)
+        return res.labels.select("id", "community")
+
+    q["louvain_host_weighted"] = louvain_host_weighted
+
     def edge_holdout_sample(spark, sf):
         # 30% uniform edge sample by (src, dst) pair hash — the
         # evaluation-subgraph primitive; same hash family as splits
@@ -1635,7 +1649,8 @@ SELECT sp.spearman, sp.n, i.c AS intersection, u.c AS union_size,
 FROM sp, i, u"""
 
 
-def _louvain_chain(sweeps: int = 4) -> str:
+def _louvain_chain(sweeps: int = 4, edge_sql: str | None = None,
+                   weighted: bool = False) -> str:
     """CTE body for the unrolled one-pass Louvain state machine
     (plans/louvain.py semantics): parity-gated synchronous sweeps, scores
     rounded 12 dp with the smallest-community tie-break, and the
@@ -1646,12 +1661,19 @@ def _louvain_chain(sweeps: int = 4) -> str:
     recompute an identical no-move proposal. Final labels land in
     ``lab{sweeps}(id, c)``; ``sym``/``deg`` stay visible for follow-on
     metrics."""
-    parts = [f"""{G_CTES},
-und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-                     FROM e0 WHERE src <> dst GROUP BY 1, 2),
-sym AS MATERIALIZED (SELECT a AS src, b AS dst, 1.0 AS w FROM und
+    head = G_CTES if edge_sql is None else (
+        f"e0 AS ({edge_sql}), v AS ({V_SQL})")
+    und = (
+        """SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                  SUM(weight) AS w
+           FROM e0 WHERE src <> dst GROUP BY 1, 2""" if weighted else
+        """SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, 1.0 AS w
+           FROM e0 WHERE src <> dst GROUP BY 1, 2""")
+    parts = [f"""{head},
+und AS MATERIALIZED ({und}),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM und
                      UNION ALL
-                     SELECT b AS src, a AS dst, 1.0 AS w FROM und),
+                     SELECT b AS src, a AS dst, w FROM und),
 deg AS MATERIALIZED (SELECT v.id, COALESCE(SUM(s.w), 0.0) AS k
                      FROM v LEFT JOIN sym s ON v.id = s.src GROUP BY v.id),
 m AS MATERIALIZED (SELECT SUM(w) AS m2 FROM sym),
@@ -1712,6 +1734,11 @@ lab{i} AS MATERIALIZED (SELECT p.id,
 
 def _louvain_sql(sweeps: int = 4) -> str:
     return (f"WITH {_louvain_chain(sweeps)}\n"
+            f"SELECT id, c AS community FROM lab{sweeps}")
+
+
+def _louvain_host_sql(sweeps: int = 4) -> str:
+    return (f"WITH {_louvain_chain(sweeps, HOST_EDGES_SQL, weighted=True)}\n"
             f"SELECT id, c AS community FROM lab{sweeps}")
 
 
@@ -2234,6 +2261,7 @@ FROM agg"""
     o["louvain_pass1"] = _louvain_sql(4)
     o["louvain_conductance"] = _louvain_conductance_sql(4)
     o["document_splits"] = _document_splits_sql()
+    o["louvain_host_weighted"] = _louvain_host_sql(4)
     o["edge_holdout_sample"] = _edge_holdout_sample_sql()
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
     o["salsa_3iter"] = _salsa_sql(3, 9)

@@ -68,22 +68,37 @@ class LouvainResult:
     history: list[float] = field(default_factory=list)  # Q after each pass
 
 
-def _symmetric_view(graph: LinkGraph) -> DataFrame:
-    """Loop-free undirected view as symmetric rows (src, dst, w=1.0) —
-    the same undirected community view LPA and the undirected metrics
-    use. Directed reciprocal pairs collapse to one undirected edge."""
-    e = (
-        graph.edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
+def _symmetric_view(graph: LinkGraph, use_weights: bool) -> DataFrame:
+    """Loop-free undirected view as symmetric rows (src, dst, w) — the
+    same undirected community view LPA and the undirected metrics use.
+    Unweighted: directed reciprocal pairs collapse to one undirected
+    edge of weight 1. Weighted (e.g. a contracted host graph's
+    inter-host link counts): the undirected weight is the SUM of the
+    directed weights over the pair."""
+    loopfree = graph.edges.filter(F.col("src") != F.col("dst"))
+    if use_weights:
+        e = (
+            loopfree.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                F.col("weight").cast("double").alias("w"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
         )
-        .dropDuplicates(["a", "b"])
-    )
+    else:
+        e = (
+            loopfree.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .dropDuplicates(["a", "b"])
+            .withColumn("w", F.lit(1.0))
+        )
     return (
-        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .select("src", "dst", F.lit(1.0).alias("w"))
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
     )
 
 
@@ -189,15 +204,22 @@ def louvain(
     max_sweeps: int = 10,
     gamma: float = 1.0,
     precision: int = 12,
+    use_weights: bool | None = None,
 ) -> LouvainResult:
     """Run Louvain community detection; returns final per-vertex labels
     (``community`` = the original vertex id the community coalesced onto),
     the undirected modularity of the final partition, and per-pass
     diagnostics. A pass ends when a full parity cycle (two consecutive
     sweeps) moves nothing or ``max_sweeps`` is hit; the algorithm ends
-    when a pass's local-move phase moved nothing or ``max_passes``."""
+    when a pass's local-move phase moved nothing or ``max_passes``.
+    ``use_weights`` (default: ``graph.weighted``) optimizes weighted
+    modularity — e.g. host communities by inter-host link mass on a
+    contracted graph."""
+    if use_weights is None:
+        use_weights = graph.weighted
     spark = graph.edges.sparkSession
-    sym0 = _symmetric_view(graph).repartition(graph.partitions, "src")
+    sym0 = _symmetric_view(graph, use_weights) \
+        .repartition(graph.partitions, "src")
     sym0 = sym0.persist()
     two_m = (sym0.agg(F.sum("w")).collect()[0][0] or 0.0)
     if two_m == 0.0:

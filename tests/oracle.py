@@ -506,23 +506,29 @@ def louvain_oracle(
     max_sweeps: int = 10,
     gamma: float = 1.0,
     precision: int = 12,
+    weights: list[float] | None = None,
 ) -> tuple[np.ndarray, list[float]]:
     """Exact mirror of ``plans/louvain.py``: parity-gated synchronous
     local-move sweeps (score rounded to ``precision``, ties to the
     smallest community id, ``id % 2 == sweep % 2`` may move) + graph
     contraction. Returns (community per original vertex, per-pass
     modularity history). Must match the Spark implementation
-    label-for-label."""
-    und = set()
-    for a, b in edges:
+    label-for-label. ``weights`` (aligned with ``edges``) mirrors
+    ``use_weights=True``: undirected weight = sum of directed weights."""
+    und: dict[tuple[int, int], float] = {}
+    for i, (a, b) in enumerate(edges):
         a, b = int(a), int(b)
         if a != b:
-            und.add((min(a, b), max(a, b)))
+            key = (min(a, b), max(a, b))
+            if weights is None:
+                und[key] = 1.0
+            else:
+                und[key] = und.get(key, 0.0) + float(weights[i])
     # symmetric weighted rows keyed by src: {src: {dst: w}}
     sym: dict[int, dict[int, float]] = {}
-    for a, b in und:
-        sym.setdefault(a, {})[b] = sym.setdefault(a, {}).get(b, 0.0) + 1.0
-        sym.setdefault(b, {})[a] = sym.setdefault(b, {}).get(a, 0.0) + 1.0
+    for (a, b), w in und.items():
+        sym.setdefault(a, {})[b] = sym.setdefault(a, {}).get(b, 0.0) + w
+        sym.setdefault(b, {})[a] = sym.setdefault(b, {}).get(a, 0.0) + w
     two_m = sum(w for nb in sym.values() for w in nb.values())
     mapping = {i: i for i in range(n)}
     if two_m == 0.0:
