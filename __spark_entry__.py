@@ -594,6 +594,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["louvain_host_weighted"] = louvain_host_weighted
 
+    def local_sweep_min_seed(spark, sf):
+        # ACL local community around the smallest vertex id: PPR sweep
+        # table (k, id, score, cut, volume, conductance) via the
+        # delta-trick prefix cuts (plans/localcluster.py)
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.localcluster import (
+            local_community,
+        )
+
+        g = _graph(spark, sf)
+        seed = g.vertices.agg(F.min("id")).collect()[0][0]
+        sw = local_community(g, int(seed), iterations=3, k_max=25)
+        return sw.select(
+            "k", "id", F.round("score", 9).alias("score"),
+            "cut", "volume",
+            F.round("conductance", 9).alias("conductance"))
+
+    q["local_sweep_min_seed"] = local_sweep_min_seed
+
     def edge_holdout_sample(spark, sf):
         # 30% uniform edge sample by (src, dst) pair hash — the
         # evaluation-subgraph primitive; same hash family as splits
@@ -1737,6 +1755,71 @@ def _louvain_sql(sweeps: int = 4) -> str:
             f"SELECT id, c AS community FROM lab{sweeps}")
 
 
+def _local_sweep_sql(iterations: int = 3, k_max: int = 25,
+                     damping: float = 0.85) -> str:
+    """PPR sweep-cut oracle (plans/localcluster.py): the ppr_batch
+    recurrence for the single MIN(id) seed, rank/undirected-degree
+    ordering (bit-identical key: PPR sums at most two addends per
+    group), and the delta-trick prefix cut (+1 at the lower endpoint
+    position, −1 at the higher) cumulated over the k_max prefix."""
+    d, t = repr(float(damping)), repr(1.0 - float(damping))
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"g{i} AS MATERIALIZED (SELECT r.seed, e.dst AS id, "
+            f"SUM({d} * r.rank * deg.w) AS rank "
+            f"FROM e JOIN r{i-1} r ON e.src = r.id "
+            f"JOIN deg ON e.src = deg.src GROUP BY r.seed, e.dst),\n"
+            f"r{i} AS MATERIALIZED (SELECT seed, id, SUM(rank) AS rank "
+            f"FROM (SELECT * FROM g{i} "
+            f"UNION ALL SELECT id AS seed, id, {t} FROM sd) "
+            f"GROUP BY seed, id)")
+    joined = ",\n".join(steps)
+    return f"""
+WITH {G_CTES},
+e AS (SELECT src, dst FROM e0 UNION SELECT id AS src, id AS dst FROM v),
+deg AS (SELECT src, 1.0 / COUNT(*) AS w FROM e GROUP BY src),
+sd AS (SELECT MIN(id) AS id FROM v),
+r0 AS (SELECT id AS seed, id, 1.0 AS rank FROM sd),
+{joined},
+apr AS (SELECT id, rank FROM r{iterations}),
+und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                     FROM e0 WHERE src <> dst GROUP BY 1, 2),
+degu AS (SELECT id, COUNT(*) AS deg FROM (
+           SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+         GROUP BY id),
+mm AS (SELECT 2 * COUNT(*) AS two_m FROM und),
+top AS MATERIALIZED (SELECT * FROM (
+        SELECT a.id, a.rank AS score, d.deg,
+               ROW_NUMBER() OVER (ORDER BY a.rank / d.deg DESC, a.id ASC)
+                 AS pos
+        FROM apr a JOIN degu d USING (id)) WHERE pos <= {k_max}),
+epos AS (SELECT CASE WHEN pa.pos IS NULL THEN pb.pos
+                     WHEN pb.pos IS NULL THEN pa.pos
+                     ELSE LEAST(pa.pos, pb.pos) END AS p_lo,
+                CASE WHEN pa.pos IS NULL OR pb.pos IS NULL THEN NULL
+                     ELSE GREATEST(pa.pos, pb.pos) END AS p_hi
+         FROM und u LEFT JOIN top pa ON u.a = pa.id
+         LEFT JOIN top pb ON u.b = pb.id),
+deltas AS (SELECT pos, SUM(dv) AS dv FROM (
+             SELECT p_lo AS pos, 1 AS dv FROM epos WHERE p_lo IS NOT NULL
+             UNION ALL
+             SELECT p_hi AS pos, -1 AS dv FROM epos WHERE p_hi IS NOT NULL)
+           GROUP BY pos),
+sweep AS (SELECT tp.pos AS k, tp.id, tp.score, tp.deg,
+                 CAST(SUM(COALESCE(dl.dv, 0)) OVER
+                      (ORDER BY tp.pos) AS BIGINT) AS cut,
+                 CAST(SUM(tp.deg) OVER (ORDER BY tp.pos) AS BIGINT)
+                   AS volume
+          FROM top tp LEFT JOIN deltas dl ON dl.pos = tp.pos)
+SELECT k, id, ROUND(score, 9) AS score, cut, volume,
+       CASE WHEN LEAST(volume, mm.two_m - volume) > 0
+            THEN ROUND(CAST(cut AS DOUBLE)
+                       / LEAST(volume, mm.two_m - volume), 9)
+            ELSE NULL END AS conductance
+FROM sweep, mm"""
+
+
 def _louvain_host_sql(sweeps: int = 4) -> str:
     return (f"WITH {_louvain_chain(sweeps, HOST_EDGES_SQL, weighted=True)}\n"
             f"SELECT id, c AS community FROM lab{sweeps}")
@@ -2262,6 +2345,7 @@ FROM agg"""
     o["louvain_conductance"] = _louvain_conductance_sql(4)
     o["document_splits"] = _document_splits_sql()
     o["louvain_host_weighted"] = _louvain_host_sql(4)
+    o["local_sweep_min_seed"] = _local_sweep_sql(3, 25)
     o["edge_holdout_sample"] = _edge_holdout_sample_sql()
     o["hits_arrow_3iter"] = _hits_sql(3, 9)
     o["salsa_3iter"] = _salsa_sql(3, 9)
