@@ -241,6 +241,27 @@ def main(argv=None):
 
     section("communities", _communities)
 
+    def _louvain():
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
+            community_conductance,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.louvain import (
+            louvain,
+        )
+
+        res = louvain(g, max_passes=2, max_sweeps=6)
+        summary["louvain_modularity"] = round(res.modularity, 6)
+        summary["louvain_passes"] = res.passes
+        cond = community_conductance(g, res.labels, "community")
+        crow = cond.agg(
+            F.count("*").alias("nc"),
+            F.expr("median(conductance)").alias("med")).collect()[0]
+        summary["louvain_communities"] = int(crow["nc"])
+        summary["louvain_median_conductance"] = round(float(crow["med"]), 6)
+        return res.labels
+
+    section("louvain", _louvain)
+
     def _betweenness_topk():
         from pagerank_barrierfree_openmp_dynamic_spark.plans.betweenness import (
             two_hop_betweenness,

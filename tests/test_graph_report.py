@@ -38,7 +38,7 @@ def test_graph_report_job(spark, tmp_path, edges_path):
     sections = ["stats", "degree_hist_out", "degree_hist_in", "components",
                 "scc_stats", "bowtie", "core_hist", "neighborhood",
                 "pagerank_topk", "salsa_topk", "harmonic_topk",
-                "communities", "betweenness_topk", "host_graph",
+                "communities", "louvain", "betweenness_topk", "host_graph",
                 "host_ranks"]
     for s in sections:
         assert spark.read.parquet(f"{out}/{s}").count() > 0, s
@@ -68,4 +68,8 @@ def test_graph_report_job(spark, tmp_path, edges_path):
     assert -1.0 <= summary["lpa_modularity"] <= 1.0
     comm = spark.read.parquet(f"{out}/communities")
     assert comm.count() == n
+    louv = spark.read.parquet(f"{out}/louvain")
+    assert louv.count() == n
+    assert -1.0 <= summary["louvain_modularity"] <= 1.0
+    assert summary["louvain_communities"] >= 1
     assert summary["lpa_communities"] == comm.select("label").distinct().count()
