@@ -1136,6 +1136,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return source_report(_docs(spark, sf))
 
     q["source_report"] = source_report_q
+
+    def boilerplate_report(spark, sf):
+        # per-source repeated-segment (boilerplate) counting, CCNet-style:
+        # a 6-token segment appearing in >=2 distinct docs of one source
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            boilerplate_stats,
+        )
+
+        return boilerplate_stats(_docs(spark, sf), seg_len=6, min_docs=2)
+
+    q["boilerplate_report"] = boilerplate_report
+
+    def boilerplate_clean(spark, sf):
+        # reassembled text with boilerplate segments stripped (hash-checks
+        # the position-ordered reassembly end-to-end)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            remove_boilerplate,
+        )
+
+        return remove_boilerplate(_docs(spark, sf), seg_len=6, min_docs=2)
+
+    q["boilerplate_clean"] = boilerplate_clean
+
+    def decontamination_flags(spark, sf):
+        # n-gram-overlap decontamination vs a held-out benchmark slice
+        # (doc_id % 97 == 0); k=4 fits the synthetic small-vocab fixture —
+        # production corpora use k~13 over the same broadcast-join shape
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            decontaminate,
+        )
+
+        docs = _docs(spark, sf)
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        return decontaminate(corpus, ev, k=4)
+
+    q["decontamination_flags"] = decontamination_flags
     q["simhash"] = lambda spark, sf: simhash(_docs(spark, sf))
     q["simhash_near_dup"] = lambda spark, sf: simhash_near_dup_pairs(
         simhash(_docs(spark, sf)), max_hamming=2
@@ -2739,6 +2776,57 @@ SELECT agg.source, CAST(n_docs AS BIGINT) AS n_docs,
        avg_quality, tl.top_lang,
        ROUND(1.0 - CAST(nd AS DOUBLE) / n_docs, 6) AS dup_rate
 FROM agg JOIN tl USING (source)"""
+    # 6-token non-overlapping segments per (doc, source); trailing partial
+    # segment kept — mirrors functions/corpus.py segment_table exactly
+    _SEG_CTES = """
+stoks AS (SELECT doc_id, source,
+  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+segp AS (SELECT doc_id, source, toks,
+  UNNEST(generate_series(0, CAST(floor((len(toks) - 1) / 6.0) AS BIGINT))) AS pos
+  FROM stoks WHERE len(toks) > 0),
+seg AS (SELECT doc_id, source, pos,
+  array_to_string(list_slice(toks, pos * 6 + 1, pos * 6 + 6), ' ') AS seg
+  FROM segp),
+freq AS (SELECT source, seg, COUNT(DISTINCT doc_id) AS nd
+  FROM seg GROUP BY source, seg)"""
+    o["boilerplate_report"] = f"""
+WITH {_SEG_CTES}
+SELECT s.doc_id, s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       ROUND(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_ratio
+FROM seg s JOIN freq f ON s.source = f.source AND s.seg = f.seg
+GROUP BY s.doc_id, s.source"""
+    o["boilerplate_clean"] = f"""
+WITH {_SEG_CTES},
+d AS (SELECT DISTINCT doc_id FROM seg),
+kept AS (SELECT s.doc_id, s.pos, s.seg
+  FROM seg s JOIN freq f ON s.source = f.source AND s.seg = f.seg
+  WHERE f.nd < 2),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM d LEFT JOIN agg a USING (doc_id)"""
+    # overlapping 4-token shingles; eval slice = doc_id % 97 == 0
+    o["decontamination_flags"] = """
+WITH dtoks AS (SELECT doc_id,
+  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+shp AS (SELECT doc_id, toks,
+  UNNEST(generate_series(1, len(toks) - 3)) AS i
+  FROM dtoks WHERE len(toks) >= 4),
+sh AS (SELECT DISTINCT doc_id,
+  array_to_string(list_slice(toks, i, i + 3), ' ') AS shingle FROM shp),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hit AS (SELECT c.doc_id, COUNT(*) AS n_hit_shingles
+  FROM corpus c JOIN ev USING (shingle) GROUP BY c.doc_id)
+SELECT h.doc_id, CAST(n_hit_shingles AS BIGINT) AS n_hit_shingles,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       ROUND(n_hit_shingles / CAST(n_shingles AS DOUBLE), 6) AS hit_ratio
+FROM hit h JOIN tot t USING (doc_id)"""
     o["simhash"] = f"WITH {_simhash_ctes()} SELECT doc_id, simhash FROM sig"
     # blocking mirrors functions.text.simhash_blocks exactly (pigeonhole on
     # max_hamming + 1 disjoint bit segments)

@@ -1,0 +1,157 @@
+"""Corpus-hygiene operators for training-data pipelines: boilerplate
+segment removal and benchmark decontamination.
+
+Both are standard pre-training corpus steps (CCNet/RefinedWeb-style
+repeated-content stripping; n-gram-overlap decontamination against held-out
+evaluation sets). Like the rest of ``functions/``, every hot-path
+expression is a built-in ``pyspark.sql.functions`` call (JVM-side,
+whole-stage codegen) — no Python UDFs — and every operator has an
+ANSI-SQL equivalent (DuckDB oracle in ``__spark_entry__.py``).
+
+Scale shapes (the 100-TB story):
+
+* ``segment_table``/``shingle_table`` are linear explodes (|tokens|/L and
+  |tokens| rows respectively) — one stage, no shuffle.
+* ``boilerplate_stats`` is one map-side-combinable hash agg on
+  (source, segment) plus one equi-join back on the same key — the exact
+  shape of per-host repeated-line counting on a crawl, where the group key
+  cardinality is bounded by the distinct-segment count per host.
+* ``decontaminate`` is a broadcast inner-join against the (small)
+  evaluation shingle set — the benchmark side is always tiny relative to
+  the corpus, so the corpus is never shuffled.
+
+Reference tie-in: the reference engine has no text surface
+(`/root/reference/src/` is graph kernels only); these operators extend the
+LLM-data-pipeline shelf mandated alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+
+def segment_table(df: DataFrame, seg_len: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Explode each document into consecutive NON-overlapping token
+    segments of ``seg_len`` tokens (the trailing partial segment is kept).
+
+    Returns (id, *extra_cols, pos, seg) with ``pos`` the 0-based segment
+    position — enough to reassemble the document deterministically.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # positions 0 .. ceil(n/L)-1; empty docs produce no rows
+    pos_seq = F.when(
+        n > 0, F.sequence(F.lit(0), F.floor((n - 1) / F.lit(seg_len)))
+    ).otherwise(F.array())
+    segs = F.transform(
+        pos_seq,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice(toks, i * F.lit(seg_len) + 1, F.lit(seg_len)), " "
+            ).alias("seg"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], F.explode(segs).alias("s")
+    ).select(F.col(id_col), *extra_cols,
+             F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+
+
+def boilerplate_stats(df: DataFrame, seg_len: int = 8, min_docs: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """Per-document boilerplate report: a segment is *boilerplate* when the
+    same ``seg_len``-token segment appears in ≥ ``min_docs`` distinct
+    documents of the same ``source`` (per-host repeated-content counting —
+    the distributed form of CCNet/RefinedWeb line-dedup).
+
+    Returns (doc_id, source, n_segments, n_boiler, boiler_ratio) for every
+    document with at least one segment.
+    """
+    seg = segment_table(df, seg_len, text_col, id_col, (source_col,))
+    freq = (seg.groupBy(source_col, "seg")
+               .agg(F.countDistinct(id_col).alias("nd")))
+    joined = seg.join(freq, [source_col, "seg"])
+    return (joined.groupBy(id_col, source_col)
+            .agg(F.count("*").alias("n_segments"),
+                 F.sum((F.col("nd") >= min_docs).cast("long")).alias("n_boiler"))
+            .withColumn("boiler_ratio",
+                        F.round(F.col("n_boiler") / F.col("n_segments"), 6)))
+
+
+def remove_boilerplate(df: DataFrame, seg_len: int = 8, min_docs: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       source_col: str = "source") -> DataFrame:
+    """Reassemble each document with boilerplate segments removed.
+
+    Returns (doc_id, clean_text, n_kept) — ``clean_text`` is the
+    position-ordered join of surviving segments ('' when everything was
+    boilerplate). Documents with no segments (empty text) are dropped,
+    matching :func:`boilerplate_stats`.
+    """
+    seg = segment_table(df, seg_len, text_col, id_col, (source_col,))
+    freq = (seg.groupBy(source_col, "seg")
+               .agg(F.countDistinct(id_col).alias("nd")))
+    joined = seg.join(freq, [source_col, "seg"])
+    kept = joined.filter(F.col("nd") < min_docs)
+    # deterministic reassembly: sort the (pos, seg) structs, then join —
+    # order-insensitive to partitioning (collect_list order is not
+    # guaranteed, the array_sort makes the result exact)
+    agg = (kept.groupBy(id_col)
+           .agg(F.array_sort(F.collect_list(F.struct("pos", "seg"))).alias("ps")))
+    all_docs = seg.select(id_col).distinct()
+    return (all_docs.join(agg, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(
+                    F.array_join(F.transform(F.col("ps"), lambda s: s["seg"]), " "),
+                    F.lit(""),
+                ).alias("clean_text"),
+                F.coalesce(F.size("ps"), F.lit(0)).cast("long").alias("n_kept"),
+            ))
+
+
+def shingle_table(df: DataFrame, k: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode each document into OVERLAPPING ``k``-token shingles
+    (positions 1..n-k+1). Documents shorter than ``k`` tokens produce no
+    rows. Returns (id, shingle) distinct per document."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, F.lit(k)), " "),
+        ),
+    ).otherwise(F.array())
+    return (df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+              .dropDuplicates([id_col, "shingle"]))
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame, k: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥1
+    ``k``-token shingle with any document of ``eval_df`` (the held-out
+    benchmark set). Returns one row per CONTAMINATED corpus document:
+    (doc_id, n_hit_shingles, n_shingles, hit_ratio).
+
+    The eval shingle set is broadcast — the corpus side is never shuffled,
+    which is what makes this affordable as a final pass over a full
+    pre-training corpus.
+    """
+    corpus_sh = shingle_table(df, k, text_col, id_col)
+    eval_sh = shingle_table(eval_df, k, text_col, id_col) \
+        .select("shingle").distinct()
+    totals = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (corpus_sh.join(F.broadcast(eval_sh), "shingle")
+            .groupBy(id_col).agg(F.count("*").alias("n_hit_shingles")))
+    return (hits.join(totals, id_col)
+            .select(F.col(id_col), "n_hit_shingles", "n_shingles",
+                    F.round(F.col("n_hit_shingles") / F.col("n_shingles"),
+                            6).alias("hit_ratio")))

@@ -1,0 +1,123 @@
+"""Corpus-hygiene operators: boilerplate segment stats/removal and
+benchmark decontamination (functions/corpus.py), checked against
+hand-computed expectations and a pure-Python mirror."""
+
+import pytest
+
+from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+    boilerplate_stats,
+    decontaminate,
+    remove_boilerplate,
+    segment_table,
+    shingle_table,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # hand-built: 'a b c d' is a 4-token boilerplate segment shared by docs
+    # 1 and 2 of src0; doc 3 is src1 (same segment, different source — must
+    # NOT count); doc 4 is short (partial trailing segment); doc 5 empty.
+    rows = [
+        (1, "a b c d x y z w", "src0"),
+        (2, "a b c d q r s t", "src0"),
+        (3, "a b c d m n o p", "src1"),
+        (4, "u v", "src0"),
+        (5, "", "src0"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_segment_table_positions_and_partials(docs):
+    seg = {(r.doc_id, r.pos): r.seg
+           for r in segment_table(docs, seg_len=4,
+                                  extra_cols=("source",)).collect()}
+    assert seg[(1, 0)] == "a b c d" and seg[(1, 1)] == "x y z w"
+    assert seg[(4, 0)] == "u v"          # trailing partial kept
+    assert not any(d == 5 for d, _ in seg)  # empty doc -> no rows
+
+
+def test_boilerplate_stats_per_source(docs):
+    out = {r.doc_id: r for r in
+           boilerplate_stats(docs, seg_len=4, min_docs=2).collect()}
+    # 'a b c d' appears in docs 1 and 2 (both src0) -> boilerplate there
+    assert out[1].n_boiler == 1 and out[1].n_segments == 2
+    assert out[1].boiler_ratio == 0.5
+    assert out[2].n_boiler == 1
+    # doc 3 has the same segment but is the only src1 doc -> not boilerplate
+    assert out[3].n_boiler == 0
+    assert out[4].n_boiler == 0 and out[4].n_segments == 1
+    assert 5 not in out
+
+
+def test_remove_boilerplate_reassembles_in_order(docs):
+    out = {r.doc_id: r for r in
+           remove_boilerplate(docs, seg_len=4, min_docs=2).collect()}
+    assert out[1].clean_text == "x y z w" and out[1].n_kept == 1
+    assert out[2].clean_text == "q r s t"
+    assert out[3].clean_text == "a b c d m n o p" and out[3].n_kept == 2
+    assert out[4].clean_text == "u v"
+
+
+def test_remove_boilerplate_all_boiler_yields_empty(spark):
+    rows = [(1, "a b c d", "s"), (2, "a b c d", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in
+           remove_boilerplate(df, seg_len=4, min_docs=2).collect()}
+    assert out[1].clean_text == "" and out[1].n_kept == 0
+    assert out[2].clean_text == ""
+
+
+def test_shingle_table_overlap_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b")], "doc_id long, text string")
+    sh = sorted(r.shingle for r in shingle_table(df, k=3).collect()
+                if r.doc_id == 1)
+    assert sh == ["a b c", "b c d", "c d e"]
+    assert not [r for r in shingle_table(df, k=3).collect() if r.doc_id == 2]
+
+
+def test_decontaminate_matches_python_mirror(spark):
+    # seeded word-soup corpus; mirror computes the same flags in pure Python
+    import random
+
+    rng = random.Random(7)
+    vocab = ["red", "blue", "green", "fast", "slow", "table", "scan"]
+    texts = {i: " ".join(rng.choice(vocab) for _ in range(20))
+             for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    ev = df.filter("doc_id % 7 = 0")
+    corpus = df.filter("doc_id % 7 != 0")
+    k = 4
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    eval_sh = set().union(*(sh(texts[i]) for i in texts if i % 7 == 0))
+    expect = {}
+    for i, t in texts.items():
+        if i % 7 == 0:
+            continue
+        s = sh(t)
+        hits = len(s & eval_sh)
+        if hits:
+            expect[i] = (hits, len(s))
+
+    got = {r.doc_id: (r.n_hit_shingles, r.n_shingles)
+           for r in decontaminate(corpus, ev, k=k).collect()}
+    assert got == expect
+    for r in decontaminate(corpus, ev, k=k).collect():
+        assert r.hit_ratio == round(r.n_hit_shingles / r.n_shingles, 6)
+
+
+def test_decontaminate_plan_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y"), (3, "p q r s t u")],
+        "doc_id long, text string")
+    plan = decontaminate(df.filter("doc_id > 1"), df.filter("doc_id = 1"),
+                         k=4)._jdf.queryExecution().executedPlan().toString()
+    # the eval shingle side must broadcast — the corpus is never shuffled
+    # for the contamination probe
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
