@@ -900,6 +900,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["landmark_distances_t3"] = landmark_distances_t3
 
+    def sssp_t3(spark, sf):
+        # weighted SSSP (frontier-pruned Bellman-Ford, plans/sssp.py) from
+        # the 3 top-out-degree sources, 3 rounds -> exact min over <=3-edge
+        # paths; deterministic derived weights 1 + (src*7 + dst*3) % 5
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.distances import (
+            top_degree_landmarks,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.sssp import (
+            derived_edge_weights,
+            sssp,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return sssp(g, top_degree_landmarks(g, 3),
+                    weight=derived_edge_weights(g), max_rounds=3)
+
+    q["sssp_t3"] = sssp_t3
+
     def reciprocity_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (
             reciprocity,
@@ -2544,6 +2562,23 @@ reach(l, v, d) AS (
   WHERE r.d < 3)
 SELECT v AS id, l AS landmark, MIN(d) AS dist
 FROM reach GROUP BY l, v"""
+    # weighted Bellman-Ford, 3 rounds = exact min over <=3-edge paths;
+    # weights mirror plans/sssp.derived_edge_weights exactly
+    o["sssp_t3"] = f"""
+WITH RECURSIVE e0 AS ({EDGES_SQL}),
+ed AS (SELECT src, dst,
+       CAST(1 + (src * 7 + dst * 3) % 5 AS DOUBLE) AS w
+       FROM e0 WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM e0 GROUP BY src),
+lm AS (SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 3),
+walk(s, v, h, d) AS (
+  SELECT id AS s, id AS v, 0 AS h, CAST(0 AS DOUBLE) AS d FROM lm
+  UNION
+  SELECT wk.s, ed.dst, wk.h + 1, wk.d + ed.w
+  FROM walk wk JOIN ed ON ed.src = wk.v
+  WHERE wk.h < 3)
+SELECT v AS id, s AS source, MIN(d) AS dist
+FROM walk GROUP BY s, v"""
     o["scc"] = SCC_SQL
     o["scc_stats"] = f"""
 WITH scc AS ({SCC_SQL}),
