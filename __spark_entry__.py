@@ -957,6 +957,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["degree_histogram_out"] = degree_histogram_out
 
+    def degree_powerlaw(spark, sf):
+        # Clauset-Shalizi-Newman MLE for the out-degree tail exponent
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
+            powerlaw_alpha,
+        )
+
+        return powerlaw_alpha(_edges(spark, sf), dmin=2, direction="out")
+
+    q["degree_powerlaw"] = degree_powerlaw
+
     # -- T4 reachability closure (dfsVisitedForEachW — visited set only) --
     def reachable_from(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.plans.traversal import (
@@ -2617,6 +2627,14 @@ WITH {G_CTES},
 d AS (SELECT src AS id, COUNT(*) AS deg FROM e0 GROUP BY src),
 dz AS (SELECT v.id, COALESCE(d.deg, 0) AS deg FROM v LEFT JOIN d ON v.id = d.id)
 SELECT deg, COUNT(*) AS n_vertices FROM dz GROUP BY deg"""
+    o["degree_powerlaw"] = f"""
+WITH e0 AS ({EDGES_SQL}),
+d AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(LN(deg / 1.5)) AS s FROM d WHERE deg >= 2)
+SELECT 'out' AS direction, CAST(2 AS BIGINT) AS dmin, n AS n_tail,
+       CASE WHEN s > 0 THEN ROUND(1.0 + n / s, 6) ELSE NULL END AS alpha
+FROM t"""
 
     o["reachable_from"] = f"""
 WITH RECURSIVE {G_CTES},

@@ -92,3 +92,31 @@ def degree_histogram(edges: DataFrame, vertices: DataFrame,
             [(0, n_zero)], "deg long, n_vertices long")
         hist = hist.unionByName(zero)
     return hist
+
+
+def powerlaw_alpha(edges: DataFrame, dmin: int = 2,
+                   direction: str = "out") -> DataFrame:
+    """Discrete power-law exponent MLE for the degree tail (Clauset,
+    Shalizi & Newman 2009, eq. 3.7 continuous approximation):
+    ``alpha = 1 + n_tail / sum(ln(deg / (dmin - 0.5)))`` over vertices
+    with degree >= dmin. One row: (direction, dmin, n_tail, alpha).
+
+    One map-side-combinable aggregation over the per-vertex degree table —
+    a scalar diagnostic at any scale. The web-graph sanity check: crawls
+    typically land in alpha ~ 2.1 (in-degree); a wildly different value on
+    an extracted edge table flags an extraction bug before any kernel runs.
+    """
+    if direction not in ("out", "in"):
+        raise ValueError(f"direction must be 'out' or 'in', got {direction!r}")
+    key = "src" if direction == "out" else "dst"
+    per_v = edges.groupBy(F.col(key).alias("id")).agg(F.count("*").alias("deg"))
+    tail = per_v.filter(F.col("deg") >= dmin)
+    row = tail.agg(
+        F.count("*").alias("n"),
+        F.sum(F.log(F.col("deg") / (dmin - 0.5))).alias("s"),
+    ).collect()[0]
+    n, s = int(row["n"] or 0), float(row["s"] or 0.0)
+    alpha = round(1.0 + n / s, 6) if s > 0 else None
+    return edges.sparkSession.createDataFrame(
+        [(direction, dmin, n, alpha)],
+        "direction string, dmin long, n_tail long, alpha double")

@@ -353,3 +353,19 @@ def test_salsa_weighted_walks_match_oracle(spark):
             salsa_arrow(g)
     finally:
         g.unpersist()
+
+
+def test_powerlaw_alpha_matches_mle_mirror(spark, small_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.degrees import (
+        powerlaw_alpha,
+    )
+
+    row = powerlaw_alpha(small_graph.edges, dmin=2, direction="out").collect()[0]
+    e = small_graph.edges.select("src").toPandas()["src"].to_numpy()
+    _, counts = np.unique(e, return_counts=True)
+    tail = counts[counts >= 2]
+    want = 1.0 + len(tail) / np.log(tail / 1.5).sum()
+    assert row.n_tail == len(tail)
+    assert row.alpha == pytest.approx(round(want, 6), abs=1e-9)
+    with pytest.raises(ValueError):
+        powerlaw_alpha(small_graph.edges, direction="sideways")
