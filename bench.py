@@ -496,6 +496,37 @@ def kernel_extras(spark) -> dict:
         out["louvain_communities"] = int(row["nc"])
         out["louvain_median_conductance"] = round(float(row["medc"]), 4)
         out["conductance_sec"] = round(time.monotonic() - t, 3)
+
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.distances import (
+            top_degree_landmarks,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.sssp import (
+            derived_edge_weights,
+            sssp,
+        )
+
+        t = time.monotonic()
+        n_pairs = sssp(g, top_degree_landmarks(g, 4),
+                       weight=derived_edge_weights(g)).count()
+        out["sssp_4src_sec"] = round(time.monotonic() - t, 3)
+        out["sssp_4src_pairs"] = int(n_pairs)
+
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            boilerplate_stats,
+            decontaminate,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        t = time.monotonic()
+        nb = (boilerplate_stats(docs, seg_len=6, min_docs=2)
+              .filter(F.col("n_boiler") > 0).count())
+        out["boilerplate_sec"] = round(time.monotonic() - t, 3)
+        out["boilerplate_docs"] = int(nb)
+        t = time.monotonic()
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        corp = docs.filter(F.col("doc_id") % 97 != 0)
+        out["decontaminate_hits"] = int(decontaminate(corp, ev, k=4).count())
+        out["decontaminate_sec"] = round(time.monotonic() - t, 3)
     finally:
         g.unpersist()
     return out
