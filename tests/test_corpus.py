@@ -121,3 +121,60 @@ def test_decontaminate_plan_is_broadcast(spark):
     # the eval shingle side must broadcast — the corpus is never shuffled
     # for the contamination probe
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_run_corpus_job_end_to_end(spark, tmp_path):
+    """jobs/run_corpus.py: the full corpus-preparation funnel — lang +
+    quality filters, boilerplate strip, dedup, decontamination, splits —
+    runs end-to-end, the funnel counts are monotone non-increasing, and
+    the written corpus partitions exactly by split."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+    ev = str(tmp_path / "eval_in")
+    docs.filter("doc_id % 97 = 0").write.parquet(ev)
+    out = str(tmp_path / "corpus_out")
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_corpus.main([
+            "--docs", src, "--output", out,
+            "--langs", "en,de,fr,es,und",
+            "--min-quality", "0.05",
+            "--boiler-seg-len", "6", "--boiler-min-docs", "2",
+            "--dedup", "exact",
+            "--eval-docs", ev, "--decon-k", "4",
+            "--splits", "train:0.8,val:0.1,test:0.1",
+        ])
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    f = rep["funnel"]
+    stages = ["input", "after_lang", "after_quality", "after_boilerplate",
+              "after_dedup", "after_decontamination", "output"]
+    assert list(f) == stages
+    counts = [f[s] for s in stages]
+    assert counts == sorted(counts, reverse=True)   # monotone funnel
+    assert f["input"] == 500 and f["output"] > 0
+    # decontamination really dropped the eval-overlapping docs
+    assert f["after_decontamination"] < f["after_dedup"]
+
+    written = spark.read.parquet(out)
+    assert written.count() == f["output"]
+    assert set(r.split for r in written.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
+    # splits are deterministic: re-assigning reproduces the same column
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (
+        assign_split,
+    )
+    re = assign_split(written.drop("split"), "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1})
+    joined = written.select("doc_id", "split").join(
+        re.select("doc_id", re.split.alias("split2")), "doc_id")
+    assert joined.filter("split != split2").count() == 0
