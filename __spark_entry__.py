@@ -735,6 +735,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["harmonic_t3"] = harmonic_t3
 
+    def closeness_t3(spark, sf):
+        # closeness + Lin centrality from the same ball summaries at
+        # fixed horizon t<=3, exact bitset kernel (plans/neighborhood.py):
+        # total_dist = sum of t * count-at-distance-t over incoming
+        # distances, closeness = (r-1)/S, lin = r^2/S — one double
+        # division at the end, mirrored bit-for-bit by the oracle
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+            closeness_centrality,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        return closeness_centrality(g, max_t=3, mode="exact") \
+            .select("id", "reachable", "total_dist",
+                    F.round("closeness", 9).alias("closeness"),
+                    F.round("lin", 9).alias("lin"))
+
+    q["closeness_t3"] = closeness_t3
+
     def random_walks_q(spark, sf):
         # seeded walk corpus (DeepWalk front-end), affine selection
         # strategy — same plan shape as the production hash strategy but
@@ -2442,6 +2460,27 @@ SELECT vd.id,
        ROUND(COALESCE(SUM(cnt.c * (1.0 / cnt.d)), 0.0), 9) AS harmonic
 FROM vd LEFT JOIN cnt ON vd.id = cnt.id
 GROUP BY vd.id"""
+    o["closeness_t3"] = f"""
+WITH RECURSIVE {G_CTES},
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+reach(a, b, d) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT r.a, ed.dst, r.d + 1 FROM reach r JOIN ed ON ed.src = r.b
+  WHERE r.d < 3),
+md AS (SELECT a, b, MIN(d) AS d FROM reach GROUP BY a, b),
+st AS (SELECT b AS id, COUNT(*) AS r, SUM(d) AS s FROM md GROUP BY b)
+SELECT st.id,
+       CAST(st.r AS DOUBLE) AS reachable,
+       CAST(st.s AS DOUBLE) AS total_dist,
+       ROUND(CASE WHEN st.s > 0
+             THEN CAST(st.r - 1 AS DOUBLE) / CAST(st.s AS DOUBLE)
+             ELSE 0.0 END, 9) AS closeness,
+       ROUND(CASE WHEN st.s > 0
+             THEN CAST(st.r AS DOUBLE) * CAST(st.r AS DOUBLE)
+                  / CAST(st.s AS DOUBLE)
+             ELSE 1.0 END, 9) AS lin
+FROM st"""
     o["random_walks"] = _walks_sql(3)
     o["node2vec_walks"] = _node2vec_sql(3, 2, 0.5, 2.0)
     o["ppr_batch_3iter"] = _ppr_batch_sql(3, 0.85)

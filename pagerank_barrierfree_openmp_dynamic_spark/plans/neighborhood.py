@@ -137,6 +137,79 @@ def _popcount_rows(bits: np.ndarray) -> np.ndarray:
         axis=1, dtype=np.int64)
 
 
+def _sweep_ball_summaries(graph, dense, max_t, mode, b, direction,
+                          on_round) -> DenseGraph:
+    """The monotone ball-summary fixpoint shared by the neighborhood /
+    harmonic / closeness kernels: initialize singleton summaries (packed
+    bitsets or HLL registers), then one narrow ``mapInPandas`` job per
+    round until ``max_t`` or the summaries stop changing. Calls
+    ``on_round(t, counts, converged)`` once per round — ``counts`` is the
+    float64 per-vertex ball-size vector (exact popcounts in exact mode,
+    which are integer-valued and FP-exact below 2^53; HLL estimates
+    otherwise), ``converged=True`` marks the fixpoint round that added
+    nothing. Returns the DenseGraph (caller reads ``.ids``); a locally
+    constructed one is unpersisted before returning."""
+    if mode not in ("exact", "hll"):
+        raise ValueError(f"mode must be 'exact' or 'hll', got {mode!r}")
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    dg = dense or DenseGraph(graph)
+    if dg.overlays:
+        raise ValueError(
+            "neighborhood kernels need gen-0 slices — rebuild the dense "
+            "view via build_graph + DenseGraph after applying batches")
+    dg.materialize()
+    if direction == "out":
+        dg.materialize_reverse()
+    spark = graph.edges.sparkSession
+    sc = spark.sparkContext
+    n, P = dg.n, dg.n_slices
+    slice_df = spark.range(0, P, 1, P)
+
+    exact = mode == "exact"
+    if exact:
+        width = (n + 63) // 64
+        state = np.zeros((n, width), dtype=np.uint64)
+        state[np.arange(n), np.arange(n) >> 6] = (
+            _U64(1) << (np.arange(n, dtype=np.uint64) & _U64(63)))
+        dtype = np.uint64
+        counts = _popcount_rows(state).astype(np.float64)
+    else:
+        width = 1 << b
+        state = hll_init(dg.ids, b)
+        dtype = np.uint8
+        counts = hll_estimate(state)
+
+    on_round(0, counts, False)
+    t, limit = 0, max_t if max_t is not None else n
+    try:
+        with adaptive_execution(spark, False):
+            while t < limit:
+                state_bc = sc.broadcast(state)
+                parts = slice_df.mapInPandas(
+                    _ball_union_fn(dg.resident_dir, dg.epoch, P, state_bc,
+                                   exact, direction),
+                    "slice int, seg binary",
+                ).toPandas()
+                new = np.empty_like(state)
+                for s, blob in zip(parts["slice"], parts["seg"]):
+                    new[int(s)::P] = np.frombuffer(
+                        blob, dtype=dtype).reshape(-1, width)
+                state_bc.destroy()
+                t += 1
+                new_counts = (_popcount_rows(new).astype(np.float64)
+                              if exact else hll_estimate(new))
+                converged = np.array_equal(new, state)
+                on_round(t, new_counts, converged)
+                if converged:
+                    break
+                state = new
+    finally:
+        if dense is None:
+            dg.unpersist()
+    return dg
+
+
 def neighborhood_function(
     graph,
     max_t: Optional[int] = None,
@@ -151,67 +224,24 @@ def neighborhood_function(
     which may land one round early when new ball members happen not to
     raise any register). ``n_pairs`` is ``long`` (exact counts) in exact
     mode and ``double`` (HLL estimates) in hll mode."""
-    if mode not in ("exact", "hll"):
-        raise ValueError(f"mode must be 'exact' or 'hll', got {mode!r}")
-    dg = dense or DenseGraph(graph)
-    if dg.overlays:
-        raise ValueError(
-            "neighborhood kernels need gen-0 slices — rebuild the dense "
-            "view via build_graph + DenseGraph after applying batches")
-    dg.materialize()
-    dg.materialize_reverse()
-    spark = graph.edges.sparkSession
-    sc = spark.sparkContext
-    n, P = dg.n, dg.n_slices
-    slice_df = spark.range(0, P, 1, P)
-
     exact = mode == "exact"
-    if exact:
-        width = (n + 63) // 64
-        state = np.zeros((n, width), dtype=np.uint64)
-        state[np.arange(n), np.arange(n) >> 6] = (
-            _U64(1) << (np.arange(n, dtype=np.uint64) & _U64(63)))
-        n0: float | int = int(n)
-        dtype = np.uint64
-    else:
-        width = 1 << b
-        state = hll_init(dg.ids, b)
-        n0 = float(hll_estimate(state).sum())
-        dtype = np.uint8
+    rows: list[tuple[int, float | int]] = []
 
-    rows = [(0, n0)]
-    t, limit = 0, max_t if max_t is not None else n
-    with adaptive_execution(spark, False):
-        while t < limit:
-            state_bc = sc.broadcast(state)
-            parts = slice_df.mapInPandas(
-                _ball_union_fn(dg.resident_dir, dg.epoch, P, state_bc,
-                               exact),
-                "slice int, seg binary",
-            ).toPandas()
-            new = np.empty_like(state)
-            for s, blob in zip(parts["slice"], parts["seg"]):
-                new[int(s)::P] = np.frombuffer(
-                    blob, dtype=dtype).reshape(-1, width)
-            state_bc.destroy()
-            t += 1
-            if exact:
-                rows.append((t, int(_popcount_rows(new).sum())))
-            else:
-                rows.append((t, float(hll_estimate(new).sum())))
-            if np.array_equal(new, state):
-                rows.pop()  # fixpoint round added nothing: N(t) = N(t-1)
-                break
-            state = new
+    def on_round(t: int, counts: np.ndarray, converged: bool) -> None:
+        if converged:
+            return  # fixpoint round added nothing: N(t) = N(t-1)
+        total = counts.sum()
+        rows.append((t, int(total) if exact else float(total)))
+
+    _sweep_ball_summaries(graph, dense, max_t, mode, b, "out", on_round)
     if max_t is not None:
         # N(t) is constant past the fixpoint — pad so a fixed-t query has
         # a stable shape regardless of where the graph's diameter falls
         while len(rows) <= max_t:
             rows.append((len(rows), rows[-1][1]))
-    if dense is None:
-        dg.unpersist()
     kind = "long" if exact else "double"
-    return spark.createDataFrame(rows, f"t int, n_pairs {kind}")
+    return graph.edges.sparkSession.createDataFrame(
+        rows, f"t int, n_pairs {kind}")
 
 
 def effective_diameter(
@@ -267,64 +297,81 @@ def harmonic_centrality(
     linear-counting switch can wiggle estimates) and carry HLL's
     ~1.04/√(2^b) relative error. Runs to ``max_t`` if given, else the
     ball fixpoint. Returns ``(id long, harmonic double)``."""
-    if mode not in ("exact", "hll"):
-        raise ValueError(f"mode must be 'exact' or 'hll', got {mode!r}")
-    if direction not in ("in", "out"):
-        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
-    dg = dense or DenseGraph(graph)
-    if dg.overlays:
-        raise ValueError(
-            "neighborhood kernels need gen-0 slices — rebuild the dense "
-            "view via build_graph + DenseGraph after applying batches")
-    dg.materialize()
-    if direction == "out":
-        dg.materialize_reverse()
-    spark = graph.edges.sparkSession
-    sc = spark.sparkContext
-    n, P = dg.n, dg.n_slices
-    slice_df = spark.range(0, P, 1, P)
+    prev: list[np.ndarray] = []
+    h: list[np.ndarray] = []
 
-    exact = mode == "exact"
-    if exact:
-        width = (n + 63) // 64
-        state = np.zeros((n, width), dtype=np.uint64)
-        state[np.arange(n), np.arange(n) >> 6] = (
-            _U64(1) << (np.arange(n, dtype=np.uint64) & _U64(63)))
-        counts = _popcount_rows(state).astype(np.float64)
-        dtype = np.uint64
-    else:
-        width = 1 << b
-        state = hll_init(dg.ids, b)
-        counts = hll_estimate(state)
-        dtype = np.uint8
+    def on_round(t: int, counts: np.ndarray, converged: bool) -> None:
+        if t == 0:
+            prev.append(counts)
+            h.append(np.zeros(len(counts)))
+            return
+        delta = np.maximum(counts - prev[0], 0.0)
+        h[0] += delta * (1.0 / t)
+        prev[0] = counts
 
-    h = np.zeros(n)
-    t, limit = 0, max_t if max_t is not None else n
-    with adaptive_execution(spark, False):
-        while t < limit:
-            state_bc = sc.broadcast(state)
-            parts = slice_df.mapInPandas(
-                _ball_union_fn(dg.resident_dir, dg.epoch, P, state_bc,
-                               exact, direction),
-                "slice int, seg binary",
-            ).toPandas()
-            new = np.empty_like(state)
-            for s, blob in zip(parts["slice"], parts["seg"]):
-                new[int(s)::P] = np.frombuffer(
-                    blob, dtype=dtype).reshape(-1, width)
-            state_bc.destroy()
-            t += 1
-            new_counts = (_popcount_rows(new).astype(np.float64) if exact
-                          else hll_estimate(new))
-            delta = np.maximum(new_counts - counts, 0.0)
-            h += delta * (1.0 / t)
-            if np.array_equal(new, state):
-                break
-            state, counts = new, new_counts
-    if dense is None:
-        dg.unpersist()
-    return spark.createDataFrame(
-        pd.DataFrame({"id": dg.ids, "harmonic": h}))
+    dg = _sweep_ball_summaries(graph, dense, max_t, mode, b, direction,
+                               on_round)
+    return graph.edges.sparkSession.createDataFrame(
+        pd.DataFrame({"id": dg.ids, "harmonic": h[0]}))
+
+
+def closeness_centrality(
+    graph,
+    max_t: Optional[int] = None,
+    mode: str = "exact",
+    b: int = 6,
+    direction: str = "in",
+    *,
+    dense: Optional[DenseGraph] = None,
+) -> DataFrame:
+    """Closeness and Lin centrality from the same per-vertex ball
+    summaries as :func:`harmonic_centrality` — the ball delta at round t
+    counts the vertices at distance exactly t, so
+
+        S(v) = Σ_t t · (|B_t(v)| - |B_{t-1}(v)|)   (total distance)
+        r(v) = |B_T(v)|                             (reachable, incl. v)
+
+    Per-vertex output columns (all double so exact and hll modes share a
+    schema):
+
+    - ``reachable`` = r(v), ``total_dist`` = S(v);
+    - ``closeness`` = (r-1)/S — the per-component (disconnected-safe)
+      closeness; 0 when S = 0 (nothing (co)reachable);
+    - ``lin`` = r²/S — Lin's index (Lin 1976; the variant Boldi & Vigna's
+      "Axioms for centrality" recommends over raw closeness on the web
+      graph because it weights by the reachable-set size), with their
+      convention lin = 1 when S = 0.
+
+    ``direction="in"`` (default) uses incoming distances d(u,v) — the
+    standard centrality-of-a-target; ``"out"`` uses d(v,u). Exact mode is
+    FP-reproducible (integer counts, one double division at the end —
+    mirrored by the driver SQL oracle); hll mode clamps per-round deltas
+    at 0 and carries HLL's ~1.04/√(2^b) relative error. Runs to ``max_t``
+    if given, else the ball fixpoint."""
+    prev: list[np.ndarray] = []
+    dist_sum: list[np.ndarray] = []
+    final: list[np.ndarray] = []
+
+    def on_round(t: int, counts: np.ndarray, converged: bool) -> None:
+        if t == 0:
+            prev.append(counts)
+            dist_sum.append(np.zeros(len(counts)))
+            final.append(counts)
+            return
+        delta = np.maximum(counts - prev[0], 0.0)
+        dist_sum[0] += delta * float(t)
+        prev[0] = counts
+        final[0] = counts
+
+    dg = _sweep_ball_summaries(graph, dense, max_t, mode, b, direction,
+                               on_round)
+    r, s = final[0], dist_sum[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        closeness = np.where(s > 0, (r - 1.0) / s, 0.0)
+        lin = np.where(s > 0, r * r / s, 1.0)
+    return graph.edges.sparkSession.createDataFrame(
+        pd.DataFrame({"id": dg.ids, "reachable": r, "total_dist": s,
+                      "closeness": closeness, "lin": lin}))
 
 
 def neighborhood_function_sharded(

@@ -382,6 +382,43 @@ def salsa_oracle(
     return h, a, it
 
 
+def closeness_oracle(n: int, edges: list[tuple[int, int]],
+                     max_t: int | None = None,
+                     direction: str = "in"):
+    """Exact closeness/Lin centrality by per-source BFS (matches
+    plans/neighborhood.closeness_centrality's exact mode). Returns
+    (reachable, total_dist, closeness, lin) float64 arrays: reachable
+    includes the vertex itself; closeness = (r-1)/S (0 when S=0);
+    lin = r^2/S (1 when S=0, Boldi-Vigna convention)."""
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in set((int(a), int(b)) for a, b in edges):
+        if a != b:
+            adj[a].append(b)
+    T = max_t if max_t is not None else n
+    INF = n + 1
+    dmat = np.full((n, n), INF, dtype=np.int64)
+    for s in range(n):
+        dmat[s, s] = 0
+        frontier = [s]
+        d = 0
+        while frontier and d < T:
+            d += 1
+            nxt = []
+            for x in frontier:
+                for y in adj[x]:
+                    if dmat[s, y] == INF:
+                        dmat[s, y] = d
+                        nxt.append(y)
+            frontier = nxt
+    dv = dmat.T if direction == "in" else dmat
+    fin = dv <= T
+    r = fin.sum(axis=1).astype(np.float64)
+    s_tot = np.where(fin, dv, 0).sum(axis=1).astype(np.float64)
+    closeness = np.where(s_tot > 0, (r - 1.0) / np.maximum(s_tot, 1.0), 0.0)
+    lin = np.where(s_tot > 0, r * r / np.maximum(s_tot, 1.0), 1.0)
+    return r, s_tot, closeness, lin
+
+
 def harmonic_oracle(n: int, edges: list[tuple[int, int]],
                     max_t: int | None = None,
                     direction: str = "in") -> np.ndarray:

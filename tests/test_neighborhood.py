@@ -177,6 +177,57 @@ def test_harmonic_matches_bfs_oracle_small(spark, small_graph):
         atol=1e-10)
 
 
+def test_closeness_chain_closed_form(spark, chain_graph):
+    """On the 0->1->...->9 chain, vertex v sees v earlier vertices at
+    incoming distances 1..v: r = v+1, S = v(v+1)/2, closeness = 2/(v+1),
+    lin = 2(v+1)/v. Vertex 0 has S=0: closeness 0, lin 1 (Boldi-Vigna
+    convention). Triangle vertices: r=3, S=1+2=3."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+        closeness_centrality,
+    )
+
+    got = closeness_centrality(chain_graph, mode="exact").toPandas() \
+        .sort_values("id").reset_index(drop=True)
+    for v in range(10):
+        assert got["reachable"][v] == v + 1
+        assert got["total_dist"][v] == v * (v + 1) / 2
+        if v == 0:
+            assert got["closeness"][v] == 0.0 and got["lin"][v] == 1.0
+        else:
+            assert abs(got["closeness"][v] - 2.0 / (v + 1)) < 1e-12
+            assert abs(got["lin"][v] - 2.0 * (v + 1) / v) < 1e-12
+    for v in (10, 11, 12):
+        assert got["reachable"][v] == 3 and got["total_dist"][v] == 3
+        assert abs(got["closeness"][v] - 2.0 / 3.0) < 1e-12
+        assert abs(got["lin"][v] - 3.0) < 1e-12
+
+
+def test_closeness_matches_bfs_oracle_small(spark, small_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+        closeness_centrality,
+    )
+    from oracle import closeness_oracle
+
+    edges = [(int(r.src), int(r.dst))
+             for r in small_graph._edges_pdf.itertuples(index=False)]
+    got = closeness_centrality(small_graph, mode="exact").toPandas() \
+        .sort_values("id").reset_index(drop=True)
+    r, s, c, lin = closeness_oracle(300, edges)
+    assert np.allclose(got["reachable"], r)
+    assert np.allclose(got["total_dist"], s)
+    assert np.allclose(got["closeness"], c, atol=1e-12)
+    assert np.allclose(got["lin"], lin, atol=1e-10)
+    # outward variant + horizon truncation
+    got3 = closeness_centrality(small_graph, max_t=3, mode="exact",
+                                direction="out").toPandas() \
+        .sort_values("id").reset_index(drop=True)
+    r3, s3, c3, lin3 = closeness_oracle(300, edges, max_t=3,
+                                        direction="out")
+    assert np.allclose(got3["reachable"], r3)
+    assert np.allclose(got3["total_dist"], s3)
+    assert np.allclose(got3["closeness"], c3, atol=1e-12)
+
+
 def test_harmonic_hll_tracks_exact(spark, small_graph):
     """HLL-mode harmonic centrality is a noisy but strongly rank-correlated
     estimate of the exact scores (b=8 → ~6.5% register error)."""
