@@ -19,6 +19,8 @@ Writes one parquet per section under --output:
   core_hist/          (core, n_vertices) coreness distribution
   neighborhood/       (t, n_pairs) HLL neighborhood function
   pagerank_topk/      top-k static ranks
+  harmonic_topk/      top-k harmonic centrality (HLL ball sweep)
+  closeness_topk/     top-k Lin centrality (+closeness; same sweep)
   host_graph/         contracted host-level edges   [with --host-expr]
   host_ranks/         host-level weighted PageRank  [with --host-expr]
 
@@ -202,15 +204,29 @@ def main(argv=None):
 
     section("salsa_topk", _salsa_topk)
 
-    def _harmonic_topk():
-        from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
-            harmonic_centrality,
-        )
+    # harmonic + closeness/Lin share ONE ball sweep (ball_centralities) —
+    # the cached frame feeds both sections
+    _bc_cache: list = []
 
-        hc = harmonic_centrality(g, mode="hll", b=args.hll_b)
-        return top_k(hc, "harmonic", args.topk)
+    def _ball_cent():
+        if not _bc_cache:
+            from pagerank_barrierfree_openmp_dynamic_spark.plans.neighborhood import (
+                ball_centralities,
+            )
 
-    section("harmonic_topk", _harmonic_topk)
+            _bc_cache.append(
+                ball_centralities(g, mode="hll", b=args.hll_b).persist())
+        return _bc_cache[0]
+
+    section("harmonic_topk",
+            lambda: top_k(_ball_cent().select("id", "harmonic"),
+                          "harmonic", args.topk))
+    section("closeness_topk",
+            lambda: top_k(_ball_cent().select(
+                "id", "reachable", "total_dist", "closeness", "lin"),
+                "lin", args.topk))
+    if _bc_cache:
+        _bc_cache[0].unpersist()
 
     def _communities():
         from pagerank_barrierfree_openmp_dynamic_spark.operators.metrics import (

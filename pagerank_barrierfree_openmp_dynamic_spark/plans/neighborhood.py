@@ -297,22 +297,68 @@ def harmonic_centrality(
     linear-counting switch can wiggle estimates) and carry HLL's
     ~1.04/√(2^b) relative error. Runs to ``max_t`` if given, else the
     ball fixpoint. Returns ``(id long, harmonic double)``."""
+    return ball_centralities(graph, max_t, mode, b, direction,
+                             dense=dense).select("id", "harmonic")
+
+
+def ball_centralities(
+    graph,
+    max_t: Optional[int] = None,
+    mode: str = "exact",
+    b: int = 6,
+    direction: str = "in",
+    *,
+    dense: Optional[DenseGraph] = None,
+) -> DataFrame:
+    """Every per-vertex distance-distribution centrality the ball
+    summaries support, from ONE sweep — the ball delta at round t counts
+    the vertices at distance exactly t, so
+
+        harmonic   H(v) = Σ_t Δ|B_t(v)| · (1/t)
+        total_dist S(v) = Σ_t Δ|B_t(v)| · t
+        reachable  r(v) = |B_T(v)|                (includes v itself)
+        closeness  (r-1)/S  — per-component (disconnected-safe) form;
+                   0 when S = 0 (nothing (co)reachable)
+        lin        r²/S — Lin's index (Lin 1976; the variant Boldi &
+                   Vigna's "Axioms for centrality" recommends over raw
+                   closeness because it weights by reachable-set size),
+                   with their convention lin = 1 when S = 0
+
+    ``direction="in"`` (default) uses incoming distances d(u,v) — the
+    standard centrality-of-a-target; ``"out"`` uses d(v,u). Exact mode is
+    FP-reproducible (integer counts; one double division per vertex at
+    the end — mirrored by the driver SQL oracle); hll mode clamps
+    per-round deltas at 0 and carries HLL's ~1.04/√(2^b) relative error.
+    Runs to ``max_t`` if given, else the ball fixpoint. Returns
+    ``(id long, harmonic, reachable, total_dist, closeness, lin)`` — all
+    value columns double, so exact and hll modes share a schema."""
     prev: list[np.ndarray] = []
     h: list[np.ndarray] = []
+    dist_sum: list[np.ndarray] = []
+    final: list[np.ndarray] = []
 
     def on_round(t: int, counts: np.ndarray, converged: bool) -> None:
         if t == 0:
             prev.append(counts)
             h.append(np.zeros(len(counts)))
+            dist_sum.append(np.zeros(len(counts)))
+            final.append(counts)
             return
         delta = np.maximum(counts - prev[0], 0.0)
         h[0] += delta * (1.0 / t)
+        dist_sum[0] += delta * float(t)
         prev[0] = counts
+        final[0] = counts
 
     dg = _sweep_ball_summaries(graph, dense, max_t, mode, b, direction,
                                on_round)
+    r, s = final[0], dist_sum[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        closeness = np.where(s > 0, (r - 1.0) / s, 0.0)
+        lin = np.where(s > 0, r * r / s, 1.0)
     return graph.edges.sparkSession.createDataFrame(
-        pd.DataFrame({"id": dg.ids, "harmonic": h[0]}))
+        pd.DataFrame({"id": dg.ids, "harmonic": h[0], "reachable": r,
+                      "total_dist": s, "closeness": closeness, "lin": lin}))
 
 
 def closeness_centrality(
@@ -348,30 +394,8 @@ def closeness_centrality(
     mirrored by the driver SQL oracle); hll mode clamps per-round deltas
     at 0 and carries HLL's ~1.04/√(2^b) relative error. Runs to ``max_t``
     if given, else the ball fixpoint."""
-    prev: list[np.ndarray] = []
-    dist_sum: list[np.ndarray] = []
-    final: list[np.ndarray] = []
-
-    def on_round(t: int, counts: np.ndarray, converged: bool) -> None:
-        if t == 0:
-            prev.append(counts)
-            dist_sum.append(np.zeros(len(counts)))
-            final.append(counts)
-            return
-        delta = np.maximum(counts - prev[0], 0.0)
-        dist_sum[0] += delta * float(t)
-        prev[0] = counts
-        final[0] = counts
-
-    dg = _sweep_ball_summaries(graph, dense, max_t, mode, b, direction,
-                               on_round)
-    r, s = final[0], dist_sum[0]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        closeness = np.where(s > 0, (r - 1.0) / s, 0.0)
-        lin = np.where(s > 0, r * r / s, 1.0)
-    return graph.edges.sparkSession.createDataFrame(
-        pd.DataFrame({"id": dg.ids, "reachable": r, "total_dist": s,
-                      "closeness": closeness, "lin": lin}))
+    return ball_centralities(graph, max_t, mode, b, direction, dense=dense) \
+        .select("id", "reachable", "total_dist", "closeness", "lin")
 
 
 def neighborhood_function_sharded(

@@ -38,6 +38,7 @@ def test_graph_report_job(spark, tmp_path, edges_path):
     sections = ["stats", "degree_hist_out", "degree_hist_in", "components",
                 "scc_stats", "bowtie", "core_hist", "neighborhood",
                 "pagerank_topk", "salsa_topk", "harmonic_topk",
+                "closeness_topk",
                 "communities", "louvain", "betweenness_topk", "host_graph",
                 "host_ranks"]
     for s in sections:
