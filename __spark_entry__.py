@@ -1183,6 +1183,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_report"] = source_report_q
 
+    def repetition_stats_q(spark, sf):
+        # Gopher/MassiveText repetition filters: duplicate-token fraction,
+        # top-2/3-gram character fraction, duplicated-5-gram character
+        # fraction, and the composite threshold flag
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+            repetition_stats,
+        )
+
+        return repetition_stats(_docs(spark, sf))
+
+    q["repetition_stats"] = repetition_stats_q
+
+    def lm_fluency_q(spark, sf):
+        # corpus-trained bigram LM fluency score (CCNet-style perplexity
+        # filter with the corpus itself as the LM)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+            lm_score,
+        )
+
+        return lm_score(_docs(spark, sf))
+
+    q["lm_fluency"] = lm_fluency_q
+
     def boilerplate_report(spark, sf):
         # per-source repeated-segment (boilerplate) counting, CCNet-style:
         # a 6-token segment appearing in >=2 distinct docs of one source
@@ -2868,6 +2891,74 @@ SELECT agg.source, CAST(n_docs AS BIGINT) AS n_docs,
        avg_quality, tl.top_lang,
        ROUND(1.0 - CAST(nd AS DOUBLE) / n_docs, 6) AS dup_rate
 FROM agg JOIN tl USING (source)"""
+    # word n-gram lists mirroring functions/text._word_ngrams exactly:
+    # generate_series(1, len-(n-1)) is [] when len < n, same as the Spark
+    # guard; grams are space-joined
+    _G2 = ("list_transform(generate_series(1, len(toks)-1), "
+           "i -> toks[i] || ' ' || toks[i+1])")
+    _G3 = ("list_transform(generate_series(1, len(toks)-2), "
+           "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")
+    _G5 = ("list_transform(generate_series(1, len(toks)-4), "
+           "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+           "toks[i+3] || ' ' || toks[i+4])")
+    o["repetition_stats"] = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         CAST(length(text) AS INTEGER) AS n_chars
+  FROM documents),
+tok AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_token_frac
+        FROM base),
+g2 AS (SELECT doc_id, n_chars, UNNEST({_G2}) AS gram FROM base),
+c2 AS (SELECT doc_id, n_chars, gram, COUNT(*) AS c FROM g2 GROUP BY ALL),
+t2 AS (SELECT doc_id, ROUND(LEAST(c * length(gram)
+              / CAST(GREATEST(n_chars, 1) AS DOUBLE), 1.0), 6) AS f2
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, gram ASC) AS rn FROM c2)
+       WHERE rn = 1),
+g3 AS (SELECT doc_id, n_chars, UNNEST({_G3}) AS gram FROM base),
+c3 AS (SELECT doc_id, n_chars, gram, COUNT(*) AS c FROM g3 GROUP BY ALL),
+t3 AS (SELECT doc_id, ROUND(LEAST(c * length(gram)
+              / CAST(GREATEST(n_chars, 1) AS DOUBLE), 1.0), 6) AS f3
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, gram ASC) AS rn FROM c3)
+       WHERE rn = 1),
+g5 AS (SELECT doc_id, n_chars, UNNEST({_G5}) AS gram FROM base),
+c5 AS (SELECT doc_id, n_chars, gram, COUNT(*) AS c FROM g5 GROUP BY ALL),
+d5 AS (SELECT doc_id, ROUND(LEAST(SUM(c * length(gram))
+              / CAST(GREATEST(MAX(n_chars), 1) AS DOUBLE), 1.0), 6) AS f5
+       FROM c5 WHERE c > 1 GROUP BY doc_id)
+SELECT tok.doc_id, tok.n_tokens, tok.dup_token_frac,
+       COALESCE(t2.f2, 0.0) AS top2gram_char_frac,
+       COALESCE(t3.f3, 0.0) AS top3gram_char_frac,
+       COALESCE(d5.f5, 0.0) AS dup5gram_char_frac,
+       (COALESCE(t2.f2, 0.0) > 0.20 OR COALESCE(t3.f3, 0.0) > 0.18
+        OR COALESCE(d5.f5, 0.0) > 0.15) AS flagged
+FROM tok
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)"""
+    o["lm_fluency"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents),
+g AS (SELECT doc_id, UNNEST({_G2}) AS gram FROM base),
+k AS (SELECT doc_id, gram, COUNT(*) AS k FROM g GROUP BY ALL),
+c12 AS (SELECT gram, SUM(k) AS c12 FROM k GROUP BY gram),
+c1 AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+       FROM c12 GROUP BY 1),
+p AS (SELECT gram, ln(c12 / CAST(c1 AS DOUBLE)) AS lp
+      FROM c12 JOIN c1 ON string_split(c12.gram, ' ')[1] = c1.w1),
+s AS (SELECT doc_id, SUM(k.k) AS nb, SUM(k.k * p.lp) / SUM(k.k) AS a
+      FROM k JOIN p USING (gram) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+       ROUND(COALESCE(s.a, 0.0), 6) AS avg_logp,
+       ROUND(exp(-COALESCE(s.a, 0.0)), 6) AS pseudo_ppl
+FROM documents d LEFT JOIN s USING (doc_id)"""
     # 6-token non-overlapping segments per (doc, source); trailing partial
     # segment kept — mirrors functions/corpus.py segment_table exactly
     _SEG_CTES = """

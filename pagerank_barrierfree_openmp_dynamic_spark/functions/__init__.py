@@ -6,6 +6,8 @@ from .text import (  # noqa: F401
     simhash,
     simhash_blocks,
     simhash_near_dup_pairs,
+    repetition_stats,
+    lm_score,
 )
 from .dedup import (  # noqa: F401
     exact_duplicates,

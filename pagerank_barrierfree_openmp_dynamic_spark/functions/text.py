@@ -337,3 +337,172 @@ def source_report(
                     / F.col("n_docs"), 6).alias("dup_rate"),
         )
     )
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array — empty array when the
+    document has fewer than ``n`` tokens. Pure JVM (``sequence`` +
+    ``transform`` + ``element_at``); exactly mirrored in DuckDB with
+    ``generate_series`` + ``list_transform``."""
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, gram).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText-style repetition filters (Rae et al. 2021,
+    Table A1) over the whitespace token model — the classic "is this
+    document degenerate repetition?" pre-training gate:
+
+    - ``dup_token_frac``      — fraction of token occurrences beyond the
+      first of each distinct token (``1 − distinct/total``);
+    - ``top2gram_char_frac``  — characters covered by all occurrences of
+      the most frequent word 2-gram over total characters (occurrences
+      overlap-counted as in Gopher, capped at 1.0);
+    - ``top3gram_char_frac``  — same for 3-grams;
+    - ``dup5gram_char_frac``  — characters covered by 5-grams occurring
+      more than once, over total characters (capped at 1.0);
+    - ``flagged``             — Gopher thresholds: top-2-gram > 0.20 OR
+      top-3-gram > 0.18 OR duplicated-5-grams > 0.15.
+
+    Ties for the most frequent n-gram break by gram ascending
+    (deterministic). Scale shape: the token-level stats are per-row array
+    expressions (zero shuffle); each n-gram stat is one explode + one
+    map-side-combinable (doc_id, gram) count + a per-doc top-1/sum — all
+    keyed by doc_id, so partition width is bounded by document length,
+    never corpus size. No Python UDFs anywhere."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.length(t).alias("n_chars"),
+    ).localCheckpoint(eager=True)
+
+    def _top_frac(n: int, out: str) -> DataFrame:
+        grams = base.select(
+            "doc_id", "n_chars",
+            F.explode(_word_ngrams(F.col("_toks"), n)).alias("gram"))
+        cnt = grams.groupBy("doc_id", "n_chars", "gram").agg(
+            F.count("*").alias("c"))
+        w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("gram"))
+        return (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "doc_id",
+                F.round(F.least(
+                    F.col("c") * F.length("gram")
+                    / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+                    F.lit(1.0)), 6).alias(out),
+            )
+        )
+
+    def _dup_frac(n: int, out: str) -> DataFrame:
+        grams = base.select(
+            "doc_id", "n_chars",
+            F.explode(_word_ngrams(F.col("_toks"), n)).alias("gram"))
+        cnt = grams.groupBy("doc_id", "n_chars", "gram").agg(
+            F.count("*").alias("c"))
+        return (
+            cnt.filter(F.col("c") > 1)
+            .groupBy("doc_id")
+            .agg(F.round(F.least(
+                F.sum(F.col("c") * F.length("gram"))
+                / F.greatest(F.max("n_chars"), F.lit(1)).cast("double"),
+                F.lit(1.0)), 6).alias(out))
+        )
+
+    tok_stats = base.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.round(
+            F.when(F.size("_toks") > 0,
+                   F.lit(1.0) - F.size(F.array_distinct("_toks"))
+                   / F.size("_toks").cast("double"))
+            .otherwise(F.lit(0.0)), 6).alias("dup_token_frac"),
+    )
+    out = (
+        tok_stats
+        .join(_top_frac(2, "top2gram_char_frac"), "doc_id", "left")
+        .join(_top_frac(3, "top3gram_char_frac"), "doc_id", "left")
+        .join(_dup_frac(5, "dup5gram_char_frac"), "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "dup_token_frac",
+            F.coalesce("top2gram_char_frac", F.lit(0.0)).alias("top2gram_char_frac"),
+            F.coalesce("top3gram_char_frac", F.lit(0.0)).alias("top3gram_char_frac"),
+            F.coalesce("dup5gram_char_frac", F.lit(0.0)).alias("dup5gram_char_frac"),
+        )
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("top2gram_char_frac") > 0.20)
+        | (F.col("top3gram_char_frac") > 0.18)
+        | (F.col("dup5gram_char_frac") > 0.15),
+    )
+
+
+def lm_score(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Corpus-trained bigram language-model fluency score — the CCNet-style
+    perplexity filter (Wenzek et al. 2020) without any external model: the
+    LM *is* the corpus, so documents whose token transitions are rare
+    across the corpus score low (outliers/garbage), formulaic text scores
+    high.
+
+    Model: MLE bigram probabilities over lowercased whitespace tokens,
+    ``P(w2|w1) = c(w1,w2) / c(w1·)`` where ``c(w1·)`` is the count of
+    bigrams starting with ``w1`` — every document bigram was seen in
+    training by construction, so no smoothing hazard. Returns
+    ``(doc_id, n_bigrams, avg_logp, pseudo_ppl)`` with ``avg_logp`` the
+    mean natural-log probability over the document's bigram occurrences
+    and ``pseudo_ppl = exp(−avg_logp)``; documents with fewer than two
+    tokens get ``n_bigrams = 0, avg_logp = 0, pseudo_ppl = 1``.
+
+    Scale shape: one explode into (doc_id, w1, w2, k) with multiplicity
+    pre-aggregated, one global (w1, w2) count (map-side combinable), one
+    (w1) rollup of that count, and one bigram-keyed equi-join back — both
+    big sides hash-partitioned on the same key. No Python UDFs."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(_word_ngrams(toks, 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    c12 = grams.groupBy("gram").agg(F.sum("k").alias("c12"))
+    c1 = (
+        c12.select(F.split(F.col("gram"), " ").getItem(0).alias("w1"), "c12")
+        .groupBy("w1").agg(F.sum("c12").alias("c1"))
+    )
+    probs = (
+        c12.withColumn("w1", F.split(F.col("gram"), " ").getItem(0))
+        .join(c1, "w1")
+        .select("gram", F.log(F.col("c12") / F.col("c1").cast("double")).alias("_lp"))
+    )
+    scored = (
+        grams.join(probs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            (F.sum(F.col("k") * F.col("_lp")) / F.sum("k")).alias("_avg"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.coalesce("_avg", F.lit(0.0)), 6).alias("avg_logp"),
+            F.round(F.exp(-F.coalesce("_avg", F.lit(0.0))), 6).alias("pseudo_ppl"),
+        )
+    )
