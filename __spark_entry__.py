@@ -691,6 +691,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bowtie"] = bowtie_q
 
+    def condensation_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
+            condensation,
+        )
+
+        return condensation(_graph(spark, sf, self_loops=False))
+
+    q["condensation"] = condensation_q
+
+    def dag_levels_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
+            dag_levels,
+        )
+
+        return dag_levels(_graph(spark, sf, self_loops=False))
+
+    q["dag_levels"] = dag_levels_q
+
     def coreness_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.plans.kcore import coreness
 
@@ -2657,6 +2675,31 @@ WITH scc AS ({SCC_SQL}),
 sizes AS (SELECT comp, COUNT(*) AS sz FROM scc GROUP BY comp)
 SELECT COUNT(*) AS n_sccs, MAX(sz) AS largest_scc,
        COUNT(*) FILTER (WHERE sz = 1) AS n_trivial FROM sizes"""
+    # condensation DAG: deduped original edges mapped through SCC labels,
+    # cross-component only, weight = original edge multiplicity (1.0 each
+    # after the DISTINCT scan, matching contract_edges' SUM(1.0))
+    o["condensation"] = f"""
+WITH scc AS ({SCC_SQL}),
+e0 AS ({EDGES_SQL})
+SELECT s1.comp AS src, s2.comp AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM e0 JOIN scc s1 ON e0.src = s1.id JOIN scc s2 ON e0.dst = s2.id
+WHERE s1.comp <> s2.comp
+GROUP BY 1, 2"""
+    # longest-path topological level per SCC: recursive path lengths over
+    # the (acyclic) condensation, MAX per component — the fixpoint of
+    # level <- max(level, in-neighbor level + 1) the engine iterates
+    o["dag_levels"] = f"""
+WITH RECURSIVE scc AS ({SCC_SQL}),
+e0 AS ({EDGES_SQL}),
+ce AS (SELECT DISTINCT s1.comp AS src, s2.comp AS dst
+       FROM e0 JOIN scc s1 ON e0.src = s1.id JOIN scc s2 ON e0.dst = s2.id
+       WHERE s1.comp <> s2.comp),
+comps AS (SELECT DISTINCT comp FROM scc),
+lvl(c, d) AS (
+  SELECT comp, 0 FROM comps
+  UNION
+  SELECT ce.dst, lvl.d + 1 FROM lvl JOIN ce ON ce.src = lvl.c)
+SELECT c AS comp, CAST(MAX(d) AS INTEGER) AS level FROM lvl GROUP BY c"""
     o["bowtie"] = f"""
 WITH RECURSIVE {G_CTES},
 ed AS (SELECT src, dst FROM e0 WHERE src <> dst),

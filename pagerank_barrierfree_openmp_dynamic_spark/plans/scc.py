@@ -257,3 +257,76 @@ def scc_stats(graph: LinkGraph) -> DataFrame:
         F.max("sz").alias("largest_scc"),
         F.sum((F.col("sz") == 1).cast("long")).alias("n_trivial"),
     )
+
+
+def condensation(graph: LinkGraph) -> DataFrame:
+    """SCC quotient (condensation) DAG — the web graph's DAG skeleton
+    after the bowtie collapse: every SCC becomes one vertex (labeled by
+    its canonical min-id ``comp``), every cross-SCC edge becomes a
+    weighted DAG edge with weight = number of original edges between the
+    two components. Returns ``(src, dst, weight)`` — acyclic by
+    construction, so it feeds the longest-path level assignment
+    (:func:`dag_levels`) and any DAG-only analysis directly.
+
+    Scale shape: one SCC run plus :func:`~..operators.graph.contract_edges`
+    (two mapping joins co-partitioned with the edge table + one map-side
+    combinable aggregation on the much smaller component keys)."""
+    from ..operators.graph import contract_edges
+
+    comp = strongly_connected_components(graph)
+    mapping = comp.select("id", F.col("comp").alias("group"))
+    return contract_edges(graph.edges.select("src", "dst"), mapping,
+                          drop_self_loops=True)
+
+
+def dag_levels(graph: LinkGraph, max_iterations: int = 200) -> DataFrame:
+    """Topological (longest-path) level of every SCC in the condensation
+    DAG: ``level(c) = 0`` for source components, else
+    ``1 + max(level(u))`` over in-neighbors — i.e. the length of the
+    longest path from any source to ``c``. The iteration
+    ``level <- max(level, in-neighbor level + 1)`` starting from all-zero
+    is monotone and reaches that fixpoint in depth(DAG) rounds —
+    termination is guaranteed because the condensation is acyclic.
+
+    Returns ``(comp, level)`` with one row per SCC (isolated components
+    stay at level 0). Per round: one join of the (small) condensation
+    edge table against the level frame + one map-side-combinable max —
+    the same shuffle shape as every label fixpoint here."""
+    from ..operators.graph import contract_edges
+
+    spark = graph.edges.sparkSession
+    comp = strongly_connected_components(graph).localCheckpoint(eager=True)
+    mapping = comp.select("id", F.col("comp").alias("group"))
+    ce = (
+        contract_edges(graph.edges.select("src", "dst"), mapping,
+                       drop_self_loops=True)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    levels = (
+        comp.select("comp").distinct()
+        .select("comp", F.lit(0).alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    with adaptive_execution(spark, False):
+        for _ in range(max_iterations):
+            upd = (
+                ce.join(levels, ce.src == levels.comp)
+                .groupBy("dst")
+                .agg((F.max("level") + F.lit(1)).alias("_nl"))
+            )
+            nxt = levels.join(upd, levels.comp == upd.dst, "left").select(
+                levels.comp,
+                F.col("level").alias("_old"),
+                F.greatest(levels.level,
+                           F.coalesce("_nl", levels.level)).alias("_new"),
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            done = nxt.filter(F.col("_new") > F.col("_old")).isEmpty()
+            levels = nxt.select("comp", F.col("_new").alias("level"))
+            if done:
+                break
+        else:
+            raise RuntimeError(
+                f"dag_levels did not converge in {max_iterations} rounds")
+    return levels.select("comp", F.col("level").cast("int").alias("level"))

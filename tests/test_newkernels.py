@@ -369,3 +369,55 @@ def test_powerlaw_alpha_matches_mle_mirror(spark, small_graph):
     assert row.alpha == pytest.approx(round(want, 6), abs=1e-9)
     with pytest.raises(ValueError):
         powerlaw_alpha(small_graph.edges, direction="sideways")
+
+
+# ------------------------------------------------- condensation DAG
+
+
+def _cond_oracle(n, edges):
+    """(cross-comp weighted edge dict, longest-path level per comp)."""
+    comp = scc_oracle(n, edges)
+    w: dict[tuple[int, int], int] = {}
+    for a, b in set((int(a), int(b)) for a, b in edges):
+        ca, cb = int(comp[a]), int(comp[b])
+        if ca != cb:
+            w[(ca, cb)] = w.get((ca, cb), 0) + 1
+    lvl = {int(c): 0 for c in set(comp.tolist())}
+    changed = True
+    while changed:
+        changed = False
+        for (a, b) in w:
+            if lvl[b] < lvl[a] + 1:
+                lvl[b] = lvl[a] + 1
+                changed = True
+    return w, lvl
+
+
+def test_condensation_cycle_chain_exact(spark, cycle_chain_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import condensation
+
+    want_w, _ = _cond_oracle(17, cycle_chain_graph._edge_list)
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in condensation(cycle_chain_graph).collect()}
+    assert got == {k: float(v) for k, v in want_w.items()}
+    # planted: 5 chained cycle-SCCs + 2 tail singletons => a 6-link path
+    assert len(got) == 6
+
+
+def test_dag_levels_cycle_chain_exact(spark, cycle_chain_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import dag_levels
+
+    _, want = _cond_oracle(17, cycle_chain_graph._edge_list)
+    got = {r["comp"]: r["level"] for r in dag_levels(cycle_chain_graph).collect()}
+    assert got == want
+    # chain depth: cycle c at level c, tail extends two more
+    assert got[0] == 0 and got[12] == 4 and got[16] == 6
+
+
+def test_dag_levels_small_exact(spark, small_graph):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import dag_levels
+
+    edges = list(small_graph._edges_pdf.itertuples(index=False))
+    _, want = _cond_oracle(300, edges)
+    got = {r["comp"]: r["level"] for r in dag_levels(small_graph).collect()}
+    assert got == want
