@@ -691,6 +691,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bowtie"] = bowtie_q
 
+    def coloring_c2r2(spark, sf):
+        # deterministic Luby-peeling greedy coloring, fixed 2 peels x 2
+        # rounds (bit-reproducible prefix; uncolored remainder = -1)
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.coloring import (
+            greedy_coloring,
+        )
+
+        return greedy_coloring(_graph(spark, sf, self_loops=False),
+                               max_colors=2, luby_rounds=2)
+
+    q["coloring_c2r2"] = coloring_c2r2
+
     def condensation_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
             condensation,
@@ -2602,6 +2614,47 @@ SELECT kp.key, MIN(COALESCE(sk.count, 0)) AS estimate
 FROM kp LEFT JOIN sk ON kp.row = sk.row AND kp.bucket = sk.bucket
 GROUP BY kp.key"""
 
+    # greedy Luby-peeling coloring, 2 peels x 2 rounds, fully unrolled —
+    # same LCG keys as luby_mis with the round counter restarting per peel
+    col_steps = []
+    for c in (1, 2):
+        col_steps.append(
+            f"cu{c}_0 AS MATERIALIZED (SELECT id FROM cav{c-1})")
+        for r in (1, 2):
+            col_steps.append(
+                f"cp{c}_{r} AS MATERIALIZED (SELECT id, "
+                f"(id * 1103515245 + {r * 12345}) % 2147483647 AS p "
+                f"FROM cu{c}_{r-1}),\n"
+                f"cnm{c}_{r} AS MATERIALIZED (SELECT pu.id AS id, "
+                f"MIN(pv.p * 4294967296 + pv.id) AS mk "
+                f"FROM und JOIN cp{c}_{r} pu ON und.src = pu.id "
+                f"JOIN cp{c}_{r} pv ON und.dst = pv.id GROUP BY pu.id),\n"
+                f"cw{c}_{r} AS MATERIALIZED (SELECT p.id FROM cp{c}_{r} p "
+                f"LEFT JOIN cnm{c}_{r} ON p.id = cnm{c}_{r}.id "
+                f"WHERE cnm{c}_{r}.id IS NULL "
+                f"OR p.p * 4294967296 + p.id < cnm{c}_{r}.mk),\n"
+                f"cl{c}_{r} AS MATERIALIZED (SELECT DISTINCT und.dst AS id "
+                f"FROM und JOIN cw{c}_{r} ON und.src = cw{c}_{r}.id "
+                f"WHERE und.dst IN (SELECT id FROM cu{c}_{r-1}) "
+                f"AND und.dst NOT IN (SELECT id FROM cw{c}_{r})),\n"
+                f"cu{c}_{r} AS MATERIALIZED (SELECT id FROM cu{c}_{r-1} "
+                f"WHERE id NOT IN (SELECT id FROM cw{c}_{r}) "
+                f"AND id NOT IN (SELECT id FROM cl{c}_{r}))")
+        col_steps.append(
+            f"ccol{c} AS MATERIALIZED (SELECT id FROM cw{c}_1 "
+            f"UNION ALL SELECT id FROM cw{c}_2),\n"
+            f"cav{c} AS MATERIALIZED (SELECT id FROM cav{c-1} "
+            f"WHERE id NOT IN (SELECT id FROM ccol{c}))")
+    o["coloring_c2r2"] = f"""
+WITH {G_CTES},
+ed AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+cav0 AS MATERIALIZED (SELECT DISTINCT id FROM v),
+{",".join(col_steps)}
+SELECT id, CAST(0 AS INTEGER) AS color FROM ccol1
+UNION ALL SELECT id, CAST(1 AS INTEGER) AS color FROM ccol2
+UNION ALL SELECT id, CAST(-1 AS INTEGER) AS color FROM cav2"""
     o["luby_mis_r3"] = f"""
 WITH {G_CTES},
 ed AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
