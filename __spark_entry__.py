@@ -1180,6 +1180,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf))
     q["fingerprints"] = lambda spark, sf: fingerprint(_docs(spark, sf))
 
+    def pii_scan_q(spark, sf):
+        # PII scan + redaction parity: deterministic synthetic PII is
+        # injected per doc_id (the corpus itself is PII-free word salad),
+        # then counted with the production patterns; red_len proves the
+        # regexp_replace chain agrees with the oracle's RE2 redaction.
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.pii import (
+            pii_scan,
+            redact_column,
+        )
+
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        aug = F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"), did.cast("string"),
+                    F.lit("@ex.org ip 10."), (did % 256).cast("string"),
+                    F.lit(".0."), (did % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(" call 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        base = d.select(
+            "doc_id", aug.alias("text"),
+            F.length(redact_column(aug)).alias("red_len"),
+        )
+        return pii_scan(base, extra_cols=("red_len",))
+
+    q["pii_scan"] = pii_scan_q
+
     def tfidf_top3(spark, sf):
         # smoothed TF-IDF, top-3 terms per doc (tfidf desc, term asc)
         from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
@@ -2894,6 +2933,38 @@ SELECT doc_id, n_chars, n_tokens,
              + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
              + LEAST(stop_ratio * 4.0, 1.0) * 0.3, 6) AS quality
 FROM f"""
+    # pii_scan: identical pattern strings as functions/pii.PII_PATTERNS
+    # (dialect-parity pinned by tests/test_pii.py); same deterministic
+    # augmentation as the Spark query.
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.pii import (
+        PII_PATTERNS as _PII,
+    )
+
+    pii_counts = ",\n  ".join(
+        "CAST(len(regexp_extract_all(t, '{p}')) AS INTEGER) AS n_{n}".format(
+            n=n, p=p) for n, p in _PII
+    )
+    pii_red = "t"
+    for n, p in _PII:
+        pii_red = "regexp_replace({inner}, '{p}', '<{N}>', 'g')".format(
+            inner=pii_red, p=p, N=n.upper())
+    pii_total = " + ".join("n_" + n for n, _ in _PII)
+    o["pii_scan"] = """
+WITH aug AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+      || '@ex.org ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' call 555-123-4567' ELSE '' END AS t
+  FROM documents),
+c AS (SELECT doc_id, CAST(length({red}) AS INTEGER) AS red_len, {counts}
+      FROM aug)
+SELECT *, CAST({total} AS INTEGER) AS pii_total FROM c""".format(
+        red=pii_red, counts=pii_counts, total=pii_total)
+
     lang_scores = ", ".join(
         "CAST(len(list_filter(toks, x -> x IN ({}))) AS INTEGER) AS score_{}".format(
             ", ".join(f"'{m}'" for m in marks), lang

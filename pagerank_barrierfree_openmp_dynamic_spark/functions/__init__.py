@@ -29,6 +29,12 @@ from .similarity import (  # noqa: F401
     ivf_train_centroids,
     ivf_topk,
 )
+from .pii import (  # noqa: F401
+    PII_PATTERNS,
+    pii_scan,
+    redact_pii,
+    redact_column,
+)
 from .multimodal import (  # noqa: F401
     extract_features,
     sample_frames,
