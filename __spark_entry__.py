@@ -1180,6 +1180,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf))
     q["fingerprints"] = lambda spark, sf: fingerprint(_docs(spark, sf))
 
+    def duplicate_spans_q(spark, sf):
+        # cross-document exact-span dedup (Lee et al. ExactSubstr at
+        # token-window granularity): per-doc duplicated-span fraction
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            duplicate_spans,
+        )
+
+        return duplicate_spans(_docs(spark, sf), k=4)
+
+    q["duplicate_spans"] = duplicate_spans_q
+
+    def dup_span_report_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            dup_span_report,
+        )
+
+        return dup_span_report(_docs(spark, sf), k=4, min_docs=3, top=20)
+
+    q["dup_span_report"] = dup_span_report_q
+
     def pii_scan_q(spark, sf):
         # PII scan + redaction parity: deterministic synthetic PII is
         # injected per doc_id (the corpus itself is PII-free word salad),
@@ -2933,6 +2953,32 @@ SELECT doc_id, n_chars, n_tokens,
              + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.3
              + LEAST(stop_ratio * 4.0, 1.0) * 0.3, 6) AS quality
 FROM f"""
+    # duplicate_spans / dup_span_report: the oracle groups by the raw span
+    # STRING (the Spark side groups by xxhash64 of it — same equivalence
+    # classes barring a 64-bit collision, which this check would expose)
+    _SPAN_CTES = """
+dtoks AS (SELECT doc_id,
+  list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+shp AS (SELECT doc_id, toks,
+  UNNEST(generate_series(1, len(toks) - 3)) AS i
+  FROM dtoks WHERE len(toks) >= 4),
+sh AS (SELECT DISTINCT doc_id,
+  array_to_string(list_slice(toks, i, i + 3), ' ') AS span FROM shp)"""
+    o["duplicate_spans"] = f"""
+WITH {_SPAN_CTES},
+c AS (SELECT span, COUNT(*) AS nd FROM sh GROUP BY span),
+j AS (SELECT doc_id, nd FROM sh JOIN c USING (span))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM j GROUP BY doc_id"""
+    o["dup_span_report"] = f"""
+WITH {_SPAN_CTES}
+SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sh
+GROUP BY span HAVING COUNT(*) >= 3
+ORDER BY n_docs DESC, span ASC LIMIT 20"""
+
     # pii_scan: identical pattern strings as functions/pii.PII_PATTERNS
     # (dialect-parity pinned by tests/test_pii.py); same deterministic
     # augmentation as the Spark query.

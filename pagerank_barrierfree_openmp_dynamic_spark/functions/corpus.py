@@ -134,6 +134,67 @@ def shingle_table(df: DataFrame, k: int = 8,
               .dropDuplicates([id_col, "shingle"]))
 
 
+def duplicate_spans(df: DataFrame, k: int = 8, min_docs: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cross-document exact-span dedup report (the Lee et al.
+    "Deduplicating Training Data" / ExactSubstr pass, at token-window
+    granularity): a ``k``-token span is *duplicated* when it occurs in at
+    least ``min_docs`` DISTINCT documents; every document is scored by the
+    fraction of its spans that are duplicated.
+
+    Returns (id, n_spans, n_dup_spans, dup_frac) — documents shorter than
+    ``k`` tokens produce no row (they have no spans).
+
+    Scale shape: spans are reduced to 64-bit hashes BEFORE the shuffle
+    (``xxhash64`` — the shuffle moves 8-byte keys, never span text), the
+    occurrence count is one map-side-combinable hash agg, and the
+    span->count join lands co-partitioned on the same hash key the agg
+    just produced, so AQE plans it without a second corpus shuffle. No
+    broadcast of the duplicate set is needed (at 100 TB it wouldn't fit).
+    Hash collisions: a corpus-wide false-dup needs two distinct spans in
+    the same 64-bit cell — at 1e12 spans the expected collision count is
+    ~0.03 per (birthday bound), and the DuckDB oracle (which groups by the
+    raw span string) would flag any that mattered.
+    """
+    sh = shingle_table(df, k, text_col, id_col)  # distinct per document
+    h = sh.select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
+    counts = h.groupBy("sh").agg(F.count("*").alias("nd"))
+    return (
+        h.join(counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("nd") >= min_docs).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            F.col(id_col), "n_spans", "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def dup_span_report(df: DataFrame, k: int = 8, min_docs: int = 2,
+                    top: int = 20,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The most-duplicated ``k``-token spans: (span, n_docs), top ``top``
+    by (n_docs desc, span asc).
+
+    This variant groups by the span TEXT because the report must display
+    it; at corpus scale run :func:`duplicate_spans`'s hash agg first and
+    join one exemplar doc back per surviving hash instead — the top-N
+    report is tiny either way (a single final ``LIMIT`` after a
+    map-side-combined count).
+    """
+    sh = shingle_table(df, k, text_col, id_col)
+    return (
+        sh.groupBy(F.col("shingle").alias("span"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("span"))
+        .limit(top)
+    )
+
+
 def decontaminate(df: DataFrame, eval_df: DataFrame, k: int = 8,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing ≥1

@@ -178,3 +178,40 @@ def test_run_corpus_job_end_to_end(spark, tmp_path):
     joined = written.select("doc_id", "split").join(
         re.select("doc_id", re.split.alias("split2")), "doc_id")
     assert joined.filter("split != split2").count() == 0
+
+
+# --- cross-document duplicated spans (exact-substring dedup pass) ---
+
+from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (  # noqa: E402
+    dup_span_report,
+    duplicate_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (1, "a b c d e"),        # spans: 'a b c','b c d','c d e'
+        (2, "a b c x y"),        # spans: 'a b c','b c x','c x y'
+        (3, "z z"),              # < k tokens -> no spans, no row
+        (4, "c d e c d e"),      # distinct spans: 'c d e','d e c','e c d'
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_hand_oracle(span_docs):
+    got = {r.doc_id: r for r in duplicate_spans(span_docs, k=3).collect()}
+    assert set(got) == {1, 2, 4}  # doc 3 too short
+    # duplicated spans: 'a b c' (docs 1,2) and 'c d e' (docs 1,4)
+    assert (got[1].n_spans, got[1].n_dup_spans) == (3, 2)
+    assert (got[2].n_spans, got[2].n_dup_spans) == (3, 1)
+    assert (got[4].n_spans, got[4].n_dup_spans) == (3, 1)
+    assert got[1].dup_frac == pytest.approx(0.666667)
+    # within-doc repetition alone (doc 4's repeated 'c d e') is NOT
+    # cross-document duplication: shingles are distinct per doc first
+    assert got[4].dup_frac == pytest.approx(0.333333)
+
+
+def test_dup_span_report_hand_oracle(span_docs):
+    rows = [(r.span, r.n_docs) for r in dup_span_report(span_docs, k=3).collect()]
+    assert rows == [("a b c", 2), ("c d e", 2)]
