@@ -703,6 +703,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["coloring_c2r2"] = coloring_c2r2
 
+    def msf_edges_q(spark, sf):
+        # distributed Borůvka MSF over the multiplicity-weighted undirected
+        # lineitem graph; unique under the (w, u, v) total order, so the
+        # unrolled-Kruskal/Borůvka oracle matches by set equality
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.msf import (
+            minimum_spanning_forest,
+        )
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        und = (
+            li.select(
+                F.col("l_suppkey").cast("long").alias("s"),
+                (F.col("l_partkey") % 100).cast("long").alias("d"),
+            )
+            .filter(F.col("s") != F.col("d"))
+            .select(F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").cast("double").alias("weight"))
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"), "weight")
+        )
+        return minimum_spanning_forest(und)
+
+    q["msf_edges"] = msf_edges_q
+
     def condensation_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.plans.scc import (
             condensation,
@@ -1553,6 +1577,53 @@ WEIGHTED_EDGES_SQL = """SELECT l_suppkey AS src, l_partkey % 100 AS dst,
 HOST_EDGES_SQL = f"""SELECT src % 7 AS src, dst % 7 AS dst,
                     CAST(COUNT(*) AS DOUBLE) AS weight
              FROM ({EDGES_SQL}) GROUP BY 1, 2"""
+
+
+def _msf_oracle_sql(rounds: int = 9) -> str:
+    """Unrolled Borůvka over the multiplicity-weighted undirected lineitem
+    graph — the oracle for ``plans/msf.minimum_spanning_forest``. Each
+    round: per-component lightest cross edge under the (w, u, v) total
+    order (ROW_NUMBER), then component contraction via a per-round
+    recursive closure over the (small) merge graph. Components at least
+    halve per round, so 9 rounds cover any graph up to 512 vertices —
+    sf0.01 has ~100. Every stage is MATERIALIZED: DuckDB inlines plain
+    CTEs, and lab{r} referenced twice per round would otherwise re-expand
+    the whole prefix exponentially."""
+    parts = [
+        """ew AS MATERIALIZED (
+  SELECT l_suppkey AS s, l_partkey % 100 AS d FROM lineitem),
+we AS MATERIALIZED (SELECT LEAST(s, d) AS u, GREATEST(s, d) AS v,
+       CAST(COUNT(*) AS DOUBLE) AS w
+       FROM ew WHERE s <> d GROUP BY 1, 2),
+lab0 AS MATERIALIZED (SELECT id, id AS comp FROM
+  (SELECT u AS id FROM we UNION SELECT v FROM we))"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""
+ec{r} AS MATERIALIZED (SELECT e.u, e.v, e.w, a.comp AS cu, b.comp AS cv
+  FROM we e JOIN lab{r} a ON a.id = e.u JOIN lab{r} b ON b.id = e.v
+  WHERE a.comp <> b.comp),
+bo{r} AS (SELECT cu AS comp, w, u, v FROM ec{r}
+  UNION ALL SELECT cv, w, u, v FROM ec{r}),
+sel{r} AS MATERIALIZED (SELECT DISTINCT u, v, w FROM (
+  SELECT u, v, w,
+         ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, u, v) AS rk
+  FROM bo{r}) WHERE rk = 1),
+med{r} AS MATERIALIZED (SELECT DISTINCT LEAST(a.comp, b.comp) AS x,
+                  GREATEST(a.comp, b.comp) AS y
+  FROM sel{r} s JOIN lab{r} a ON a.id = s.u JOIN lab{r} b ON b.id = s.v),
+clo{r} AS (
+  SELECT x AS st, x AS t FROM (SELECT x FROM med{r} UNION SELECT y FROM med{r})
+  UNION
+  SELECT c.st, CASE WHEN m.x = c.t THEN m.y ELSE m.x END AS t
+  FROM clo{r} c JOIN med{r} m ON m.x = c.t OR m.y = c.t),
+nl{r} AS MATERIALIZED (SELECT st AS comp, MIN(t) AS nc FROM clo{r} GROUP BY st),
+lab{r + 1} AS MATERIALIZED (SELECT l.id, COALESCE(n.nc, l.comp) AS comp
+  FROM lab{r} l LEFT JOIN nl{r} n ON n.comp = l.comp)""")
+    union = " UNION ALL ".join(f"SELECT u, v, w FROM sel{r}"
+                               for r in range(rounds))
+    return ("WITH RECURSIVE " + ",".join(parts)
+            + f"\nSELECT u, v, w FROM ({union})")
 
 
 def _pagerank_weighted_3iter_sql(ew_cte: str = WEIGHTED_EDGES_SQL) -> str:
@@ -2704,6 +2775,8 @@ GROUP BY kp.key"""
             f"UNION ALL SELECT id FROM cw{c}_2),\n"
             f"cav{c} AS MATERIALIZED (SELECT id FROM cav{c-1} "
             f"WHERE id NOT IN (SELECT id FROM ccol{c}))")
+    o["msf_edges"] = _msf_oracle_sql()
+
     o["coloring_c2r2"] = f"""
 WITH {G_CTES},
 ed AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),

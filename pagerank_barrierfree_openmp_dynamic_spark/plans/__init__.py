@@ -28,3 +28,7 @@ from .trustrank import (  # noqa: F401
     spam_mass,
     trustrank,
 )
+from .msf import (  # noqa: F401
+    minimum_spanning_forest,
+    msf_weight_by_component,
+)
