@@ -361,6 +361,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _graph(spark, sf)
     )
 
+    def cc_incremental_insert(spark, sf):
+        # dynamic CC, insert-only incremental path: labels of the pruned
+        # base graph warm-start propagation on the full graph (the
+        # inserted 1/5 of edges only merge components, so old labels stay
+        # valid seeds); must equal from-scratch CC exactly
+        e = _edges(spark, sf)
+        base = build_graph(e.filter((F.col("src") + F.col("dst")) % 5 != 0))
+        l0 = connected_components(base)
+        return connected_components(_graph(spark, sf), init_labels=l0)
+
+    q["cc_incremental_insert"] = cc_incremental_insert
+
     def connected_components_arrow_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
             connected_components_arrow,
@@ -1101,6 +1113,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    def asof_purchase_click(spark, sf):
+        # point-in-time join: each purchase matched to the user's most
+        # recent click at-or-before it (operators/asof.asof_join — one
+        # window shuffle, no range-join blowup); right side deduped per
+        # (user, instant) by max event_id so the match is well-defined
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.asof import (
+            asof_join,
+        )
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        r0 = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts").agg(F.max("event_id").alias("rid"))
+        )
+        r = r0.join(
+            ev.select(F.col("event_id").alias("rid"), "value"), "rid"
+        ).select("user_id", "ts", "value")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value")
+        out = asof_join(left, r, on=["user_id"])
+        # no-match sentinels instead of NULLs: NaT/NULL sort keys are
+        # incomparable in the driver's sorted-rows value compare
+        return out.select(
+            "event_id", "user_id", "ts", "value",
+            F.coalesce(
+                F.col("asof_ts"), F.lit("1970-01-01").cast("timestamp")
+            ).alias("click_ts"),
+            F.coalesce(F.col("asof_value"), F.lit(-1.0)).alias("click_value"),
+        )
+
+    q["asof_purchase_click"] = asof_purchase_click
+
     # same declarative plan the streaming path runs (windowed_event_counts
     # with watermark on streams); here on the batch table for the oracle
     def events_windowed(spark, sf):
@@ -1202,6 +1246,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_stats"] = lambda spark, sf: token_count(_docs(spark, sf))
     q["quality_scores"] = lambda spark, sf: quality_score(_docs(spark, sf))
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf))
+
+    def readability_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+            readability,
+        )
+
+        return readability(_docs(spark, sf))
+
+    q["readability"] = readability_q
     q["fingerprints"] = lambda spark, sf: fingerprint(_docs(spark, sf))
 
     def duplicate_spans_q(spark, sf):
@@ -2524,6 +2577,8 @@ reach(id, via) AS (
 SELECT id, MIN(via) AS comp FROM reach GROUP BY id"""
     o["connected_components_arrow"] = o["connected_components"]
     o["connected_components_resumed"] = o["connected_components"]
+    # incremental path converges to the same canonical labels
+    o["cc_incremental_insert"] = o["connected_components"]
     o["label_propagation_2iter"] = _lpa_sql(2)
     o["label_propagation_arrow_2iter"] = _lpa_sql(2)
     o["triangle_count"] = f"""
@@ -2947,6 +3002,18 @@ d AS (SELECT COALESCE(deg.deg, 0) / tot.t - 1.0 / nn.n AS d
 SELECT ROUND(SUM(ABS(d)), 9) AS l1, ROUND(SUM(d * d), 9) AS l2,
        ROUND(MAX(ABS(d)), 9) AS li FROM d"""
 
+    o["asof_purchase_click"] = """
+WITH r0 AS (SELECT user_id, ts, MAX(event_id) AS rid FROM events
+            WHERE event_type = 'click' GROUP BY 1, 2),
+r AS (SELECT r0.user_id, r0.ts, e.value
+      FROM r0 JOIN events e ON e.event_id = r0.rid),
+l AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       COALESCE(r.ts, TIMESTAMP '1970-01-01') AS click_ts,
+       COALESCE(r.value, -1.0) AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
     o["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
@@ -3083,6 +3150,22 @@ c AS (SELECT doc_id, CAST(length({red}) AS INTEGER) AS red_len, {counts}
       FROM aug)
 SELECT *, CAST({total} AS INTEGER) AS pii_total FROM c""".format(
         red=pii_red, counts=pii_counts, total=pii_total)
+
+    o["readability"] = """
+WITH f AS (SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER)
+    AS n_words,
+  CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS INTEGER)
+    AS n_sentences,
+  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER)
+    AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0 THEN
+    ROUND(206.835 - 1.015 * n_words / n_sentences
+          - 84.6 * n_syllables / n_words, 6)
+  END AS flesch
+FROM f"""
 
     lang_scores = ", ".join(
         "CAST(len(list_filter(toks, x -> x IN ({}))) AS INTEGER) AS score_{}".format(

@@ -8,6 +8,7 @@ from .text import (  # noqa: F401
     simhash_near_dup_pairs,
     repetition_stats,
     lm_score,
+    readability,
 )
 from .dedup import (  # noqa: F401
     exact_duplicates,

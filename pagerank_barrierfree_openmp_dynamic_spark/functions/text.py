@@ -43,6 +43,41 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease per document, with the standard fast-heuristic
+    syllable counter (vowel-group runs — spaces break runs, so counting
+    ``[aeiouy]+`` over the whole text equals summing per word).
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch). Sentence
+    count is ``max(#[.!?] runs, 1)`` so punctuation-free text scores as a
+    single run-on sentence instead of dividing by zero; empty documents
+    report flesch = NULL. All pure JVM expressions (one narrow map stage,
+    no shuffle — composes with the corpus funnel's single text pass);
+    rounded to 6 places to match the DuckDB oracle exactly.
+    """
+    t = F.col(text_col)
+    n_words = F.size(tokens(t))
+    n_sent = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    n_syl = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * n_words / n_sent
+            - F.lit(84.6) * n_syl / n_words,
+            6,
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features: length, token stats, punctuation ratio,
     English-stopword ratio, and a composite score in [0, 1].

@@ -26,8 +26,22 @@ from ..operators.graph import LinkGraph
 from ..session import adaptive_execution, eager_state
 
 
-def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFrame:
-    """Returns (id, comp) with comp = min vertex id of the component."""
+def connected_components(graph: LinkGraph, max_iterations: int = 200,
+                         init_labels: DataFrame | None = None) -> DataFrame:
+    """Returns (id, comp) with comp = min vertex id of the component.
+
+    ``init_labels`` (id, comp) warm-starts the propagation — the
+    INSERT-ONLY incremental path: after a batch of edge insertions, the
+    old labels are still vertex ids inside each vertex's (now possibly
+    merged) component, so min-label propagation from them converges to
+    the new canonical labels, and only the merged regions actually
+    propagate (everything else is converged at iteration 0 and the
+    change-count early exit sees it). Vertices absent from
+    ``init_labels`` (newly inserted) start at their own id. Labels must
+    be vertex ids within the same component (any prior
+    ``connected_components`` output qualifies); deletions invalidate
+    this — recompute from scratch for delete batches.
+    """
     und = (
         graph.edges.filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -38,7 +52,16 @@ def connected_components(graph: LinkGraph, max_iterations: int = 200) -> DataFra
     und.count()
 
     spark = graph.edges.sparkSession
-    labels = graph.vertices.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    if init_labels is not None:
+        prev = init_labels.select(F.col("id").alias("pid"),
+                                  F.col("comp").alias("pcomp"))
+        labels = (
+            graph.vertices.join(prev, graph.vertices.id == prev.pid, "left")
+            .select("id", F.coalesce("pcomp", "id").alias("comp"))
+        ).localCheckpoint(eager=True)
+    else:
+        labels = graph.vertices.select(
+            "id", F.col("id").alias("comp")).localCheckpoint(eager=True)
     with adaptive_execution(spark, False):
         for _ in range(max_iterations):
             nmin = (

@@ -197,3 +197,25 @@ def test_frontier_prunes_edge_work_arrow(spark, setting):
         dense.unpersist()
         if g2 is not None:
             g2.unpersist()
+
+
+def test_cc_incremental_insert_equals_scratch(spark):
+    # insert-only incremental CC: warm-started labels equal from-scratch
+    # labels exactly, including when the batch bridges two components and
+    # introduces brand-new vertices absent from the warm labels
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        build_graph,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+        connected_components,
+    )
+
+    base_edges = [(0, 1), (1, 2), (5, 6), (6, 7), (10, 11)]
+    ins = [(2, 5), (7, 20), (20, 21)]  # bridge comps + new verts 20, 21
+    b = spark.createDataFrame(base_edges, "src long, dst long")
+    full = spark.createDataFrame(base_edges + ins, "src long, dst long")
+    l0 = connected_components(build_graph(b))
+    warm = connected_components(build_graph(full), init_labels=l0)
+    cold = connected_components(build_graph(full))
+    assert sorted(map(tuple, warm.collect())) == \
+        sorted(map(tuple, cold.collect()))

@@ -90,3 +90,30 @@ def test_lm_score_orders_formulaic_above_outlier(spark):
     got = _by_id(lm_score(docs))
     assert got[0]["avg_logp"] > got[100]["avg_logp"]
     assert got[100]["pseudo_ppl"] > got[0]["pseudo_ppl"]
+
+
+def test_readability_hand_oracle(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions import readability
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "no punctuation here at all"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in readability(docs).collect()}
+    # doc 1: 6 words, 2 sentence runs; syllables = vowel-group runs:
+    # "the"(1) "cat"(1) "sat"(1) "the"(1) "dog"(1) "ran"(1) = 6
+    assert got[1]["n_words"] == 6 and got[1]["n_sentences"] == 2
+    assert got[1]["n_syllables"] == 6
+    expect = round(206.835 - 1.015 * 6 / 2 - 84.6 * 6 / 6, 6)
+    assert got[1]["flesch"] == expect
+    # doc 2: punctuation-free -> 1 run-on sentence
+    assert got[2]["n_sentences"] == 1
+    # formula consistency (syllable runs not hand-counted here):
+    w, s, syl = got[2]["n_words"], got[2]["n_sentences"], got[2]["n_syllables"]
+    assert got[2]["flesch"] == round(206.835 - 1.015 * w / s - 84.6 * syl / w, 6)
+    # empty doc: NULL flesch, zero counts
+    assert got[3]["n_words"] == 0 and got[3]["flesch"] is None
