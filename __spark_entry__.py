@@ -1113,6 +1113,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    def events_value_quantiles(spark, sf):
+        # exact order statistics (linear interpolation — Spark percentile
+        # and DuckDB quantile_cont agree bit-for-bit, verified unrounded)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ev.groupBy("event_type").agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+            F.count("*").alias("n"),
+        )
+
+    q["events_value_quantiles"] = events_value_quantiles
+
+    def events_rollup(spark, sf):
+        # OLAP rollup (event_type, day) with subtotal rows; grouping nulls
+        # coalesced to sentinels — the driver's sorted-row compare cannot
+        # order NULL against strings
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.select("event_type", F.dayofmonth("ts").alias("day"), "value")
+            .rollup("event_type", "day")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(
+                F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                F.coalesce("day", F.lit(-1)).alias("day"),
+                "n", "sum_value",
+            )
+        )
+
+    q["events_rollup"] = events_rollup
+
     def asof_purchase_click(spark, sf):
         # point-in-time join: each purchase matched to the user's most
         # recent click at-or-before it (operators/asof.asof_join — one
@@ -3001,6 +3032,21 @@ d AS (SELECT COALESCE(deg.deg, 0) / tot.t - 1.0 / nn.n AS d
       FROM v CROSS JOIN tot CROSS JOIN nn LEFT JOIN deg ON v.id = deg.id)
 SELECT ROUND(SUM(ABS(d)), 9) AS l1, ROUND(SUM(d * d), 9) AS l2,
        ROUND(MAX(ABS(d)), 9) AS li FROM d"""
+
+    o["events_value_quantiles"] = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       COUNT(*) AS n
+FROM events GROUP BY event_type"""
+
+    o["events_rollup"] = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(day AS INTEGER), -1) AS day,
+       COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+FROM (SELECT event_type, datepart('day', ts) AS day, value FROM events)
+GROUP BY ROLLUP(event_type, day)"""
 
     o["asof_purchase_click"] = """
 WITH r0 AS (SELECT user_id, ts, MAX(event_id) AS rid FROM events
