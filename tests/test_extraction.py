@@ -79,3 +79,62 @@ def test_extract_links_arrow_byte_identical(spark):
     key = lambda d: sorted(map(tuple, d.to_numpy()))  # noqa: E731
     assert key(a) == key(b)
     assert len(a) > 0
+
+
+# --- anchor-text extraction (sources/pages.py:extract_anchors) ---
+
+def test_extract_anchors_matches_links_and_ground_truth(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark import datagen
+    from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import (
+        anchor_terms,
+        extract_anchors,
+        extract_links,
+    )
+
+    pages = datagen.pages_df(spark, "tiny")
+    anchors = extract_anchors(pages).collect()
+    links = {(r.src_url, r.dst_url)
+             for r in extract_links(pages).collect()}
+    # every datagen anchor is well-formed, so the pair sets agree exactly
+    assert {(r.src_url, r.dst_url) for r in anchors} == links
+    # datagen renders anchor text 'l{dst_vertex}' per out-edge
+    for r in anchors:
+        assert r.anchor.startswith("l")
+    terms = anchor_terms(
+        extract_anchors(pages)).collect()
+    # term counts == inbound multiplicity of each dst in the raw link table
+    from collections import Counter
+    want = Counter()
+    for s, d in [(r.src_url, r.dst_url)
+                 for r in extract_links(pages).collect()]:
+        want[d] += 1
+    got = Counter()
+    for r in terms:
+        got[r.dst_url] += r.cnt
+    assert got == want
+
+
+def test_anchor_nested_markup_and_topk(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import (
+        anchor_terms,
+        extract_anchors,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("u0", b'<a href="t"><b>Big  News</b> today</a>'
+                   b'<a href="t">news</a><a href="t">news</a>'),
+            ("u1", b'<a href="t">other</a><a href="x">unclosed'),
+        ],
+        "url string, html binary",
+    )
+    rows = extract_anchors(pages).collect()
+    # nested tags stripped, whitespace collapsed
+    assert "Big News today" in [r.anchor for r in rows]
+    # unclosed <a> dropped (no anchor text exists)
+    assert ("u1", "x") not in {(r.src_url, r.dst_url) for r in rows}
+    top = anchor_terms(extract_anchors(pages), top_k=1).collect()
+    t_rows = [r for r in top if r.dst_url == "t"]
+    # 'news' appears 3x (1 from nested-markup anchor lowercased + 2 plain)
+    assert len(t_rows) == 1
+    assert t_rows[0].term == "news" and t_rows[0].cnt == 3
