@@ -527,6 +527,44 @@ def kernel_extras(spark) -> dict:
         corp = docs.filter(F.col("doc_id") % 97 != 0)
         out["decontaminate_hits"] = int(decontaminate(corp, ev, k=4).count())
         out["decontaminate_sec"] = round(time.monotonic() - t, 3)
+
+        # late round-3 shelf one-shots: MSF, as-of join, span dedup, PII
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            duplicate_spans,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.pii import (
+            pii_scan,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.asof import (
+            asof_join,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.msf import (
+            minimum_spanning_forest,
+        )
+
+        t = time.monotonic()
+        mst = minimum_spanning_forest(
+            g.edges.withColumn("weight", F.lit(1.0)))
+        out["msf_edges_rows"] = int(mst.count())
+        out["msf_sec"] = round(time.monotonic() - t, 3)
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        t = time.monotonic()
+        right = (events.filter(F.col("event_type") == "click")
+                 .dropDuplicates(["user_id", "ts"])
+                 .select("user_id", "ts", "value"))
+        left = events.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts")
+        out["asof_rows"] = int(asof_join(left, right, on=["user_id"]).count())
+        out["asof_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        dup = duplicate_spans(docs, k=4)
+        out["dup_span_docs"] = int(
+            dup.filter(F.col("n_dup_spans") > 0).count())
+        out["duplicate_spans_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        out["pii_total"] = int(pii_scan(docs).agg(
+            F.sum("pii_total")).collect()[0][0] or 0)
+        out["pii_scan_sec"] = round(time.monotonic() - t, 3)
     finally:
         g.unpersist()
     return out

@@ -79,3 +79,41 @@ def test_asof_duckdb_parity(spark, sides):
     )
     assert got == want
     con.close()
+
+
+def test_asof_random_vs_pandas_merge_asof(spark):
+    """Randomized parity vs pandas.merge_asof (backward, inclusive) —
+    seeded, multiple keys, duplicate left timestamps, tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 300, 200
+    lpd = pd.DataFrame({
+        "event_id": np.arange(n_l),
+        "user_id": rng.integers(0, 8, n_l),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 100_000, n_l), unit="s"),
+    })
+    rpd = pd.DataFrame({
+        "user_id": rng.integers(0, 8, n_r),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 100_000, n_r), unit="s"),
+        "value": rng.random(n_r).round(6),
+    }).drop_duplicates(["user_id", "ts"])
+
+    for tol in (None, 3600.0):
+        got = asof_join(
+            spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+            on=["user_id"], tolerance_seconds=tol,
+        ).toPandas().sort_values("event_id").reset_index(drop=True)
+        want = pd.merge_asof(
+            lpd.sort_values("ts"), rpd.sort_values("ts"),
+            on="ts", by="user_id", direction="backward",
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        ).sort_values("event_id").reset_index(drop=True)
+        assert len(got) == len(want) == n_l
+        lhs = got["asof_value"].to_numpy()
+        rhs = want["value"].to_numpy()
+        both_nan = pd.isna(lhs) & pd.isna(rhs)
+        assert (both_nan | (lhs == rhs)).all(), f"tol={tol}"
