@@ -45,6 +45,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     mirroring ``pandas.merge_asof(tolerance=...)``.
     """
     lcols = left.columns
+    reserved = {"_rts", "_tag"} | {f"_rv_{c}" for c in value_cols}
+    clash = reserved & set(lcols)
+    if clash:
+        raise ValueError(f"left columns collide with asof_join "
+                         f"internals: {sorted(clash)}")
     tagged = left.select(
         *lcols,
         F.lit(None).cast(right.schema[ts_col].dataType).alias("_rts"),

@@ -274,3 +274,41 @@ def test_sortmerge_scatter_no_adj_exchange(spark, g):
         assert plan[:join_at].count("Exchange hashpartitioning") == 1, plan
     finally:
         spark.conf.set(key, prev)
+
+
+def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
+    """Catalog-bucketed edge tables: a src-src join of two bucketed tables
+    and a groupBy(src) agg both plan with ZERO Exchange — the cross-job
+    analogue of the kernels' persisted co-partitioning."""
+    from pagerank_barrierfree_openmp_dynamic_spark.sources.bucketed import (
+        read_bucketed,
+        save_bucketed,
+    )
+
+    e = spark.createDataFrame(datagen.synth_edges(200, seed=5),
+                              schema=datagen.EDGES_SCHEMA)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the fixture is tiny: a broadcast join would preempt the bucketed
+    # sort-merge plan this test is about (at real scale neither side fits)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_bucketed(e, "e_b1", buckets=4, path=str(tmp_path / "b1"))
+        save_bucketed(e.selectExpr("src", "dst AS dst2"), "e_b2",
+                      buckets=4, path=str(tmp_path / "b2"))
+        t1, t2 = read_bucketed(spark, "e_b1"), read_bucketed(spark, "e_b2")
+        j = t1.join(t2, "src")
+        j.count()
+        assert "Exchange" not in _plan(j)
+        agg = t1.groupBy("src").count()
+        agg.count()
+        assert "Exchange" not in _plan(agg)
+        # control: the same join over plain (unbucketed) parquet shuffles
+        e.write.mode("overwrite").parquet(str(tmp_path / "plain"))
+        p = spark.read.parquet(str(tmp_path / "plain"))
+        jp = p.join(p.selectExpr("src", "dst AS dst2"), "src")
+        jp.count()
+        assert "Exchange" in _plan(jp)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS e_b1")
+        spark.sql("DROP TABLE IF EXISTS e_b2")
