@@ -10,6 +10,7 @@ pipeline composed as one deployable job.
         [--boiler-seg-len 6 --boiler-min-docs 2] \
         [--dedup minhash|exact|none] [--threshold 0.5] [--max-bucket 100000] \
         [--eval-docs <path>] [--decon-k 13] \
+        [--max-dup-frac 0.5 --dup-span-k 8] [--redact-pii] \
         [--splits train:0.9,val:0.05,test:0.05] [--seed 42]
 
 Stage order (each drops rows before the next pays for them — cheap JVM
@@ -23,7 +24,12 @@ filters first, the LSH join last):
                       (keep = cluster-canonical doc)
 5. decontamination  — drop documents sharing any k-gram with --eval-docs
                       (broadcast shingle probe; corpus never shuffled)
-6. splits           — deterministic hash splits (retry-stable, engine-
+6. span dedup       — drop documents whose cross-document duplicated-span
+                      fraction exceeds --max-dup-frac (Lee-et-al-style
+                      ExactSubstr pass; spans hashed before the shuffle)
+7. PII redaction    — typed-placeholder rewrite (--redact-pii); clean
+                      documents pass through byte-identical
+8. splits           — deterministic hash splits (retry-stable, engine-
                       portable), written partitioned by split
 
 Prints ONE JSON line with per-stage surviving counts — the funnel a
@@ -50,7 +56,11 @@ from pagerank_barrierfree_openmp_dynamic_spark.functions import (  # noqa: E402
 )
 from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (  # noqa: E402
     decontaminate,
+    duplicate_spans,
     remove_boilerplate,
+)
+from pagerank_barrierfree_openmp_dynamic_spark.functions.pii import (  # noqa: E402
+    redact_pii,
 )
 from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (  # noqa: E402
     assign_split,
@@ -93,6 +103,10 @@ def main(argv=None):
     ap.add_argument("--eval-docs", default=None,
                     help="benchmark docs to decontaminate against")
     ap.add_argument("--decon-k", type=int, default=13)
+    ap.add_argument("--max-dup-frac", type=float, default=None,
+                    help="drop docs whose duplicated-span fraction exceeds")
+    ap.add_argument("--dup-span-k", type=int, default=8)
+    ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--splits", default="train:0.9,val:0.05,test:0.05")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -141,6 +155,20 @@ def main(argv=None):
                              text_col=txt, id_col=idc).select(idc)
         docs = docs.join(hits, idc, "left_anti")
         funnel["after_decontamination"] = docs.count()
+
+    if args.max_dup_frac is not None:
+        heavy = (duplicate_spans(docs, k=args.dup_span_k,
+                                 text_col=txt, id_col=idc)
+                 .filter(F.col("dup_frac") > args.max_dup_frac).select(idc))
+        docs = docs.join(heavy, idc, "left_anti")
+        funnel["after_span_dedup"] = docs.count()
+
+    if args.redact_pii:
+        keep = tuple(c for c in docs.columns if c not in (idc, txt))
+        red = redact_pii(docs, text_col=txt, id_col=idc, keep_cols=keep)
+        funnel["pii_spans_redacted"] = int(
+            red.agg(F.sum("n_redacted")).collect()[0][0] or 0)
+        docs = red.drop("n_redacted")
 
     docs = assign_split(docs, idc, _parse_splits(args.splits),
                         seed=args.seed)

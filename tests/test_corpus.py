@@ -152,13 +152,18 @@ def test_run_corpus_job_end_to_end(spark, tmp_path):
             "--boiler-seg-len", "6", "--boiler-min-docs", "2",
             "--dedup", "exact",
             "--eval-docs", ev, "--decon-k", "4",
+            "--max-dup-frac", "0.9", "--dup-span-k", "4",
+            "--redact-pii",
             "--splits", "train:0.8,val:0.1,test:0.1",
         ])
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     f = rep["funnel"]
     stages = ["input", "after_lang", "after_quality", "after_boilerplate",
-              "after_dedup", "after_decontamination", "output"]
-    assert list(f) == stages
+              "after_dedup", "after_decontamination", "after_span_dedup",
+              "output"]
+    assert [s for s in f if s != "pii_spans_redacted"] == stages
+    # the synthetic corpus is PII-free: redaction is a verified no-op
+    assert f["pii_spans_redacted"] == 0
     counts = [f[s] for s in stages]
     assert counts == sorted(counts, reverse=True)   # monotone funnel
     assert f["input"] == 500 and f["output"] > 0
