@@ -2141,7 +2141,8 @@ degu AS (SELECT id, COUNT(*) AS deg FROM (
 mm AS (SELECT 2 * COUNT(*) AS two_m FROM und),
 top AS MATERIALIZED (SELECT * FROM (
         SELECT a.id, a.rank AS score, d.deg,
-               ROW_NUMBER() OVER (ORDER BY a.rank / d.deg DESC, a.id ASC)
+               ROW_NUMBER() OVER (ORDER BY ROUND(a.rank / d.deg, 12) DESC,
+                                  a.id ASC)
                  AS pos
         FROM apr a JOIN degu d USING (id)) WHERE pos <= {k_max}),
 epos AS (SELECT CASE WHEN pa.pos IS NULL THEN pb.pos

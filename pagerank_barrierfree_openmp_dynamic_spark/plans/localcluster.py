@@ -58,7 +58,14 @@ def sweep_cut(
         .unionByName(und.select(F.col("b").alias("id")))
         .groupBy("id").agg(F.count("*").alias("deg"))
     )
-    key = (F.col(score_col) / F.col("deg")).alias("key")
+    # ROUNDED ordering key: distributed PPR sums carry run-to-run FP noise
+    # (~1e-18 absolute at these magnitudes) in their addend order, and
+    # symmetric vertices produce true score/deg ties — ranking the raw
+    # double made the k-th vertex a lottery between runs AND engines.
+    # Rounding at 1e-12 (far below any real score gap, far above the
+    # noise) collapses true ties so the id tie-break decides identically
+    # everywhere; the DuckDB oracle ranks on the same rounded key.
+    key = F.round(F.col(score_col) / F.col("deg"), 12).alias("key")
     top = (
         scores.join(degu, "id")
         .select("id", F.col(score_col).alias("score"), "deg", key)
