@@ -1113,6 +1113,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    _ETYPES = ("click", "error", "purchase", "signup", "view")
+
+    def _event_transition_edges(spark, sf):
+        # clickstream mining: per-user consecutive event-type transitions
+        # (window lag, deterministic (ts, event_id) order) aggregated to a
+        # weighted 5-vertex Markov transition graph
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t = ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev"))
+        tid = {name: i for i, name in enumerate(_ETYPES)}
+
+        def _tid(c):
+            expr = F.lit(len(_ETYPES) - 1)
+            for name, i in list(tid.items())[:-1]:
+                expr = F.when(F.col(c) == name, F.lit(i)).otherwise(expr)
+            return expr.cast("long")
+
+        return (
+            t.filter(F.col("prev").isNotNull())
+            .groupBy(_tid("prev").alias("src"), _tid("event_type").alias("dst"))
+            .agg(F.count("*").cast("double").alias("weight"))
+        )
+
+    def event_transitions(spark, sf):
+        e = _event_transition_edges(spark, sf)
+        names = F.array(*[F.lit(n) for n in _ETYPES])
+        return e.select(
+            names[F.col("src").cast("int")].alias("src_type"),
+            names[F.col("dst").cast("int")].alias("dst_type"),
+            F.col("weight").cast("long").alias("n"),
+        )
+
+    q["event_transitions"] = event_transitions
+
+    def event_flow_rank_3iter(spark, sf):
+        # weighted PageRank over the transition graph: which event type
+        # the user flow concentrates on (the clickstream analogue of
+        # host_pagerank)
+        g = build_graph(_event_transition_edges(spark, sf),
+                        weight_col="weight")
+        res = pagerank(g, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                          metrics_level="none"))
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    q["event_flow_rank_3iter"] = event_flow_rank_3iter
+
     def events_value_quantiles(spark, sf):
         # exact order statistics (linear interpolation — Spark percentile
         # and DuckDB quantile_cont agree bit-for-bit, verified unrounded)
@@ -3033,6 +3082,26 @@ d AS (SELECT COALESCE(deg.deg, 0) / tot.t - 1.0 / nn.n AS d
       FROM v CROSS JOIN tot CROSS JOIN nn LEFT JOIN deg ON v.id = deg.id)
 SELECT ROUND(SUM(ABS(d)), 9) AS l1, ROUND(SUM(d * d), 9) AS l2,
        ROUND(MAX(ABS(d)), 9) AS li FROM d"""
+
+    _ETRANS_CASE = ("CASE {c} WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+                    "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 "
+                    "ELSE 4 END")
+    _ETRANS_SQL = f"""
+SELECT {_ETRANS_CASE.format(c='prev')} AS src,
+       {_ETRANS_CASE.format(c='event_type')} AS dst,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM (SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events)
+WHERE prev IS NOT NULL GROUP BY 1, 2"""
+    o["event_transitions"] = f"""
+WITH te AS ({_ETRANS_SQL}),
+nm(tid, nmv) AS (VALUES (0, 'click'), (1, 'error'), (2, 'purchase'),
+                        (3, 'signup'), (4, 'view'))
+SELECT a.nmv AS src_type, b.nmv AS dst_type, CAST(weight AS BIGINT) AS n
+FROM te JOIN nm a ON te.src = a.tid JOIN nm b ON te.dst = b.tid"""
+    o["event_flow_rank_3iter"] = _pagerank_weighted_3iter_sql(_ETRANS_SQL)
 
     o["events_value_quantiles"] = """
 SELECT event_type,
