@@ -434,6 +434,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangles_per_vertex"] = triangles_per_vertex_q
 
+    def triangle_count_incremental_q(spark, sf):
+        # Dynamic-batch triangle maintenance (reference protocol: delete a
+        # batch, insert a batch, update only what the batch touched —
+        # main.cxx:38-85 — applied to the triangle kernel). Deterministic
+        # batch: delete canonical pairs with (u+v)%7==0, insert the shifted
+        # pairs (u, (v*7+3)%100).
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+            triangle_count_incremental,
+        )
+
+        e = _edges(spark, sf)
+        und = (
+            e.filter(F.col("src") != F.col("dst"))
+            .select(F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"))
+            .distinct()
+        )
+        dels = und.filter((F.col("u") + F.col("v")) % 7 == 0)
+        batch = dels.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"),
+            F.lit("del").alias("op"),
+        ).unionByName(dels.select(
+            F.col("u").alias("src"), ((F.col("v") * 7 + 3) % 100).alias("dst"),
+            F.lit("ins").alias("op"),
+        ))
+        return triangle_count_incremental(_graph(spark, sf), batch)
+
+    q["triangle_count_incremental"] = triangle_count_incremental_q
+
     # -- HITS / SCC / k-core / degree histogram: the standard link-graph
     # kernels beyond the reference's PageRank (engine extensions; exact
     # semantics pinned by tests/oracle.py and the SQL oracles below) --
@@ -2676,6 +2705,47 @@ o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
 w AS (SELECT o1.a AS x, o1.b AS y, o2.b AS z FROM o o1 JOIN o o2 ON o1.b = o2.a)
 SELECT COUNT(*) AS n_triangles FROM w
 WHERE EXISTS (SELECT 1 FROM o WHERE o.a = w.x AND o.b = w.z)"""
+    def _tri_count_ctes(tag: str, und: str) -> str:
+        # deg/orient/wedge triangle count over undirected CTE `und`,
+        # exposing one-row CTE t_{tag}(n)
+        return f"""
+deg_{tag} AS (SELECT id, COUNT(*) AS d FROM (
+  SELECT u AS id FROM {und} UNION ALL SELECT v AS id FROM {und}) GROUP BY id),
+o_{tag} AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND s.u < s.v)
+                        THEN s.u ELSE s.v END AS a,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND s.u < s.v)
+                        THEN s.v ELSE s.u END AS b
+            FROM {und} s JOIN deg_{tag} du ON s.u = du.id
+                         JOIN deg_{tag} dv ON s.v = dv.id),
+t_{tag} AS (SELECT COUNT(*) AS n FROM (
+  SELECT o1.a AS x, o1.b AS y, o2.b AS z
+  FROM o_{tag} o1 JOIN o_{tag} o2 ON o1.b = o2.a) w
+  WHERE EXISTS (SELECT 1 FROM o_{tag} o3 WHERE o3.a = w.x AND o3.b = w.z))"""
+
+    o["triangle_count_incremental"] = f"""
+WITH e0 AS ({EDGES_SQL}),
+e_nl AS (SELECT src, dst FROM e0 WHERE src <> dst),
+und0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         FROM e_nl),
+dels AS (SELECT u, v FROM und0 WHERE (u + v) % 7 = 0),
+ins AS (SELECT DISTINCT LEAST(u, (v * 7 + 3) % 100) AS u,
+                        GREATEST(u, (v * 7 + 3) % 100) AS v
+        FROM dels WHERE u <> (v * 7 + 3) % 100),
+-- deletions are DIRECTED (u, v) edges, matching apply_batch: a pair
+-- survives if its reverse orientation exists in the directed table
+e_mid AS (SELECT src, dst FROM e_nl
+          EXCEPT SELECT u AS src, v AS dst FROM dels),
+und_mid AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM e_mid),
+und_new AS (SELECT u, v FROM und_mid UNION SELECT u, v FROM ins),
+{_tri_count_ctes("old", "und0")},
+{_tri_count_ctes("mid", "und_mid")},
+{_tri_count_ctes("new", "und_new")}
+SELECT (SELECT n FROM t_old) AS t_old,
+       (SELECT n FROM t_old) - (SELECT n FROM t_mid) AS t_removed,
+       (SELECT n FROM t_new) - (SELECT n FROM t_mid) AS t_added,
+       (SELECT n FROM t_new) AS t_new"""
+
     o["triangles_per_vertex"] = f"""
 WITH {G_CTES},
 und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v

@@ -219,3 +219,61 @@ def test_cc_incremental_insert_equals_scratch(spark):
     cold = connected_components(build_graph(full))
     assert sorted(map(tuple, warm.collect())) == \
         sorted(map(tuple, cold.collect()))
+
+
+def _brute_tri(pairs: set) -> int:
+    """Count triangles of an undirected canonical pair set by intersection."""
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    count = 0
+    for u, v in pairs:
+        count += len(adj[u] & adj[v])
+    return count // 3  # each triangle found once per edge
+
+
+def _canon(rows) -> set:
+    return {(min(s, d), max(s, d)) for s, d in rows if s != d}
+
+
+def test_triangle_count_incremental_matches_brute(spark, setting):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+        triangle_count_incremental,
+    )
+
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+        triangle_count,
+    )
+
+    row = triangle_count_incremental(setting["g"], setting["batch"]).collect()[0]
+
+    # brute oracle with DIRECTED batch semantics (apply_batch's): a pair
+    # only leaves the undirected view when no orientation survives
+    epdf, bpdf = setting["edges_pdf"], setting["batch_pdf"]
+    old_dir = set(map(tuple, epdf[["src", "dst"]].itertuples(index=False)))
+    dels_dir = set(map(tuple, bpdf[bpdf["op"] == "del"][["src", "dst"]]
+                       .itertuples(index=False)))
+    ins_dir = set(map(tuple, bpdf[bpdf["op"] == "ins"][["src", "dst"]]
+                      .itertuples(index=False)))
+    mid_dir = old_dir - dels_dir
+    new_dir = mid_dir | ins_dir
+    old, mid, new = _canon(old_dir), _canon(mid_dir), _canon(new_dir)
+    t_old, t_mid, t_new = _brute_tri(old), _brute_tri(mid), _brute_tri(new)
+    assert row.t_old == t_old
+    assert row.t_removed == t_old - t_mid
+    assert row.t_added == t_new - t_mid
+    assert row.t_new == t_new
+    # the operator's contract: t_new equals a from-scratch recount on the
+    # apply_batch-updated graph
+    assert row.t_new == triangle_count(setting["g2"])
+
+
+def test_triangle_count_incremental_cached_told_and_empty_batch(spark, setting):
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+        triangle_count_incremental,
+    )
+
+    empty = spark.createDataFrame([], BATCH_SCHEMA)
+    row = triangle_count_incremental(setting["g"], empty, t_old=42).collect()[0]
+    assert (row.t_old, row.t_removed, row.t_added, row.t_new) == (42, 0, 0, 42)
