@@ -1350,6 +1350,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["edge_event_degree_state"] = edge_event_degree_state
 
+    def stream_attribution_join(spark, sf):
+        # REAL watermarked stream-stream interval join (streaming/joins.py):
+        # click->purchase attribution over a 2-file time-split stream of the
+        # events table. The split is on event time (no late rows across
+        # batches) and the horizon clears each watermark gap, so append-mode
+        # output equals the batch range join exactly — SQL-oracle-able.
+        import shutil
+        import tempfile
+        import uuid
+
+        from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+            interval_attribution,
+        )
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_id", "ts", "user_id", "event_type"
+        ).filter(F.col("event_type").isin("click", "purchase"))
+        d = tempfile.mkdtemp(prefix="attr_events_")
+        ckpt = tempfile.mkdtemp(prefix="attr_events_ckpt_")
+        cut = "2024-01-16"
+        for i, pred in enumerate(
+            [F.col("ts") < cut, F.col("ts") >= cut]
+        ):
+            # pandas defaults to nanosecond timestamps, which Spark's
+            # vectorized parquet reader rejects — coerce to micros
+            ev.filter(pred).toPandas().to_parquet(
+                f"{d}/b{i}.parquet", coerce_timestamps="us",
+                allow_truncated_timestamps=True)
+        stream = (
+            spark.readStream
+            .schema("event_id long, ts timestamp, user_id long, "
+                    "event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = interval_attribution(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            horizon="4 hours", watermark="10 minutes",
+        )
+        name = "attr_" + uuid.uuid4().hex[:8]
+        query = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        res = spark.table(name).localCheckpoint(eager=True)
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return res
+
+    q["stream_attribution_join"] = stream_attribution_join
+
     # -- training-data pipeline: dedup / text / similarity --
     q["dedup_exact"] = lambda spark, sf: exact_duplicates(_docs(spark, sf))
     q["token_stats"] = lambda spark, sf: token_count(_docs(spark, sf))
@@ -3243,6 +3299,17 @@ SELECT CAST(l_suppkey AS BIGINT) AS src,
        COUNT(*) AS out_degree,
        COUNT(*) AS events
 FROM lineitem GROUP BY 1"""
+
+    o["stream_attribution_join"] = """
+WITH ev AS (SELECT event_id, ts, user_id, event_type FROM events),
+p AS (SELECT event_id AS purchase_id, ts AS pts, user_id FROM ev
+      WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, ts AS cts, user_id AS c_user FROM ev
+      WHERE event_type = 'click')
+SELECT p.purchase_id, c.click_id, p.user_id,
+       epoch_us(p.pts) - epoch_us(c.cts) AS lag_us
+FROM p JOIN c ON p.user_id = c.c_user
+ AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 4 HOUR"""
 
     o["dedup_exact"] = """
 SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs

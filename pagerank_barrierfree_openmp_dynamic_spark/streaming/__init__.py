@@ -4,6 +4,7 @@ from .batches import (  # noqa: F401
     stream_batches,
 )
 from .dedup import streaming_exact_dedup  # noqa: F401
+from .joins import interval_attribution  # noqa: F401
 from .pipeline import (  # noqa: F401
     EDGE_EVENT_SCHEMA,
     StreamingReRank,

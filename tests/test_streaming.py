@@ -481,3 +481,69 @@ def test_stream_rerank_full_pipeline_matches_golden(spark, tmp_path):
         g.unpersist()
     except Exception:
         pass
+
+
+def test_interval_attribution_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join over a time-ordered 2-batch
+    file stream equals the batch range join exactly — including pairs that
+    span the batch boundary (click in batch 0, purchase in batch 1)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+        interval_attribution,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 400
+    base = pd.Timestamp("2024-03-01")
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": base + pd.to_timedelta(
+            np.sort(rng.integers(0, 72 * 3600, n)), unit="s"),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "event_type": rng.choice(["click", "purchase"], n),
+    })
+    ev = spark.createDataFrame(pdf)
+
+    batch = interval_attribution(
+        ev.filter("event_type = 'click'"),
+        ev.filter("event_type = 'purchase'"),
+        horizon="2 hours",
+    )
+    expected = sorted(map(tuple, batch.toPandas()[
+        ["purchase_id", "click_id", "user_id", "lag_us"]].itertuples(index=False)))
+    assert expected, "fixture produced no matches — widen the horizon"
+    # boundary coverage: the cut splits the 72h range in half
+    cut = base + pd.Timedelta(hours=36)
+    spans = batch.toPandas()
+    assert len(expected) > 0
+
+    d = tmp_path / "events"
+    d.mkdir()
+    for i, part in enumerate([pdf[pdf.ts < cut], pdf[pdf.ts >= cut]]):
+        part.to_parquet(str(d / f"b{i}.parquet"), coerce_timestamps="us",
+                        allow_truncated_timestamps=True)
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = interval_attribution(
+        stream.filter("event_type = 'click'"),
+        stream.filter("event_type = 'purchase'"),
+        horizon="2 hours", watermark="5 minutes",
+    )
+    q = (out.writeStream.format("memory").queryName("attr_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, spark.table("attr_test").toPandas()[
+        ["purchase_id", "click_id", "user_id", "lag_us"]].itertuples(index=False)))
+    assert got == expected
+    # at least one pair must actually cross the file boundary, otherwise the
+    # state-retention path wasn't exercised
+    ts_of = dict(zip(pdf.event_id, pdf.ts))
+    crossing = [r for r in expected
+                if ts_of[r[1]] < cut <= ts_of[r[0]]]
+    assert crossing, "no boundary-crossing pair — fixture too sparse"
