@@ -463,6 +463,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangle_count_incremental"] = triangle_count_incremental_q
 
+    def four_cycle_count_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+            four_cycle_count,
+        )
+
+        return four_cycle_count(_graph(spark, sf))
+
+    q["four_cycle_count"] = four_cycle_count_q
+
     # -- HITS / SCC / k-core / degree histogram: the standard link-graph
     # kernels beyond the reference's PageRank (engine extensions; exact
     # semantics pinned by tests/oracle.py and the SQL oracles below) --
@@ -2801,6 +2810,17 @@ SELECT (SELECT n FROM t_old) AS t_old,
        (SELECT n FROM t_old) - (SELECT n FROM t_mid) AS t_removed,
        (SELECT n FROM t_new) - (SELECT n FROM t_mid) AS t_added,
        (SELECT n FROM t_new) AS t_new"""
+
+    o["four_cycle_count"] = f"""
+WITH e0 AS ({EDGES_SQL}),
+und0 AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         FROM e0 WHERE src <> dst),
+adj AS (SELECT u AS x, v AS w FROM und0
+        UNION ALL SELECT v AS x, u AS w FROM und0),
+wed AS (SELECT a.x AS x, b.x AS y FROM adj a JOIN adj b
+        ON a.w = b.w AND a.x < b.x),
+cnt AS (SELECT x, y, COUNT(*) AS c FROM wed GROUP BY x, y)
+SELECT CAST(SUM(c * (c - 1)) // 4 AS BIGINT) AS n_four_cycles FROM cnt"""
 
     o["triangles_per_vertex"] = f"""
 WITH {G_CTES},

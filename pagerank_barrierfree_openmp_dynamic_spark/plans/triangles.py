@@ -203,6 +203,38 @@ def triangle_count_incremental(
         und_old.unpersist()
 
 
+def four_cycle_count(graph: LinkGraph) -> DataFrame:
+    """Number of 4-cycles (rectangles, non-induced) in the undirected view —
+    a standard link-spam / link-farm density signal: organic web graphs are
+    triangle-rich but rectangle-sparse, link exchanges produce the reverse.
+
+    Diagonal-pair formulation: every 4-cycle a-b-c-d has exactly two
+    diagonals (a,c) and (b,d), so
+    ``n = sum over vertex pairs of C(common_neighbors, 2) / 2``
+    — computed as one wedge self-join (adjacency joined on the middle
+    vertex, endpoints ordered x < y) and a (x, y) count aggregate, all
+    map-side-combinable. The division runs as integer ``div`` on the raw
+    ``sum c*(c-1)`` so the result is exact at any scale.
+
+    Skew note: a degree-d hub contributes C(d, 2) wedges as the middle
+    vertex, so at 100 TB the wedge stage inherits the engine's hub
+    treatment — split hub adjacency (plans/pagerank.py hub-split) or cap
+    with a sampled estimator; at bench scales the exact join is the plan
+    you want.
+    """
+    und = _und(graph.edges)
+    adj = und.select(F.col("u").alias("x"), F.col("v").alias("w")).unionByName(
+        und.select(F.col("v").alias("x"), F.col("u").alias("w"))
+    )
+    a = adj.alias("a")
+    b = adj.select(F.col("x").alias("y"), F.col("w").alias("w")).alias("b")
+    wedges = a.join(b, ["w"]).filter(F.col("x") < F.col("y"))
+    cnt = wedges.groupBy("x", "y").agg(F.count("*").alias("c"))
+    return cnt.agg(
+        F.expr("sum(c * (c - 1)) div 4").alias("n_four_cycles")
+    )
+
+
 def triangles_per_vertex(graph: LinkGraph) -> DataFrame:
     """(id, tri_count) — number of triangles each vertex participates in;
     vertices in no triangle get 0."""

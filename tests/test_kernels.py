@@ -112,3 +112,40 @@ def test_triangles_small_exact(spark, small_graph):
     assert triangle_count(small_graph) == total
     got = _col(triangles_per_vertex(small_graph), 300, "id", "tri_count")
     assert (got == per).all()
+
+
+def test_four_cycle_count_matches_brute(spark):
+    """Diagonal-pair rectangle count vs brute-force common-neighbor pairs."""
+    import numpy as np
+
+    from pagerank_barrierfree_openmp_dynamic_spark import datagen
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        build_graph,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+        four_cycle_count,
+    )
+
+    n = 60
+    epdf = datagen.synth_edges(n, seed=23)
+    g = build_graph(
+        spark.createDataFrame(epdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    got = four_cycle_count(g).collect()[0].n_four_cycles
+
+    pairs = {(min(s, d), max(s, d))
+             for s, d in epdf[["src", "dst"]].itertuples(index=False)
+             if s != d}
+    adj = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    ids = sorted(adj)
+    total = 0
+    for i, u in enumerate(ids):
+        for v in ids[i + 1:]:
+            c = len(adj[u] & adj[v])
+            total += c * (c - 1) // 2
+    assert got == total // 2
+    g.unpersist()
