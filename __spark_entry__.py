@@ -373,6 +373,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cc_incremental_insert"] = cc_incremental_insert
 
+    def cc_incremental_dynamic_q(spark, sf):
+        # FULL dynamic CC: a batch that genuinely splits (deletions, no
+        # reinsert) and merges (fresh cross-edges); only affected components
+        # are reset, everything else warm-starts converged. Labels must
+        # equal a from-scratch CC on the updated graph (shared SQL oracle).
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+            connected_components,
+            connected_components_dynamic,
+        )
+
+        g = _graph(spark, sf)
+        labels_old = connected_components(g)
+        e = _edges(spark, sf)
+        dels = e.filter((F.col("src") + F.col("dst")) % 3 == 0)
+        ins = e.filter((F.col("src") + F.col("dst")) % 9 == 1).select(
+            F.col("src"), ((F.col("dst") * 13 + 7) % 100).alias("dst"))
+        batch = dels.withColumn("op", F.lit("del")).unionByName(
+            ins.withColumn("op", F.lit("ins")))
+        g2 = apply_batch(g, batch)
+        return connected_components_dynamic(g2, labels_old, batch)
+
+    q["cc_incremental_dynamic"] = cc_incremental_dynamic_q
+
     def connected_components_arrow_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
             connected_components_arrow,
@@ -2754,6 +2777,24 @@ SELECT id, MIN(via) AS comp FROM reach GROUP BY id"""
     o["connected_components_resumed"] = o["connected_components"]
     # incremental path converges to the same canonical labels
     o["cc_incremental_insert"] = o["connected_components"]
+    o["cc_incremental_dynamic"] = f"""
+WITH RECURSIVE e0 AS ({EDGES_SQL}),
+v AS ({V_SQL}),
+dels AS (SELECT src, dst FROM e0 WHERE (src + dst) % 3 = 0),
+ins AS (SELECT src, (dst * 13 + 7) % 100 AS dst FROM e0
+        WHERE (src + dst) % 9 = 1),
+e1 AS (SELECT src, dst FROM e0 WHERE NOT EXISTS (
+  SELECT 1 FROM dels d WHERE d.src = e0.src AND d.dst = e0.dst)),
+e2 AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e1 UNION ALL SELECT src, dst FROM ins)),
+und AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM e2 WHERE src <> dst
+  UNION ALL SELECT dst AS src, src AS dst FROM e2 WHERE src <> dst)),
+reach(id, via) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT und.dst, reach.via FROM reach JOIN und ON und.src = reach.id)
+SELECT id, MIN(via) AS comp FROM reach GROUP BY id"""
     o["label_propagation_2iter"] = _lpa_sql(2)
     o["label_propagation_arrow_2iter"] = _lpa_sql(2)
     o["triangle_count"] = f"""

@@ -103,6 +103,54 @@ def connected_components(graph: LinkGraph, max_iterations: int = 200,
     return labels
 
 
+def connected_components_dynamic(
+    graph_new: LinkGraph,
+    labels_old: DataFrame,
+    batch: DataFrame,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """Full dynamic CC after a delete+insert batch — the reference's
+    batch-update protocol (``/root/reference/main.cxx:38-85``) applied to
+    connected components, completing the insert-only warm start above with
+    a deletion side.
+
+    The two halves of the batch act in opposite directions and each has a
+    cheap containment argument:
+
+    - deletions can only SPLIT components that contain a deleted edge — so
+      those components' labels are reset to own-id (everything else keeps
+      its old canonical label, which is still a vertex id inside its
+      component);
+    - insertions can only MERGE components — which the warm-started
+      min-label propagation on the NEW graph handles: unchanged regions are
+      converged at iteration 0 and only reset/merged regions propagate
+      (the change-count early exit sees everything else immediately).
+
+    Iteration count is bounded by the affected regions' diameter (with
+    pointer jumping, its log), not the graph's. Per-iteration cost is still
+    one gather over the full edge table — the same shape as every other
+    kernel superstep here, co-partitioned and exchange-free. Returns
+    (id, comp) with canonical min-vertex-id labels, exactly equal to a
+    from-scratch ``connected_components(graph_new)``.
+    """
+    dels = batch.filter(F.col("op") == "del").select("src", "dst")
+    ends = dels.select(
+        F.explode(F.array("src", "dst")).alias("id")
+    ).distinct()
+    affected = (
+        labels_old.join(ends, "id", "left_semi")
+        .select("comp").distinct()
+        .withColumn("affected", F.lit(True))
+    )
+    init = labels_old.join(F.broadcast(affected), "comp", "left").select(
+        "id",
+        F.when(F.col("affected"), F.col("id"))
+        .otherwise(F.col("comp")).alias("comp"),
+    )
+    return connected_components(graph_new, max_iterations=max_iterations,
+                                init_labels=init)
+
+
 def connected_components_arrow(
     graph: LinkGraph, *, dense=None, max_iterations: int = 200,
     checkpoint_dir: str | None = None,

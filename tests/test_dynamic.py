@@ -277,3 +277,24 @@ def test_triangle_count_incremental_cached_told_and_empty_batch(spark, setting):
     empty = spark.createDataFrame([], BATCH_SCHEMA)
     row = triangle_count_incremental(setting["g"], empty, t_old=42).collect()[0]
     assert (row.t_old, row.t_removed, row.t_added, row.t_new) == (42, 0, 0, 42)
+
+
+def test_cc_dynamic_matches_scratch_after_delete_insert(spark, setting):
+    """Full dynamic CC (deletion-split reset + insert-merge warm start)
+    equals a from-scratch CC on the apply_batch-updated graph."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+        connected_components,
+        connected_components_dynamic,
+    )
+
+    labels_old = connected_components(setting["g"])
+    got = (connected_components_dynamic(setting["g2"], labels_old,
+                                        setting["batch"])
+           .toPandas().sort_values("id").reset_index(drop=True))
+    want = (connected_components(setting["g2"])
+            .toPandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # the fixture's deletions are real (not reinserted) — the affected set
+    # must be non-empty so the deletion path actually ran
+    dels = setting["batch_pdf"][setting["batch_pdf"]["op"] == "del"]
+    assert len(dels) > 0
