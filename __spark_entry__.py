@@ -173,6 +173,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["apply_batch"] = apply_batch_q
 
+    def graph_diff_q(spark, sf):
+        # snapshot diff (inverse of apply_batch): old crawl vs the
+        # apply_batch-updated crawl must reproduce the batch's net effect
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+            graph_diff,
+        )
+
+        old = _edges(spark, sf)
+        new = apply_batch(_graph(spark, sf, self_loops=False),
+                          _batch(spark, sf)).edges
+        return graph_diff(old, new)
+
+    q["graph_diff"] = graph_diff_q
+
     def remove_edges_ops(spark, sf):
         # M4 named operators (Graph.hxx:383-448): out-edge removal by
         # DataFrame id set, in-edge removal by driver-side id list,
@@ -2742,6 +2756,18 @@ dels AS (SELECT src, dst FROM e0 WHERE (src + dst) % 5 = 0),
 kept AS (SELECT src, dst FROM e0 EXCEPT SELECT src, dst FROM dels)
 SELECT DISTINCT src, dst FROM (
   SELECT src, dst FROM kept UNION ALL SELECT dst AS src, src AS dst FROM dels)"""
+    o["graph_diff"] = f"""
+WITH e0 AS ({EDGES_SQL}),
+dels0 AS (SELECT src, dst FROM e0 WHERE (src + dst) % 5 = 0),
+kept AS (SELECT src, dst FROM e0 EXCEPT SELECT src, dst FROM dels0),
+newe AS (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM kept UNION ALL SELECT dst AS src, src AS dst FROM dels0))
+SELECT src, dst, 'del' AS op FROM (
+  SELECT src, dst FROM e0 EXCEPT SELECT src, dst FROM newe)
+UNION ALL
+SELECT src, dst, 'ins' AS op FROM (
+  SELECT src, dst FROM newe EXCEPT SELECT src, dst FROM e0)"""
+
     o["remove_edges_ops"] = f"""
 WITH e0 AS ({EDGES_SQL}),
 e1 AS (SELECT src, dst FROM e0 WHERE src % 7 <> 0),

@@ -298,3 +298,20 @@ def test_cc_dynamic_matches_scratch_after_delete_insert(spark, setting):
     # must be non-empty so the deletion path actually ran
     dels = setting["batch_pdf"][setting["batch_pdf"]["op"] == "del"]
     assert len(dels) > 0
+
+
+def test_graph_diff_roundtrip(spark, setting):
+    """graph_diff is apply_batch's inverse: applying the diffed batch to the
+    old graph reproduces the new graph's edge set exactly."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        graph_diff,
+    )
+
+    batch = graph_diff(setting["g"].edges, setting["g2"].edges)
+    g3 = apply_batch(setting["g"], batch)
+    a = {(r.src, r.dst) for r in g3.edges.collect()}
+    b = {(r.src, r.dst) for r in setting["g2"].edges.collect()}
+    assert a == b
+    # net diff only: nothing in the batch is both present in old and new
+    bp = batch.toPandas()
+    assert not bp.duplicated(subset=["src", "dst"]).any()
