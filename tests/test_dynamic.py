@@ -315,3 +315,56 @@ def test_graph_diff_roundtrip(spark, setting):
     # net diff only: nothing in the batch is both present in old and new
     bp = batch.toPandas()
     assert not bp.duplicated(subset=["src", "dst"]).any()
+
+
+def test_run_crawl_diff_job(spark, setting, tmp_path):
+    """jobs/run_crawl_diff.py end-to-end: two snapshots -> diffed batch ->
+    dynamic PR + dynamic CC + incremental triangles, each equal to the
+    from-scratch result on the new snapshot."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_crawl_diff
+
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+        connected_components,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+        triangle_count,
+    )
+
+    old_p, new_p, out = (str(tmp_path / x) for x in ("old", "new", "out"))
+    setting["g"].edges.filter("src <> dst").write.parquet(old_p)
+    setting["g2"].edges.filter("src <> dst").write.parquet(new_p)
+
+    m = run_crawl_diff.run(spark, old_p, new_p, output=out, tolerance=1e-9)
+    assert m["batch_del"] > 0 and m["batch_ins"] > 0
+
+    # the job's vertex universe is the union of both snapshots' endpoints
+    # (isolated fixture vertices are absent) — so the from-scratch baseline
+    # is computed on the same universe, not the fixture's 200 vertices
+    from pyspark.sql import functions as F
+    oe = spark.read.parquet(old_p)
+    ne = spark.read.parquet(new_p)
+    verts = (oe.select(F.col("src").alias("id"))
+             .unionByName(oe.select(F.col("dst").alias("id")))
+             .unionByName(ne.select(F.col("src").alias("id")))
+             .unionByName(ne.select(F.col("dst").alias("id")))
+             .distinct())
+    g_new = build_graph(ne, vertices=verts)
+    static = pagerank(g_new, PageRankOptions(tolerance=1e-9,
+                                             metrics_level="none"))
+    got_r = (spark.read.parquet(f"{out}/ranks").toPandas()
+             .sort_values("id").reset_index(drop=True))
+    want_r = static.ranks.toPandas().sort_values("id").reset_index(drop=True)
+    assert list(got_r["id"]) == list(want_r["id"])
+    assert np.allclose(got_r["rank"], want_r["rank"], atol=1e-6)
+
+    got_cc = (spark.read.parquet(f"{out}/components").toPandas()
+              .sort_values("id").reset_index(drop=True))
+    want_cc = (connected_components(g_new).toPandas()
+               .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_cc, want_cc)
+
+    assert m["t_new"] == triangle_count(g_new)
+    g_new.unpersist()
