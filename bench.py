@@ -565,6 +565,92 @@ def kernel_extras(spark) -> dict:
         out["pii_total"] = int(pii_scan(docs).agg(
             F.sum("pii_total")).collect()[0][0] or 0)
         out["pii_scan_sec"] = round(time.monotonic() - t, 3)
+
+        # final-shelf one-shots: incremental triangles / dynamic CC /
+        # 4-cycles / stream-stream attribution join
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+            connected_components,
+            connected_components_dynamic,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+            four_cycle_count,
+            triangle_count_incremental,
+        )
+
+        # ~0.1% deterministic batch: delete (src+dst)%997==0, insert shifted
+        dels = g.edges.filter((F.col("src") + F.col("dst")) % 997 == 0)
+        batch = dels.select("src", "dst", F.lit("del").alias("op")) \
+            .unionByName(dels.select(
+                F.col("dst").alias("src"),
+                ((F.col("src") * 13 + 7) % 99991).alias("dst"),
+                F.lit("ins").alias("op"))).localCheckpoint(eager=True)
+        out["tri_incr_batch_rows"] = int(batch.count())
+        t = time.monotonic()
+        # t_old passed -> times ONLY the O(batch*deg) delta count, the
+        # number that matters (the full recount is the `triangles` suite key)
+        tri = triangle_count_incremental(g, batch, t_old=0).collect()[0]
+        out["tri_incr_delta_sec"] = round(time.monotonic() - t, 3)
+        out["tri_incr_removed"] = int(tri.t_removed)
+        out["tri_incr_added"] = int(tri.t_added)
+
+        labels0 = connected_components(g).localCheckpoint(eager=True)
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+            apply_batch,
+        )
+
+        g2b = apply_batch(g, batch)
+        t = time.monotonic()
+        ncomp = (connected_components_dynamic(g2b, labels0, batch)
+                 .select("comp").distinct().count())
+        out["cc_dynamic_sec"] = round(time.monotonic() - t, 3)
+        out["cc_dynamic_components"] = int(ncomp)
+        g2b.unpersist()
+
+        t = time.monotonic()
+        out["four_cycles"] = int(
+            four_cycle_count(g).collect()[0].n_four_cycles)
+        out["four_cycles_sec"] = round(time.monotonic() - t, 3)
+
+        # live watermarked stream-stream join over a 2-file time split
+        import shutil
+        import tempfile
+        import uuid
+
+        from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
+            interval_attribution,
+        )
+
+        ev2 = events.select("event_id", "ts", "user_id", "event_type") \
+            .filter(F.col("event_type").isin("click", "purchase"))
+        sd = tempfile.mkdtemp(prefix="bench_attr_")
+        ck = tempfile.mkdtemp(prefix="bench_attr_ckpt_")
+        try:
+            cut = "2024-01-16"
+            for i, pred in enumerate(
+                    [F.col("ts") < cut, F.col("ts") >= cut]):
+                ev2.filter(pred).toPandas().to_parquet(
+                    f"{sd}/b{i}.parquet", coerce_timestamps="us",
+                    allow_truncated_timestamps=True)
+            t = time.monotonic()
+            stream = (spark.readStream
+                      .schema("event_id long, ts timestamp, user_id long, "
+                              "event_type string")
+                      .option("maxFilesPerTrigger", 1).parquet(sd))
+            joined = interval_attribution(
+                stream.filter(F.col("event_type") == "click"),
+                stream.filter(F.col("event_type") == "purchase"),
+                horizon="4 hours", watermark="10 minutes")
+            qname = "bench_attr_" + uuid.uuid4().hex[:8]
+            sq = (joined.writeStream.format("memory").queryName(qname)
+                  .outputMode("append").option("checkpointLocation", ck)
+                  .start())
+            sq.processAllAvailable()
+            sq.stop()
+            out["stream_attr_rows"] = int(spark.table(qname).count())
+            out["stream_attr_sec"] = round(time.monotonic() - t, 3)
+        finally:
+            shutil.rmtree(sd, ignore_errors=True)
+            shutil.rmtree(ck, ignore_errors=True)
     finally:
         g.unpersist()
     return out
