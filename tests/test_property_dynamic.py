@@ -112,3 +112,67 @@ def test_dynamic_frontier_matches_static_on_updated(sess, edges, batch):
         if g2 is not None:
             g2.unpersist()
         g.unpersist()
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=graph_st, batch=batch_st)
+def test_triangle_incremental_matches_recount(sess, edges, batch):
+    """For ANY overlapping delete/insert batch (reinsertion, duplicate
+    inserts, deletes of absent or reciprocal edges), the incremental
+    triangle delta equals the recount on the apply_batch-updated graph."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
+        triangle_count,
+        triangle_count_incremental,
+    )
+
+    dels, ins = batch
+    bpdf = pd.DataFrame(
+        [(s, t, "del") for s, t in sorted(dels)]
+        + [(s, t, "ins") for s, t in sorted(ins)],
+        columns=["src", "dst", "op"],
+    )
+    if len(bpdf) == 0:
+        return
+    g = build_graph(
+        _df(sess, sorted(edges), "src long, dst long"),
+        vertices=sess.range(N).select("id"),
+        add_self_loops=False,
+    )
+    g2 = None
+    try:
+        batch_df = _df(sess, bpdf, "src long, dst long, op string")
+        row = triangle_count_incremental(g, batch_df).collect()[0]
+        g2 = apply_batch(g, batch_df)
+        assert row.t_new == row.t_old - row.t_removed + row.t_added
+        assert row.t_old == triangle_count(g)
+        assert row.t_new == triangle_count(g2)
+    finally:
+        g.unpersist()
+        if g2 is not None:
+            g2.unpersist()
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=graph_st, edges2=graph_st)
+def test_graph_diff_roundtrip_property(sess, edges, edges2):
+    """graph_diff(A, B) applied to A reproduces B for ANY two snapshots."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        graph_diff,
+    )
+
+    a = _df(sess, sorted(edges), "src long, dst long")
+    b = _df(sess, sorted(edges2), "src long, dst long")
+    batch = graph_diff(a, b)
+    g = build_graph(a, vertices=sess.range(N).select("id"),
+                    add_self_loops=False)
+    g2 = None
+    try:
+        g2 = apply_batch(g, batch)
+        got = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+        assert got == set(edges2)
+    finally:
+        g.unpersist()
+        if g2 is not None:
+            g2.unpersist()
