@@ -82,7 +82,12 @@ def run(spark: SparkSession, old_path: str, new_path: str,
         .distinct()
     )
     g_old = build_graph(old_edges, vertices=verts)
-    batch = graph_diff(g_old.edges, new_edges).localCheckpoint(eager=True)
+    # diff the RAW snapshots: g_old.edges carries normalization self-loops
+    # that the new snapshot doesn't, and diffing those would pollute the
+    # batch with bogus per-vertex 'del' rows (apply_batch protects the
+    # loops, so the graph would still come out right — but the emitted
+    # batch, the del count, and the frontier seed set would all be wrong)
+    batch = graph_diff(old_edges, new_edges).localCheckpoint(eager=True)
     n_ins = batch.filter("op = 'ins'").count()
     n_del = batch.filter("op = 'del'").count()
 
