@@ -604,6 +604,12 @@ def kernel_extras(spark) -> dict:
                  .select("comp").distinct().count())
         out["cc_dynamic_sec"] = round(time.monotonic() - t, 3)
         out["cc_dynamic_components"] = int(ncomp)
+        t = time.monotonic()
+        ncomp_a = (connected_components_dynamic(g2b, labels0, batch,
+                                                use_arrow=True)
+                   .select("comp").distinct().count())
+        out["cc_dynamic_arrow_sec"] = round(time.monotonic() - t, 3)
+        assert ncomp_a == ncomp
         g2b.unpersist()
 
         t = time.monotonic()

@@ -108,6 +108,7 @@ def connected_components_dynamic(
     labels_old: DataFrame,
     batch: DataFrame,
     max_iterations: int = 200,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Full dynamic CC after a delete+insert batch — the reference's
     batch-update protocol (``/root/reference/main.cxx:38-85``) applied to
@@ -133,13 +134,13 @@ def connected_components_dynamic(
     (id, comp) with canonical min-vertex-id labels, exactly equal to a
     from-scratch ``connected_components(graph_new)``.
 
-    When the label vector fits driver memory, a from-scratch
-    :func:`connected_components_arrow` recompute is typically FASTER than
-    this warm start (the dense kernel's handful of narrow supersteps beat
-    the join-agg's per-iteration shuffle — ~2 s vs ~20 s at the sf0.1
-    bench). This function is the beyond-broadcast answer: at N where no
-    driver vector exists, iterations are what you pay for, and the warm
-    start localizes them to the batch-affected regions.
+    ``use_arrow=True`` runs the same warm start on the dense label kernel
+    (measured 7 s — dense build included — vs 12-20 s join-agg at the
+    sf0.1 bench; a pre-materialized dense view drops it to ~2 s) — the
+    choice mirrors the PageRank story: dense while the label vector fits
+    driver memory (N ≈ 1e9), join-agg as the fully-sharded fallback where
+    iterations are what you pay for and the warm start localizes them to
+    the batch-affected regions.
     """
     dels = batch.filter(F.col("op") == "del").select("src", "dst")
     ends = dels.select(
@@ -155,6 +156,9 @@ def connected_components_dynamic(
         F.when(F.col("affected"), F.col("id"))
         .otherwise(F.col("comp")).alias("comp"),
     )
+    if use_arrow:
+        return connected_components_arrow(
+            graph_new, max_iterations=max_iterations, init_labels=init)
     return connected_components(graph_new, max_iterations=max_iterations,
                                 init_labels=init)
 
@@ -162,6 +166,7 @@ def connected_components_dynamic(
 def connected_components_arrow(
     graph: LinkGraph, *, dense=None, max_iterations: int = 200,
     checkpoint_dir: str | None = None,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Dense Arrow-kernel connected components (same output as
     :func:`connected_components`): labels live in one driver-side int64
@@ -174,8 +179,15 @@ def connected_components_arrow(
     supersteps. ``dense_ids`` assigns dense indices in sorted-id order, so
     the min over indices is the min over original ids. The path while the
     label vector fits driver memory (N ≈ 1e9); beyond that, the join-based
-    :func:`connected_components` is the fully-sharded fallback."""
-    from .pagerank_arrow import _cc_min_fn, dense_label_loop
+    :func:`connected_components` is the fully-sharded fallback.
+
+    ``init_labels`` (id, comp) warm-starts the propagation — same contract
+    as the join-agg path: every label must be a vertex id within the
+    vertex's component of THIS graph (any prior CC output after an
+    insert-only batch qualifies; for delete batches reset affected
+    components first — :func:`connected_components_dynamic` does). Vertices
+    absent from ``init_labels`` start at their own id."""
+    from .pagerank_arrow import DenseGraph, _cc_min_fn, dense_label_loop
 
     def jump(new: np.ndarray) -> np.ndarray:
         # driver-side pointer jumping to fixpoint (full path compression)
@@ -190,17 +202,35 @@ def connected_components_arrow(
         from ..checkpoint import CheckpointStore
 
         store = CheckpointStore(checkpoint_dir)
+    caller_dense = dense
+    init = None
+    if init_labels is not None:
+        dense = dense or DenseGraph(graph)
+        dense.materialize()
+        pdf = init_labels.select("id", "comp").toPandas()
+        ids = dense.ids
+        pos_id = np.searchsorted(ids, pdf["id"].to_numpy())
+        pos_comp = np.searchsorted(ids, pdf["comp"].to_numpy())
+        if (pos_id >= len(ids)).any() or (ids[pos_id] != pdf["id"]).any():
+            raise ValueError("init_labels contains ids not in the graph")
+        if (pos_comp >= len(ids)).any() or (ids[pos_comp] != pdf["comp"]).any():
+            raise ValueError("init_labels comp values must be vertex ids")
+        init = np.arange(dense.n, dtype=np.int64)
+        init[pos_id] = pos_comp
     dg, lab = dense_label_loop(
         graph, dense,
         lambda dg, lab_bc: _cc_min_fn(dg.resident_dir, dg.epoch,
                                       dg.n_slices, lab_bc),
         post=jump, max_iterations=max_iterations,
-        store=store, mode="cc-arrow",
+        store=store, mode="cc-arrow", init=init,
     )
     spark = graph.edges.sparkSession
     out = spark.createDataFrame(
         pd.DataFrame({"id": dg.ids, "comp": dg.ids[lab]}))
-    if dense is None:
+    if caller_dense is None:
+        # own the dense view if the CALLER didn't pass one (the init_labels
+        # branch may have built it above — that one is ours to clean up;
+        # `out` is driver-side pandas, independent of the slice files)
         dg.unpersist()
     return out
 

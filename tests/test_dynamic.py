@@ -294,6 +294,12 @@ def test_cc_dynamic_matches_scratch_after_delete_insert(spark, setting):
     want = (connected_components(setting["g2"])
             .toPandas().sort_values("id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+    # the dense warm-start path must produce the identical labels
+    got_arrow = (connected_components_dynamic(
+        setting["g2"], labels_old, setting["batch"], use_arrow=True)
+        .toPandas().sort_values("id").reset_index(drop=True)
+        .astype({"id": "int64", "comp": "int64"}))
+    pd.testing.assert_frame_equal(got_arrow, want)
     # the fixture's deletions are real (not reinserted) — the affected set
     # must be non-empty so the deletion path actually ran
     dels = setting["batch_pdf"][setting["batch_pdf"]["op"] == "del"]
