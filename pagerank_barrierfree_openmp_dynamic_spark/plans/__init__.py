@@ -9,6 +9,7 @@ from .traversal import pagerank_dynamic_traversal, reachable_set  # noqa: F401
 from .components import (  # noqa: F401
     connected_components,
     connected_components_arrow,
+    connected_components_dynamic,
     resume_connected_components_arrow,
 )
 from .labelprop import (  # noqa: F401
@@ -16,7 +17,12 @@ from .labelprop import (  # noqa: F401
     label_propagation_arrow,
     resume_label_propagation_arrow,
 )
-from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
+from .triangles import (  # noqa: F401
+    four_cycle_count,
+    triangle_count,
+    triangle_count_incremental,
+    triangles_per_vertex,
+)
 from .centrality import (  # noqa: F401
     eigenvector_centrality,
     katz_centrality,
