@@ -1402,53 +1402,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events table. The split is on event time (no late rows across
         # batches) and the horizon clears each watermark gap, so append-mode
         # output equals the batch range join exactly — SQL-oracle-able.
-        import shutil
-        import tempfile
-        import uuid
-
-        from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
-            interval_attribution,
+        from pagerank_barrierfree_openmp_dynamic_spark.streaming.joins import (
+            run_attribution_stream,
         )
 
         ev = spark.read.parquet(f"{sf}/events.parquet").select(
             "event_id", "ts", "user_id", "event_type"
         ).filter(F.col("event_type").isin("click", "purchase"))
-        d = tempfile.mkdtemp(prefix="attr_events_")
-        ckpt = tempfile.mkdtemp(prefix="attr_events_ckpt_")
-        cut = "2024-01-16"
-        for i, pred in enumerate(
-            [F.col("ts") < cut, F.col("ts") >= cut]
-        ):
-            # pandas defaults to nanosecond timestamps, which Spark's
-            # vectorized parquet reader rejects — coerce to micros
-            ev.filter(pred).toPandas().to_parquet(
-                f"{d}/b{i}.parquet", coerce_timestamps="us",
-                allow_truncated_timestamps=True)
-        stream = (
-            spark.readStream
-            .schema("event_id long, ts timestamp, user_id long, "
-                    "event_type string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(d)
-        )
-        out = interval_attribution(
-            stream.filter(F.col("event_type") == "click"),
-            stream.filter(F.col("event_type") == "purchase"),
-            horizon="4 hours", watermark="10 minutes",
-        )
-        name = "attr_" + uuid.uuid4().hex[:8]
-        query = (
-            out.writeStream.format("memory").queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        query.processAllAvailable()
-        query.stop()
-        res = spark.table(name).localCheckpoint(eager=True)
-        shutil.rmtree(d, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-        return res
+        return run_attribution_stream(spark, ev, cut="2024-01-16",
+                                      horizon="4 hours",
+                                      watermark="10 minutes")
 
     q["stream_attribution_join"] = stream_attribution_join
 

@@ -618,45 +618,18 @@ def kernel_extras(spark) -> dict:
         out["four_cycles_sec"] = round(time.monotonic() - t, 3)
 
         # live watermarked stream-stream join over a 2-file time split
-        import shutil
-        import tempfile
-        import uuid
-
-        from pagerank_barrierfree_openmp_dynamic_spark.streaming import (
-            interval_attribution,
+        from pagerank_barrierfree_openmp_dynamic_spark.streaming.joins import (
+            run_attribution_stream,
         )
 
         ev2 = events.select("event_id", "ts", "user_id", "event_type") \
             .filter(F.col("event_type").isin("click", "purchase"))
-        sd = tempfile.mkdtemp(prefix="bench_attr_")
-        ck = tempfile.mkdtemp(prefix="bench_attr_ckpt_")
-        try:
-            cut = "2024-01-16"
-            for i, pred in enumerate(
-                    [F.col("ts") < cut, F.col("ts") >= cut]):
-                ev2.filter(pred).toPandas().to_parquet(
-                    f"{sd}/b{i}.parquet", coerce_timestamps="us",
-                    allow_truncated_timestamps=True)
-            t = time.monotonic()
-            stream = (spark.readStream
-                      .schema("event_id long, ts timestamp, user_id long, "
-                              "event_type string")
-                      .option("maxFilesPerTrigger", 1).parquet(sd))
-            joined = interval_attribution(
-                stream.filter(F.col("event_type") == "click"),
-                stream.filter(F.col("event_type") == "purchase"),
-                horizon="4 hours", watermark="10 minutes")
-            qname = "bench_attr_" + uuid.uuid4().hex[:8]
-            sq = (joined.writeStream.format("memory").queryName(qname)
-                  .outputMode("append").option("checkpointLocation", ck)
-                  .start())
-            sq.processAllAvailable()
-            sq.stop()
-            out["stream_attr_rows"] = int(spark.table(qname).count())
-            out["stream_attr_sec"] = round(time.monotonic() - t, 3)
-        finally:
-            shutil.rmtree(sd, ignore_errors=True)
-            shutil.rmtree(ck, ignore_errors=True)
+        t = time.monotonic()
+        res_attr = run_attribution_stream(spark, ev2, cut="2024-01-16",
+                                          horizon="4 hours",
+                                          watermark="10 minutes")
+        out["stream_attr_rows"] = int(res_attr.count())
+        out["stream_attr_sec"] = round(time.monotonic() - t, 3)
     finally:
         g.unpersist()
     return out

@@ -20,12 +20,17 @@ Cluster launch:
     zip -r engine.zip pagerank_barrierfree_openmp_dynamic_spark
     spark-submit --py-files engine.zip jobs/run_crawl_diff.py \
         --old <parquet-or-iceberg edges: src,dst> --new <same shape> \
-        --output /path/out [--tolerance 1e-10] [--damping 0.85]
+        --output /path/out [--tolerance 1e-10] [--damping 0.85] \
+        [--prev-ranks /prior/out/ranks] \
+        [--prev-components /prior/out/components] [--t-old N]
 
 Outputs under --output: ``batch/`` (the derived ins/del batch),
 ``ranks/`` (re-ranked PageRank), ``components/`` (new labels) and a
 one-line JSON metrics summary on stdout (batch size, frontier
-iterations, triangle delta).
+iterations, triangle delta). The first run bootstraps old-snapshot state
+(one static PR + CC + triangle count); every later run feeds the prior
+run's outputs back via the ``--prev-*``/``--t-old`` flags so nothing is
+recomputed from scratch again.
 """
 
 from __future__ import annotations
@@ -63,9 +68,19 @@ from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (  # noqa:
 
 def run(spark: SparkSession, old_path: str, new_path: str,
         output: str | None = None, tolerance: float = 1e-10,
-        damping: float = 0.85) -> dict:
+        damping: float = 0.85, prev_ranks: str | None = None,
+        prev_components: str | None = None,
+        t_old: int | None = None) -> dict:
     """Programmatic core (also the unit-test surface): returns the metrics
-    dict; writes parquet outputs when ``output`` is given."""
+    dict; writes parquet outputs when ``output`` is given.
+
+    ``prev_ranks`` / ``prev_components`` / ``t_old`` feed the PREVIOUS
+    run's outputs back in (the ranks/ and components/ parquet written under
+    --output, and the metrics line's t_new) so the old snapshot's state is
+    never recomputed — that's where the dynamic kernels actually pay off
+    across consecutive crawls. They must describe the ``--old`` snapshot
+    over the same vertex universe (i.e. the prior run's ``--new``). Cold
+    start (no flags) computes them once."""
     old_edges = spark.read.parquet(old_path).select("src", "dst")
     new_edges = spark.read.parquet(new_path).select("src", "dst")
 
@@ -95,15 +110,18 @@ def run(spark: SparkSession, old_path: str, new_path: str,
 
     opts = PageRankOptions(tolerance=tolerance, damping=damping,
                            metrics_level="none")
-    prev = pagerank(g_old, opts)
-    res = pagerank_dynamic_frontier(g_old, g_new, batch, prev.ranks, opts)
+    prev_ranks_df = (spark.read.parquet(prev_ranks) if prev_ranks
+                     else pagerank(g_old, opts).ranks)
+    res = pagerank_dynamic_frontier(g_old, g_new, batch, prev_ranks_df, opts)
 
-    labels_old = connected_components(g_old)
+    labels_old = (spark.read.parquet(prev_components) if prev_components
+                  else connected_components(g_old))
     labels_new = connected_components_dynamic(g_new, labels_old, batch)
 
     # takes the OLD graph plus the batch — it applies the delta itself
-    t_old = triangle_count(g_old)
-    tri = triangle_count_incremental(g_old, batch, t_old=t_old).collect()[0]
+    t_old_val = int(t_old) if t_old is not None else triangle_count(g_old)
+    tri = triangle_count_incremental(g_old, batch,
+                                     t_old=t_old_val).collect()[0]
 
     if output:
         batch.write.mode("overwrite").parquet(f"{output}/batch")
@@ -120,6 +138,8 @@ def run(spark: SparkSession, old_path: str, new_path: str,
         "t_removed": tri.t_removed,
         "t_added": tri.t_added,
         "t_new": tri.t_new,
+        "warm_inputs": bool(prev_ranks or prev_components
+                            or t_old is not None),
     }
     return metrics
 
@@ -131,10 +151,19 @@ def main(argv=None) -> int:
     ap.add_argument("--output", default=None)
     ap.add_argument("--tolerance", type=float, default=1e-10)
     ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--prev-ranks", default=None,
+                    help="prior run's ranks/ parquet (over --old)")
+    ap.add_argument("--prev-components", default=None,
+                    help="prior run's components/ parquet (over --old)")
+    ap.add_argument("--t-old", type=int, default=None,
+                    help="prior run's t_new triangle count (over --old)")
     args = ap.parse_args(argv)
     spark = SparkSession.builder.getOrCreate()
     metrics = run(spark, args.old, args.new, args.output,
-                  args.tolerance, args.damping)
+                  args.tolerance, args.damping,
+                  prev_ranks=args.prev_ranks,
+                  prev_components=args.prev_components,
+                  t_old=args.t_old)
     print(json.dumps(metrics))
     return 0
 

@@ -283,10 +283,33 @@ def graph_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
 
     Two anti-joins on the edge key, each a single co-partitionable
     hash-shuffle; output is O(changed edges). Self-loops present on both
-    sides (normalization loops) cancel out. Roundtrip law (tested):
+    sides (normalization loops) cancel out.
+
+    When BOTH snapshots carry a ``weight`` column, the key includes it: a
+    weight change surfaces as del(old) + ins(new weight) and the 'ins' rows
+    carry ``weight`` (which ``apply_batch`` consumes on weighted graphs).
+    Mixed inputs — one weighted, one not — are refused rather than
+    silently diffed on the unweighted key.
+
+    Roundtrip law (tested):
     ``apply_batch(g_old, graph_diff(g_old.edges, g_new.edges))`` has
-    g_new's edge set.
+    g_new's edge set (and, for weighted graphs, its weights).
     """
+    weighted_old = "weight" in old_edges.columns
+    weighted_new = "weight" in new_edges.columns
+    if weighted_old != weighted_new:
+        raise ValueError(
+            "graph_diff needs both snapshots weighted or both unweighted — "
+            f"got old weighted={weighted_old}, new weighted={weighted_new}")
+    if weighted_old:
+        key = ["src", "dst", "weight"]
+        old = old_edges.select("src", "dst", "weight")
+        new = new_edges.select("src", "dst", "weight")
+        # a del row's weight is irrelevant to apply_batch (deletion is by
+        # (src, dst)); keep the column so the union lines up
+        dels = old.join(new, key, "left_anti").withColumn("op", F.lit("del"))
+        ins = new.join(old, key, "left_anti").withColumn("op", F.lit("ins"))
+        return dels.unionByName(ins)
     old = old_edges.select("src", "dst")
     new = new_edges.select("src", "dst")
     dels = old.join(new, ["src", "dst"], "left_anti") \

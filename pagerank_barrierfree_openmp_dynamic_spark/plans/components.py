@@ -142,9 +142,37 @@ def connected_components_dynamic(
     iterations are what you pay for and the warm start localizes them to
     the batch-affected regions.
     """
+    # Only deletions that actually REMOVE an undirected pair can split:
+    # a del of an absent edge, of one orientation of a surviving reciprocal
+    # pair, or of a pair the same batch re-inserts leaves connectivity
+    # intact — check pair survival against the NEW graph (one broadcast
+    # semi-join scan, no shuffle) before marking components affected.
+    # A genuinely removed pair still resets its WHOLE component (whether it
+    # was a bridge is not knowable without spanning-forest maintenance), so
+    # on a giant-WCC web graph a real deletion degrades this warm start to
+    # a full propagation over that component — the honest bound.
     dels = batch.filter(F.col("op") == "del").select("src", "dst")
-    ends = dels.select(
-        F.explode(F.array("src", "dst")).alias("id")
+    p = (
+        dels.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    e_nl = graph_new.edges.filter(F.col("src") != F.col("dst"))
+    surviving = (
+        e_nl.join(
+            F.broadcast(p),
+            (F.least("src", "dst") == F.col("u"))
+            & (F.greatest("src", "dst") == F.col("v")),
+            "left_semi",
+        )
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    gone = p.join(surviving, ["u", "v"], "left_anti")
+    ends = gone.select(
+        F.explode(F.array("u", "v")).alias("id")
     ).distinct()
     affected = (
         labels_old.join(ends, "id", "left_semi")

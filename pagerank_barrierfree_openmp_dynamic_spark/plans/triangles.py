@@ -83,6 +83,10 @@ def _count_from_und(und: DataFrame) -> int:
 
 
 def _incident_delta(und: DataFrame, b: DataFrame, deletions: bool) -> int:
+    return _delta_candidates(und, b, deletions).count()
+
+
+def _delta_candidates(und: DataFrame, b: DataFrame, deletions: bool) -> DataFrame:
     """Count triangles of the undirected edge set ``und`` that contain at
     least one batch edge from ``b``, each triangle exactly once.
 
@@ -135,7 +139,7 @@ def _incident_delta(und: DataFrame, b: DataFrame, deletions: bool) -> int:
 
     cond1 = F.col("in1").isNull() | _lex("s1a", "s1b", after=deletions)
     cond2 = F.col("in2").isNull() | _lex("s2a", "s2b", after=deletions)
-    return j.filter(cond1 & cond2).count()
+    return j.filter(cond1 & cond2)
 
 
 def triangle_count_incremental(

@@ -67,3 +67,72 @@ def interval_attribution(
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
         .alias("lag_us"),
     )
+
+
+def run_attribution_stream(
+    spark,
+    events: DataFrame,
+    *,
+    cut: str,
+    horizon: str = "4 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drive :func:`interval_attribution` as a LIVE 2-batch file stream and
+    return the collected append-mode output (localCheckpointed — the temp
+    event/checkpoint dirs are removed before returning, success or failure).
+
+    ``events`` carries (event_id, ts, user_id, event_type) with types
+    'click' and 'purchase'; ``cut`` is the event-time split point. The split
+    is on event time, so no row is late across batches, and the two files'
+    mtimes are pinned a minute apart: both parquet writes can land within
+    the file source's millisecond mtime granularity, and an mtime tie lets
+    Spark process the late file first — advancing the watermark past every
+    early-file row and silently dropping them from the join.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="attr_events_")
+    ckpt = tempfile.mkdtemp(prefix="attr_events_ckpt_")
+    try:
+        now = time.time()
+        for i, pred in enumerate([F.col("ts") < cut, F.col("ts") >= cut]):
+            path = f"{d}/b{i}.parquet"
+            # pandas defaults to nanosecond timestamps, which Spark's
+            # vectorized parquet reader rejects — coerce to micros
+            events.filter(pred).toPandas().to_parquet(
+                path, coerce_timestamps="us",
+                allow_truncated_timestamps=True)
+            os.utime(path, (now + 60 * i, now + 60 * i))
+        stream = (
+            spark.readStream
+            .schema("event_id long, ts timestamp, user_id long, "
+                    "event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = interval_attribution(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            horizon=horizon, watermark=watermark,
+        )
+        name = "attr_" + uuid.uuid4().hex[:8]
+        query = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        # memory-sink rows live in driver memory; localCheckpoint pins them
+        # so the temp dirs can go
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

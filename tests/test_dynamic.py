@@ -373,4 +373,91 @@ def test_run_crawl_diff_job(spark, setting, tmp_path):
     pd.testing.assert_frame_equal(got_cc, want_cc)
 
     assert m["t_new"] == triangle_count(g_new)
+    assert not m["warm_inputs"]
+
+    # warm run: feed the old snapshot's state back via the --prev-* inputs
+    # (the consecutive-crawl contract) — identical outputs, zero old-state
+    # recomputation inside the job
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        build_graph as _bg,
+    )
+
+    g_old = _bg(oe, vertices=verts)
+    pr_old = str(tmp_path / "pr_old")
+    cc_old = str(tmp_path / "cc_old")
+    pagerank(g_old, PageRankOptions(tolerance=1e-9, metrics_level="none")) \
+        .ranks.write.parquet(pr_old)
+    connected_components(g_old).write.parquet(cc_old)
+    m2 = run_crawl_diff.run(spark, old_p, new_p, output=None,
+                            tolerance=1e-9, prev_ranks=pr_old,
+                            prev_components=cc_old, t_old=m["t_old"])
+    assert m2["warm_inputs"]
+    for k in ("batch_ins", "batch_del", "n_components_new",
+              "t_old", "t_removed", "t_added", "t_new"):
+        assert m2[k] == m[k], k
+    g_old.unpersist()
     g_new.unpersist()
+
+
+def test_graph_diff_weighted_roundtrip(spark):
+    """Weighted snapshots: weight changes surface as del+ins and the
+    roundtrip reproduces the new snapshot's weights exactly; mixed
+    weighted/unweighted inputs are refused."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        graph_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 4.0)],
+        "src long, dst long, weight double")
+    new = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 4.0), (2, 0, 3.0)],
+        "src long, dst long, weight double")
+    batch = graph_diff(old, new)
+    rows = {(r.src, r.dst, r.weight, r.op) for r in batch.collect()}
+    assert rows == {
+        (0, 1, 2.0, "del"), (0, 2, 1.0, "del"),
+        (0, 1, 5.0, "ins"), (2, 0, 3.0, "ins"),
+    }
+    g = build_graph(old, weight_col="weight",
+                    vertices=spark.range(3).select("id"),
+                    add_self_loops=False)
+    g2 = apply_batch(g, batch)
+    got = {(r.src, r.dst, r.weight) for r in g2.edges.collect()}
+    assert got == {(0, 1, 5.0), (1, 2, 4.0), (2, 0, 3.0)}
+    g.unpersist()
+    g2.unpersist()
+
+    with pytest.raises(ValueError, match="weighted"):
+        graph_diff(old, new.select("src", "dst"))
+
+
+def test_cc_dynamic_noop_deletions_skip_reset(spark, setting):
+    """Deletions that don't remove an undirected pair (absent edges,
+    one orientation of a reciprocal pair, delete-then-reinsert) must not
+    mark components affected — the warm start converges at iteration 0."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (
+        connected_components,
+        connected_components_dynamic,
+    )
+
+    g = setting["g"]
+    labels_old = connected_components(g)
+    e0 = setting["edges_pdf"].iloc[0]
+    s, d = int(e0["src"]), int(e0["dst"])
+    batch_pdf = pd.DataFrame({
+        # delete an absent edge + delete-and-reinsert a real one
+        "src": [199, s, s],
+        "dst": [198, d, d],
+        "op": ["del", "del", "ins"],
+    })
+    batch = spark.createDataFrame(batch_pdf, schema=BATCH_SCHEMA)
+    g2 = apply_batch(g, batch)
+    try:
+        got = (connected_components_dynamic(g2, labels_old, batch)
+               .toPandas().sort_values("id").reset_index(drop=True))
+        want = (labels_old.toPandas().sort_values("id")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+    finally:
+        g2.unpersist()

@@ -322,7 +322,7 @@ def test_incident_delta_broadcasts_batch_side(spark):
         build_graph,
     )
     from pagerank_barrierfree_openmp_dynamic_spark.plans.triangles import (
-        _incident_delta, _und,
+        _delta_candidates, _incident_delta, _und,
     )
 
     raw = spark.createDataFrame(datagen.synth_edges(300, seed=9),
@@ -331,14 +331,10 @@ def test_incident_delta_broadcasts_batch_side(spark):
     und = _und(g.edges)
     b = und.limit(5)
 
-    # reach into the join the helper builds by explaining the filtered
-    # frame right before the count
-    adj = und.selectExpr("u as x", "v as w").unionByName(
-        und.selectExpr("v as x", "u as w"))
-    bb = b.selectExpr("u as bu", "v as bv")
-    probe = adj.join(F.broadcast(bb), F.col("x") == F.col("bu"))
-    plan = _plan(probe)
-    assert "BroadcastHashJoin" in plan
+    # explain the PRODUCTION frame the count runs on — both adjacency
+    # probes and the side-edge membership marks must broadcast the batch
+    plan = _plan(_delta_candidates(und, b, deletions=True))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 

@@ -513,32 +513,16 @@ def test_interval_attribution_stream_matches_batch(spark, tmp_path):
     assert expected, "fixture produced no matches — widen the horizon"
     # boundary coverage: the cut splits the 72h range in half
     cut = base + pd.Timedelta(hours=36)
-    spans = batch.toPandas()
-    assert len(expected) > 0
 
-    d = tmp_path / "events"
-    d.mkdir()
-    for i, part in enumerate([pdf[pdf.ts < cut], pdf[pdf.ts >= cut]]):
-        part.to_parquet(str(d / f"b{i}.parquet"), coerce_timestamps="us",
-                        allow_truncated_timestamps=True)
-    stream = (
-        spark.readStream
-        .schema("event_id long, ts timestamp, user_id long, event_type string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(d))
+    # drive the PRODUCTION harness (mtime-pinned file order, temp-dir
+    # cleanup, memory sink) — not a hand-rolled copy of it
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming.joins import (
+        run_attribution_stream,
     )
-    out = interval_attribution(
-        stream.filter("event_type = 'click'"),
-        stream.filter("event_type = 'purchase'"),
-        horizon="2 hours", watermark="5 minutes",
-    )
-    q = (out.writeStream.format("memory").queryName("attr_test")
-         .outputMode("append")
-         .option("checkpointLocation", str(tmp_path / "ckpt"))
-         .start())
-    q.processAllAvailable()
-    q.stop()
-    got = sorted(map(tuple, spark.table("attr_test").toPandas()[
+
+    streamed = run_attribution_stream(
+        spark, ev, cut=str(cut), horizon="2 hours", watermark="5 minutes")
+    got = sorted(map(tuple, streamed.toPandas()[
         ["purchase_id", "click_id", "user_id", "lag_us"]].itertuples(index=False)))
     assert got == expected
     # at least one pair must actually cross the file boundary, otherwise the
