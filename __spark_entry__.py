@@ -1421,6 +1421,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda spark, sf: quality_score(_docs(spark, sf))
     q["lang_id"] = lambda spark, sf: lang_id(_docs(spark, sf))
 
+    def pack_concat_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.packing import (
+            pack_concat,
+        )
+
+        return pack_concat(_docs(spark, sf), max_tokens=512, n_shards=8)
+
+    q["sequence_pack_concat"] = pack_concat_q
+
+    def pack_greedy_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.packing import (
+            pack_greedy,
+        )
+
+        return pack_greedy(_docs(spark, sf), max_tokens=512, n_shards=8)
+
+    q["sequence_pack_greedy"] = pack_greedy_q
+
+    def pack_fill_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.packing import (
+            pack_greedy, packing_fill,
+        )
+
+        return packing_fill(
+            pack_greedy(_docs(spark, sf), max_tokens=512, n_shards=8), 512)
+
+    q["sequence_pack_fill"] = pack_fill_q
+
     def readability_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.functions import (
             readability,
@@ -3371,6 +3399,57 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
             AS INTEGER) AS n_subtokens
 FROM documents"""
+    # shared shard/token CTE for the sequence-packing oracles
+    _pack_sh = """
+toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS INTEGER) AS n_tokens
+  FROM documents
+),
+sh AS (
+  SELECT CAST(doc_id % 8 AS INTEGER) AS shard, doc_id, n_tokens
+  FROM toks WHERE n_tokens > 0
+)"""
+    o["sequence_pack_concat"] = f"""
+WITH {_pack_sh},
+s AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_end
+  FROM sh
+)
+SELECT shard, doc_id, n_tokens,
+       CAST((cum_end - n_tokens) // 512 AS BIGINT) AS first_seq,
+       CAST((cum_end - n_tokens) % 512 AS BIGINT) AS start_offset,
+       CAST((cum_end - 1) // 512 - (cum_end - n_tokens) // 512 + 1
+            AS BIGINT) AS n_seqs
+FROM s"""
+    # first-fit-in-order fold replayed row-by-row per shard (recursive CTE)
+    _pack_greedy = f"""
+WITH RECURSIVE {_pack_sh},
+d AS (
+  SELECT shard, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM sh
+),
+g AS (
+  SELECT shard, doc_id, n_tokens, rn,
+         CAST(n_tokens AS BIGINT) AS fill, CAST(0 AS BIGINT) AS bin
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN g.fill + d.n_tokens > 512 THEN CAST(d.n_tokens AS BIGINT)
+              ELSE g.fill + d.n_tokens END,
+         CASE WHEN g.fill + d.n_tokens > 512 THEN g.bin + 1 ELSE g.bin END
+  FROM g JOIN d ON d.shard = g.shard AND d.rn = g.rn + 1
+)"""
+    o["sequence_pack_greedy"] = f"""{_pack_greedy}
+SELECT shard, doc_id, n_tokens, bin FROM g"""
+    o["sequence_pack_fill"] = f"""{_pack_greedy}
+SELECT shard, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+       CAST((SUM(n_tokens) * 1000000) // 512 AS BIGINT) AS fill_ppm
+FROM g GROUP BY shard, bin"""
     stop_list = ", ".join(
         f"'{s}'" for s in
         ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was",

@@ -42,3 +42,8 @@ from .multimodal import (  # noqa: F401
     resize_images,
     media_metadata_stats,
 )
+from .packing import (  # noqa: F401
+    pack_concat,
+    pack_greedy,
+    packing_fill,
+)
