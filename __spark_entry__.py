@@ -1449,6 +1449,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sequence_pack_fill"] = pack_fill_q
 
+    def mixture_weights_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.mixture import (
+            source_mixture_weights,
+        )
+
+        return source_mixture_weights(_docs(spark, sf), alpha=0.75)
+
+    q["mixture_weights"] = mixture_weights_q
+
+    def curriculum_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.mixture import (
+            curriculum_buckets,
+        )
+
+        return curriculum_buckets(_docs(spark, sf), n_buckets=10)
+
+    q["curriculum_buckets"] = curriculum_q
+
     def readability_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.functions import (
             readability,
@@ -3560,6 +3578,23 @@ FROM f"""
             ("fr", ("le", "la", "les", "et", "des", "est", "un", "une", "que", "pour")),
         ]
     )
+    o["mixture_weights"] = """
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS token_share,
+       ROUND(POWER(n_tokens, 0.75) / SUM(POWER(n_tokens, 0.75)) OVER (), 6)
+         AS weight
+FROM per"""
+    o["curriculum_buckets"] = f"""
+WITH q AS ({o["quality_scores"]})
+SELECT doc_id, quality,
+       NTILE(10) OVER (ORDER BY quality, doc_id) AS bucket
+FROM q"""
     o["lang_id"] = f"""
 WITH toks AS (SELECT doc_id,
   list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks

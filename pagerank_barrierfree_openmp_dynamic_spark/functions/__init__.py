@@ -47,3 +47,7 @@ from .packing import (  # noqa: F401
     pack_greedy,
     packing_fill,
 )
+from .mixture import (  # noqa: F401
+    curriculum_buckets,
+    source_mixture_weights,
+)

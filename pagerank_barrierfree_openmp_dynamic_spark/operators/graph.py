@@ -24,9 +24,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def dense_ids(df: DataFrame, col: str, partitions: int,
+def dense_ids(df: DataFrame, col: str | list[str], partitions: int,
               out_col: str = "idx") -> DataFrame:
-    """Distributed dense rank ``0..N-1`` of ``df`` rows by sorted ``col``.
+    """Distributed dense rank ``0..N-1`` of ``df`` rows by sorted ``col``
+    (a single column name or a list of columns for composite orderings).
 
     Pure-DataFrame zipWithIndex: range-repartition by the key, per-partition
     ``row_number`` (JVM window, parallel), plus a per-partition offset
@@ -35,12 +36,13 @@ def dense_ids(df: DataFrame, col: str, partitions: int,
     scale (the reference's span-index assignment,
     ``/root/reference/src/Graph.hxx:472``, done distributively).
     """
+    cols = [col] if isinstance(col, str) else list(col)
     # Eager snapshot: repartitionByRange SAMPLES its boundaries, so two
     # evaluations of the same plan can partition differently — the offset
     # cascade must see the exact partitioning the final plan uses.
     sorted_df = (
-        df.repartitionByRange(partitions, F.col(col))
-        .sortWithinPartitions(col)
+        df.repartitionByRange(partitions, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -55,7 +57,7 @@ def dense_ids(df: DataFrame, col: str, partitions: int,
     omap = F.create_map(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
-    w = Window.partitionBy("_pid").orderBy(col)
+    w = Window.partitionBy("_pid").orderBy(*cols)
     return (
         sorted_df.withColumn(
             out_col,
