@@ -630,6 +630,32 @@ def kernel_extras(spark) -> dict:
                                           watermark="10 minutes")
         out["stream_attr_rows"] = int(res_attr.count())
         out["stream_attr_sec"] = round(time.monotonic() - t, 3)
+
+        # corpus-composition one-shots: sequence packing + mixture/curriculum
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.mixture import (
+            curriculum_buckets,
+            source_mixture_weights,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.packing import (
+            pack_concat,
+            pack_greedy,
+            packing_fill,
+        )
+
+        t = time.monotonic()
+        out["pack_concat_rows"] = int(pack_concat(docs, 2048, 32).count())
+        out["pack_concat_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        fill_row = (packing_fill(pack_greedy(docs, 2048, 32), 2048)
+                    .agg(F.count("*").alias("nb"),
+                         F.avg("fill_ppm").alias("fp")).collect()[0])
+        out["pack_greedy_bins"] = int(fill_row["nb"])
+        out["pack_greedy_avg_fill_ppm"] = int(fill_row["fp"])
+        out["pack_greedy_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        out["mixture_sources"] = int(source_mixture_weights(docs).count())
+        out["curriculum_rows"] = int(curriculum_buckets(docs, 10).count())
+        out["mixture_curriculum_sec"] = round(time.monotonic() - t, 3)
     finally:
         g.unpersist()
     return out

@@ -31,6 +31,11 @@ filters first, the LSH join last):
                       documents pass through byte-identical
 8. splits           — deterministic hash splits (retry-stable, engine-
                       portable), written partitioned by split
+9. packing          — optional (--pack-max-tokens): first-fit-in-order
+                      training-sequence packing, PER SPLIT (windows never
+                      cross split boundaries), written as a side table
+                      ``<output>_packing`` of (split, shard, doc_id,
+                      n_tokens, bin) window assignments
 
 Prints ONE JSON line with per-stage surviving counts — the funnel a
 corpus job is monitored by.
@@ -109,6 +114,11 @@ def main(argv=None):
     ap.add_argument("--redact-pii", action="store_true")
     ap.add_argument("--splits", default="train:0.9,val:0.05,test:0.05")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--pack-max-tokens", type=int, default=None,
+                    help="pack each split into fixed-token training "
+                         "windows (first-fit-in-order); writes "
+                         "<output>_packing")
+    ap.add_argument("--pack-shards", type=int, default=32)
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("linkgraph-corpus").getOrCreate()
@@ -177,6 +187,39 @@ def main(argv=None):
     per_split = {r["split"]: r["n"] for r in
                  docs.groupBy("split").agg(F.count("*").alias("n")).collect()}
     funnel["output"] = sum(per_split.values())
+
+    if args.pack_max_tokens:
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.packing import (
+            pack_greedy,
+        )
+
+        parts = []
+        for sp in _parse_splits(args.splits):
+            parts.append(
+                pack_greedy(docs.filter(F.col("split") == sp),
+                            max_tokens=args.pack_max_tokens,
+                            n_shards=args.pack_shards,
+                            text_col=txt, id_col=idc)
+                .withColumn("split", F.lit(sp)))
+        packed = parts[0]
+        for p in parts[1:]:
+            packed = packed.unionByName(p)
+        (packed.write.mode("overwrite").partitionBy("split")
+               .format(args.format).save(args.output + "_packing"))
+        m = args.pack_max_tokens
+        rep = (spark.read.format(args.format).load(args.output + "_packing")
+               .groupBy("split", "shard", "bin")
+               .agg(F.sum("n_tokens").alias("fill"))
+               .groupBy("split")
+               .agg(F.count("*").alias("windows"),
+                    (F.avg(F.col("fill") * 1000000 / m))
+                    .cast("long").alias("avg_fill_ppm"))
+               .collect())
+        funnel["packing"] = {
+            r["split"]: {"windows": int(r["windows"]),
+                         "avg_fill_ppm": int(r["avg_fill_ppm"])}
+            for r in rep}
+
     print(json.dumps({"funnel": funnel, "splits": per_split}))
 
 

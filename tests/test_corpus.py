@@ -155,13 +155,15 @@ def test_run_corpus_job_end_to_end(spark, tmp_path):
             "--max-dup-frac", "0.9", "--dup-span-k", "4",
             "--redact-pii",
             "--splits", "train:0.8,val:0.1,test:0.1",
+            "--pack-max-tokens", "64", "--pack-shards", "4",
         ])
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     f = rep["funnel"]
     stages = ["input", "after_lang", "after_quality", "after_boilerplate",
               "after_dedup", "after_decontamination", "after_span_dedup",
               "output"]
-    assert [s for s in f if s != "pii_spans_redacted"] == stages
+    assert [s for s in f
+            if s not in ("pii_spans_redacted", "packing")] == stages
     # the synthetic corpus is PII-free: redaction is a verified no-op
     assert f["pii_spans_redacted"] == 0
     counts = [f[s] for s in stages]
@@ -183,6 +185,26 @@ def test_run_corpus_job_end_to_end(spark, tmp_path):
     joined = written.select("doc_id", "split").join(
         re.select("doc_id", re.split.alias("split2")), "doc_id")
     assert joined.filter("split != split2").count() == 0
+
+    # packing stage: side table covers every surviving nonempty doc,
+    # windows never cross splits, no multi-doc window overfills
+    packed = spark.read.parquet(out + "_packing")
+    assert set(packed.columns) == {"split", "shard", "doc_id", "n_tokens",
+                                   "bin"}
+    assert packed.count() <= f["output"]
+    assert f["packing"] and all(v["windows"] > 0
+                                for v in f["packing"].values())
+    from pyspark.sql import functions as F
+    per_win = (packed.groupBy("split", "shard", "bin")
+               .agg(F.sum("n_tokens").alias("fill"),
+                    F.count("*").alias("nd")).collect())
+    for r in per_win:
+        assert r["fill"] <= 64 or r["nd"] == 1
+    # doc↔split assignment in the side table matches the corpus
+    mism = (packed.select("doc_id", F.col("split").alias("ps"))
+            .join(written.select("doc_id", "split"), "doc_id")
+            .filter("ps != split").count())
+    assert mism == 0
 
 
 # --- cross-document duplicated spans (exact-substring dedup pass) ---
