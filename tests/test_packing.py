@@ -3,6 +3,8 @@
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from pagerank_barrierfree_openmp_dynamic_spark.functions.packing import (
     pack_concat, pack_greedy, packing_fill)
@@ -86,6 +88,35 @@ def test_pack_greedy_oversized_doc_isolated(spark):
                        n_shards=1).collect()
     by_id = {r["doc_id"]: r["bin"] for r in rows}
     assert by_id[0] == 0 and by_id[4] == 1 and by_id[8] == 2
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                     max_size=60),
+       max_tokens=st.integers(min_value=1, max_value=30))
+def test_pack_greedy_property(spark, toks, max_tokens):
+    """Random token-count corpora: the distributed fold equals the
+    sequential first-fit mirror for arbitrary sizes, oversized docs, and
+    tiny windows."""
+    pdf = pd.DataFrame({
+        "doc_id": range(len(toks)),
+        "text": [" ".join("x" for _ in range(n)) for n in toks],
+    })
+    got = {r["doc_id"]: r["bin"] for r in pack_greedy(
+        spark.createDataFrame(pdf), max_tokens, n_shards=2).collect()}
+    for shard in (0, 1):
+        fill, b = 0, -1
+        for i, n in enumerate(toks):
+            if i % 2 != shard or n == 0:
+                continue
+            if b < 0 or fill + n > max_tokens:
+                b += 1
+                fill = n
+            else:
+                fill += n
+            assert got[i] == b
+    assert len(got) == sum(1 for n in toks if n > 0)
 
 
 def test_packing_fill(spark, docs):
