@@ -1727,6 +1727,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_features"] = media_features
 
+    def image_stats_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
+            image_stats, synth_bmp_media,
+        )
+
+        return image_stats(
+            synth_bmp_media(_docs(spark, sf).select("doc_id"), w=8, h=8))
+
+    q["image_stats"] = image_stats_q
+
+    def audio_stats_q(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
+            audio_stats, synth_wav_media,
+        )
+
+        return audio_stats(
+            synth_wav_media(_docs(spark, sf).select("doc_id"), n=256,
+                            rate=8000))
+
+    q["audio_stats"] = audio_stats_q
+
     def embedding_near_dup(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.functions import (
             embedding_near_dup_brute,
@@ -3894,6 +3915,30 @@ ex AS (SELECT media_id, CAST(i AS INTEGER) AS pos,
               n_bytes
        FROM m, UNNEST(range(0, 8)) AS r(i))
 SELECT media_id, pos, ROUND(value, 6) AS value, n_bytes FROM ex"""
+
+    # REAL-decode oracles: Spark decodes actual BMP/WAV bytes; DuckDB
+    # recomputes the synthesis pattern in closed form (no decoder needed).
+    # Means are k/64 (dyadic, <= 6 dp) so ROUND is the identity both sides.
+    o["image_stats"] = """
+SELECT d.doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       ROUND(AVG(CAST((d.doc_id * 31 + t.i * 3 + 0) % 256 AS DOUBLE)), 6)
+         AS mean_r,
+       ROUND(AVG(CAST((d.doc_id * 31 + t.i * 3 + 7) % 256 AS DOUBLE)), 6)
+         AS mean_g,
+       ROUND(AVG(CAST((d.doc_id * 31 + t.i * 3 + 14) % 256 AS DOUBLE)), 6)
+         AS mean_b
+FROM documents d, UNNEST(range(0, 64)) AS t(i)
+GROUP BY d.doc_id"""
+    o["audio_stats"] = """
+SELECT d.doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(256 AS BIGINT) AS n_samples,
+       ROUND(SQRT(AVG(POWER(
+           CAST((d.doc_id * 7 + t.i * 13) % 2048 - 1024 AS DOUBLE), 2))), 6)
+         AS rms
+FROM documents d, UNNEST(range(0, 256)) AS t(i)
+GROUP BY d.doc_id"""
 
     o["embedding_near_dup"] = """
 WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -37,10 +37,18 @@ from .pii import (  # noqa: F401
     redact_column,
 )
 from .multimodal import (  # noqa: F401
+    audio_stats,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
     extract_features,
-    sample_frames,
-    resize_images,
+    image_stats,
     media_metadata_stats,
+    resize_images,
+    sample_frames,
+    synth_bmp_media,
+    synth_wav_media,
 )
 from .packing import (  # noqa: F401
     pack_concat,
