@@ -656,6 +656,37 @@ def kernel_extras(spark) -> dict:
         out["mixture_sources"] = int(source_mixture_weights(docs).count())
         out["curriculum_rows"] = int(curriculum_buckets(docs, 10).count())
         out["mixture_curriculum_sec"] = round(time.monotonic() - t, 3)
+
+        # real-codec one-shots: decode throughput over synthesized
+        # 64x64 BMPs (~12.3 KB each) and 1s 16-bit WAVs (~16 KB each)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
+            audio_stats,
+            image_stats,
+            synth_bmp_media,
+            synth_wav_media,
+        )
+
+        ids = docs.select("doc_id")
+        bmps = synth_bmp_media(ids, w=64, h=64).localCheckpoint(eager=True)
+        n_img = bmps.count()
+        t = time.monotonic()
+        assert image_stats(bmps).count() == n_img
+        dt = time.monotonic() - t
+        out["image_decode_rows"] = n_img
+        out["image_decode_sec"] = round(dt, 3)
+        out["image_decode_mb_per_s"] = round(
+            n_img * (64 * 64 * 3 + 54) / 1e6 / dt, 1)
+        bmps.unpersist()
+        wavs = synth_wav_media(ids, n=8000, rate=8000) \
+            .localCheckpoint(eager=True)
+        n_wav = wavs.count()
+        t = time.monotonic()
+        assert audio_stats(wavs).count() == n_wav
+        dt = time.monotonic() - t
+        out["audio_decode_rows"] = n_wav
+        out["audio_decode_sec"] = round(dt, 3)
+        out["audio_decode_mb_per_s"] = round(n_wav * 16044 / 1e6 / dt, 1)
+        wavs.unpersist()
     finally:
         g.unpersist()
     return out
