@@ -112,12 +112,18 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload,
                                                              pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1 or channels != 1 or bits != 16:
                 raise ValueError("only mono 16-bit PCM is supported")
         elif cid == b"data":
+            if size % 2:
+                raise ValueError("odd-length 16-bit PCM data chunk")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:

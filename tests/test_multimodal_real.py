@@ -31,6 +31,16 @@ def test_decoders_reject_garbage():
         decode_bmp(b"plain text that merely exists")
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
+    # malformed chunks must raise ValueError (not struct.error) so the
+    # Spark operators' fallback path catches them
+    import struct as _s
+    short_fmt = (b"RIFF" + _s.pack("<I", 20) + b"WAVE"
+                 + b"fmt " + _s.pack("<I", 4) + b"\x01\x00\x01\x00")
+    with pytest.raises(ValueError):
+        decode_wav(short_fmt)
+    truncated = encode_wav(np.zeros(4, dtype=np.int16), 8000)[:-3]
+    with pytest.raises(ValueError):
+        decode_wav(truncated)
 
 
 def test_image_stats_matches_pattern(spark):
