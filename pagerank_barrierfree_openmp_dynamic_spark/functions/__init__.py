@@ -43,6 +43,7 @@ from .multimodal import (  # noqa: F401
     encode_bmp,
     encode_wav,
     extract_features,
+    image_features,
     image_stats,
     media_metadata_stats,
     resize_images,

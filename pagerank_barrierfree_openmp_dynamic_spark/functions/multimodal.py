@@ -181,7 +181,12 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = True) -> Data
                 ids.append(mid)
                 feats.append(fake_feature(h, dim))
                 sizes.append(len(raw))
-            yield pd.DataFrame({"media_id": ids, "feature": feats, "n_bytes": sizes})
+            # explicit dtypes so an all-null batch can't let pandas infer
+            # float64 for the list column (Arrow can't cast that)
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "feature": pd.Series(feats, dtype="object"),
+                "n_bytes": pd.Series(sizes, dtype="int64")})
 
     return media.select("media_id", "payload").mapInPandas(fn, schema=FEATURES_SCHEMA)
 
@@ -314,6 +319,44 @@ def audio_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         fn, schema=AUDIO_STATS_SCHEMA)
+
+
+def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """REAL decode: per BMP image, a ``dim``-bin normalized grayscale
+    histogram (integer luma ``(299r + 587g + 114b) // 1000``, bins
+    ``luma * dim // 256``) — a genuine content feature usable for
+    embedding near-dup / ANN joins downstream. Rounded to 6 dp.
+    Non-BMP payloads are skipped (stubbed compressed formats)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats, sizes = [], [], []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                if payload is None or kind != "image":
+                    continue
+                raw = bytes(payload)
+                try:
+                    px = decode_bmp(raw)
+                except ValueError:
+                    continue
+                flat = px.reshape(-1, 3).astype(np.int64)
+                luma = (flat[:, 0] * 299 + flat[:, 1] * 587
+                        + flat[:, 2] * 114) // 1000
+                hist = np.bincount(luma * dim // 256, minlength=dim)
+                ids.append(mid)
+                feats.append(np.round(hist / len(luma), 6).astype(np.float32))
+                sizes.append(len(raw))
+            # explicit dtypes: an EMPTY batch (e.g. all-audio) must not let
+            # pandas infer float64 for the list column — Arrow can't cast
+            # an empty float64 ndarray to list<float>
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "feature": pd.Series(feats, dtype="object"),
+                "n_bytes": pd.Series(sizes, dtype="int64")})
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        fn, schema=FEATURES_SCHEMA)
 
 
 def synth_bmp_media(ids: DataFrame, id_col: str = "doc_id",

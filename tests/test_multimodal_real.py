@@ -67,6 +67,55 @@ def test_audio_stats_matches_pattern(spark):
         assert r["rms"] == round(float(np.sqrt(np.mean(s * s))), 6)
 
 
+def test_image_features_histogram(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
+        image_features)
+
+    ids = spark.createDataFrame(pd.DataFrame({"doc_id": [2, 11]}))
+    media = synth_bmp_media(ids, w=8, h=8)
+    got = {r["media_id"]: np.array(r["feature"])
+           for r in image_features(media, dim=16).collect()}
+    i = np.arange(64, dtype=np.int64)
+    for did in (2, 11):
+        px = np.stack([(did * 31 + i * 3 + c * 7) % 256 for c in range(3)],
+                      axis=1)
+        luma = (px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114) // 1000
+        hist = np.bincount(luma * 16 // 256, minlength=16) / 64
+        assert np.allclose(got[did], np.round(hist, 6), atol=1e-6)
+
+
+def test_run_media_job_end_to_end(spark, tmp_path):
+    """jobs/run_media.py: synth -> real decode -> features -> LSH near-dup
+    -> thumbnails. ids 256 apart produce identical images (pattern is
+    mod-256), so the near-dup stage has planted true positives."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_media
+
+    out = str(tmp_path / "media_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_media.main(["--output", out, "--synth", "300",
+                        "--synth-size", "16", "--thumb", "4x4"])
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["input"] == 600  # 300 BMPs + 300 WAVs
+    assert rep["images_decoded"] == 300 and rep["audio_decoded"] == 300
+    assert rep["feature_rows"] == 300
+    # ids (k, k+256) for k < 44 are identical images -> >= 44 dup pairs
+    assert rep["near_dup_pairs"] >= 44
+    assert rep["thumbnails"] == 300
+    pairs = spark.read.parquet(out + "_near_dup")
+    planted = pairs.filter("b - a = 256")
+    assert planted.count() == 44
+    assert planted.filter("sim < 1.0").count() == 0
+    thumbs = spark.read.parquet(out + "_thumbs").limit(1).collect()[0]
+    assert decode_bmp(bytes(thumbs["payload"])).shape == (4, 4, 3)
+
+
 def test_resize_real_bmp_nearest_neighbor(spark):
     ids = spark.createDataFrame(pd.DataFrame({"doc_id": [7]}))
     media = synth_bmp_media(ids, w=8, h=8)
