@@ -1794,6 +1794,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk"] = ivf_ann_topk
 
+    def _redirect_mapping(spark, sf):
+        # deterministic acyclic alias map standing in for a crawl's
+        # redirect table: each source's largest smaller-id target, so
+        # chains strictly descend (no cycles by construction)
+        e = _edges(spark, sf)
+        return (e.filter(F.col("dst") < F.col("src"))
+                .groupBy("src").agg(F.max("dst").alias("dst")))
+
+    def redirect_resolve(spark, sf):
+        # pointer-doubling chain resolution (plans/chains.py): every
+        # alias/redirect source -> its chain-terminal canonical target,
+        # O(log chain-length) self-join rounds
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.chains import (
+            resolve_chains,
+        )
+
+        return resolve_chains(_redirect_mapping(spark, sf))
+
+    q["redirect_resolve"] = redirect_resolve
+
+    def canonical_edges(spark, sf):
+        # edge table rewritten onto canonical vertices (redirect collapse):
+        # two mapping joins + dedup, self-loops from the collapse dropped
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.chains import (
+            resolve_chains,
+            rewrite_edges,
+        )
+
+        e = _edges(spark, sf)
+        return rewrite_edges(e, resolve_chains(_redirect_mapping(spark, sf)))
+
+    q["canonical_edges"] = canonical_edges
+
+    def skipgram_pairs_q(spark, sf):
+        # walk corpus -> (center, context) skip-gram training pairs
+        # (plans/walks.py), window 2 over the affine-strategy walks so the
+        # whole chain (walks + pair extraction) is oracle-checked
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.walks import (
+            random_walks,
+            skipgram_pairs,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        corpus = random_walks(g, walk_length=3, walks_per_vertex=2,
+                              strategy="affine")
+        return skipgram_pairs(corpus, window=2)
+
+    q["skipgram_pairs"] = skipgram_pairs_q
+
+    def ngram_containment(spark, sf):
+        # containment near-dup (|A∩B|/min(|A|,|B|)) — catches short docs
+        # quoted inside long ones that Jaccard structurally misses
+        from pagerank_barrierfree_openmp_dynamic_spark.functions import (
+            ngram_containment_pairs,
+        )
+
+        return ngram_containment_pairs(_docs(spark, sf), threshold=0.5)
+
+    q["ngram_containment"] = ngram_containment
+
+    def priority_sample_docs(spark, sf):
+        # Duffield-Lund-Thorup priority sampling: 20 docs weight-
+        # proportional to n_chars, deterministic affine-hash u, top-k by
+        # one IEEE division (exactly reproducible in any SQL engine)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (
+            priority_sample,
+        )
+
+        d = _docs(spark, sf).select("doc_id", "n_chars")
+        return priority_sample(d, "n_chars", 20, "doc_id", seed=7).select(
+            "doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+
+    q["priority_sample_docs"] = priority_sample_docs
+
+    def latest_event_snapshot(spark, sf):
+        # newest row per key (crawl "latest capture per url" shape) via a
+        # single max(struct) hash agg — no window, one shuffle
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            latest_snapshot,
+        )
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return latest_snapshot(ev, "user_id", "ts", "event_id")
+
+    q["latest_event_snapshot"] = latest_event_snapshot
+
     return q
 
 
@@ -4024,5 +4110,67 @@ SELECT q_id, n_id, sim, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (
     PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS INTEGER) AS rank FROM s)
 WHERE rank <= 10"""
+
+    # redirect-chain resolution: recursive chain follower; terminal = the
+    # first vertex not itself a source. Mapping = each src's largest
+    # smaller-id target (strictly descending => acyclic => all resolved).
+    _CHAIN_CTES = f"""e0 AS ({EDGES_SQL}),
+m AS (SELECT src, MAX(dst) AS dst FROM e0 WHERE dst < src GROUP BY src),
+chain(src, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM m
+  UNION ALL
+  SELECT c.src, m2.dst, c.hops + 1 FROM chain c JOIN m m2 ON m2.src = c.cur)"""
+    o["redirect_resolve"] = f"""
+WITH RECURSIVE {_CHAIN_CTES}
+SELECT c.src, c.cur AS target, c.hops, TRUE AS resolved
+FROM chain c WHERE c.cur NOT IN (SELECT src FROM m)"""
+    o["canonical_edges"] = f"""
+WITH RECURSIVE {_CHAIN_CTES},
+res AS (SELECT c.src AS alias_id, c.cur AS canon
+        FROM chain c WHERE c.cur NOT IN (SELECT src FROM m))
+SELECT DISTINCT COALESCE(ra.canon, e0.src) AS src,
+                COALESCE(rb.canon, e0.dst) AS dst
+FROM e0 LEFT JOIN res ra ON e0.src = ra.alias_id
+        LEFT JOIN res rb ON e0.dst = rb.alias_id
+WHERE COALESCE(ra.canon, e0.src) <> COALESCE(rb.canon, e0.dst)"""
+    o["skipgram_pairs"] = f"""
+WITH corpus AS ({_walks_sql(3)})
+SELECT a.vertex AS center, b.vertex AS context
+FROM corpus a JOIN corpus b
+  ON a.start = b.start AND a.walk = b.walk
+ AND a.step <> b.step AND ABS(a.step - b.step) <= 2"""
+    o["ngram_containment"] = f"""
+WITH {SHINGLES_CTES},
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT a.id AS a, b.id AS b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id),
+c AS (SELECT inter.a, inter.b,
+             ROUND(n_inter / LEAST(sa.n, sb.n), 6) AS containment
+      FROM inter JOIN sizes sa ON inter.a = sa.id
+                 JOIN sizes sb ON inter.b = sb.id)
+SELECT a, b, containment FROM c WHERE containment >= 0.5"""
+    # priority sampling: same affine-mod hash as functions/sampling.py
+    # (x = (key*A + seed*C) mod M, scramble x^2 + x mod M), u = (h+1)/M,
+    # priority = w / u — two IEEE divisions, bit-identical across engines
+    o["priority_sample_docs"] = """
+WITH h AS (SELECT doc_id, n_chars,
+             ((doc_id % 2147483647) * 1103515245 + 7 * 69069)
+               % 2147483647 AS x
+           FROM documents WHERE n_chars > 0),
+p AS (SELECT doc_id, n_chars,
+             CAST(n_chars AS DOUBLE) /
+               (CAST((x * x + x) % 2147483647 + 1 AS DOUBLE) / 2147483647.0)
+               AS priority
+      FROM h)
+SELECT doc_id, n_chars, ROUND(priority, 6) AS priority
+FROM (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 20)"""
+    o["latest_event_snapshot"] = """
+WITH mx AS (SELECT user_id, MAX(ts) AS ts FROM events GROUP BY user_id),
+mx2 AS (SELECT e.user_id, e.ts, MAX(e.event_id) AS event_id
+        FROM events e JOIN mx USING (user_id, ts)
+        GROUP BY e.user_id, e.ts)
+SELECT e.user_id, e.ts, e.event_id, e.event_type, e.value, e.props
+FROM events e JOIN mx2 USING (user_id, ts, event_id)"""
 
     return o

@@ -20,6 +20,8 @@ from .dedup import (  # noqa: F401
     minhash_near_dup_pairs,
     near_dup_clusters,
     ngram_jaccard_pairs,
+    containment_verify,
+    ngram_containment_pairs,
 )
 from .similarity import (  # noqa: F401
     brute_force_topk,

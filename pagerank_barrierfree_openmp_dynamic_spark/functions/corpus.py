@@ -216,3 +216,36 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, k: int = 8,
             .select(F.col(id_col), "n_hit_shingles", "n_shingles",
                     F.round(F.col("n_hit_shingles") / F.col("n_shingles"),
                             6).alias("hit_ratio")))
+
+
+def latest_snapshot(df: DataFrame, key: str, ts_col: str,
+                    tiebreak: str) -> DataFrame:
+    """Keep the newest row per key — the crawl "latest snapshot per url"
+    dedup (a url re-crawled across WARC segments keeps only its most
+    recent capture before extraction/ranking).
+
+    Execution shape: ONE hash aggregation with map-side partial combine —
+    ``max(struct(ts, tiebreak, *rest))`` selects the argmax row inside
+    the agg buffer, so the shuffle carries one candidate row per key per
+    partition. The window formulation (``row_number() over (partition by
+    key order by ts desc)``) Spark users reach for first materializes and
+    sorts EVERY row of every key through one shuffle — strictly worse at
+    crawl scale where hot urls have thousands of captures. Ties on the
+    timestamp break on ``tiebreak`` (descending), making the survivor
+    total-ordered and reproducible.
+
+    Struct comparison is lexicographic by field order, which is exactly
+    (ts, tiebreak, ...) — the payload fields after the tiebreak never
+    influence the winner because (ts_col, tiebreak) is unique per key by
+    contract (tiebreak is a row id).
+    """
+    rest = [c for c in df.columns if c not in (key, ts_col, tiebreak)]
+    packed = F.struct(F.col(ts_col), F.col(tiebreak),
+                      *[F.col(c) for c in rest])
+    agg = df.groupBy(key).agg(F.max(packed).alias("_top"))
+    return agg.select(
+        F.col(key),
+        F.col(f"_top.{ts_col}").alias(ts_col),
+        F.col(f"_top.{tiebreak}").alias(tiebreak),
+        *[F.col(f"_top.{c}").alias(c) for c in rest],
+    )

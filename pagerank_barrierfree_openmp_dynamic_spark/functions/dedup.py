@@ -207,3 +207,54 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     return jaccard_verify(sh, pairs, threshold)
+
+
+def containment_verify(sh: DataFrame, pairs: DataFrame,
+                       threshold: float = 0.8) -> DataFrame:
+    """Exact shingle CONTAINMENT for candidate pairs; keep >= threshold.
+
+    containment(a, b) = |A ∩ B| / min(|A|, |B|) — the near-dup measure
+    Jaccard structurally misses: a short document wholly quoted inside a
+    long one has tiny Jaccard (union is dominated by the long side) but
+    containment 1.0. Standard in crawl dedup (Broder's resemblance vs
+    containment split) for catching wrapper pages, quote farms, and
+    boilerplate-expanded copies.
+
+    Same candidate-bounded execution shape as :func:`jaccard_verify`
+    (cost Σ_pairs |shingles(a)|, never the shingle co-occurrence
+    square); returns (a, b, containment) rounded to 6 places.
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    c = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a", "b",
+            F.round(F.col("n_inter") / F.least("na", "nb"), 6)
+            .alias("containment"),
+        )
+    )
+    return c.filter(F.col("containment") >= threshold)
+
+
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.8) -> DataFrame:
+    """All-pairs n-gram containment >= threshold (exact baseline; the
+    LSH-pruned scale path is `lsh_candidate_pairs` -> `containment_verify`,
+    exactly as for Jaccard)."""
+    sh = shingles(df, text_col, id_col, n)
+    pairs = (
+        sh.select(F.col("id").alias("a"), "shingle")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return containment_verify(sh, pairs, threshold)

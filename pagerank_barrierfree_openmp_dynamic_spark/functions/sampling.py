@@ -110,3 +110,40 @@ def sample_vertices_induced(edges: DataFrame, frac: float,
     return edges.filter(
         (hash_bucket(F.col("src"), seed) < t)
         & (hash_bucket(F.col("dst"), seed) < t))
+
+
+def priority_sample(df: DataFrame, weight_col: str, k: int, key: str,
+                    seed: int = 42) -> DataFrame:
+    """Weight-proportional sample of ``k`` rows WITHOUT replacement —
+    priority sampling (Duffield-Lund-Thorup, JACM 2007): each row gets
+    priority ``q = w / u`` with ``u`` uniform on (0, 1]; the k largest
+    priorities form the sample, which is near-optimal for subset-sum
+    estimation under PPS semantics (the training-data use: sample
+    documents proportional to token count so the sample's token mass
+    mirrors the corpus).
+
+    ``u`` comes from the module's affine-mod hash of the key —
+    deterministic, retry-stable, re-derivable by any SQL engine — mapped
+    to ``(0, 1]`` as ``(h + 1) / M``. The priority is then ONE double
+    division (``w * M / (h+1)`` reduced to ``w / ((h+1)/M)`` — we compute
+    ``w / u`` with u formed by a single division too); individual IEEE
+    ops are correctly rounded, so Spark and an oracle engine agree
+    bit-for-bit with no transcendental in sight (the classic
+    Efraimidis-Spirakis key ``u^(1/w)`` needs pow/log, whose last-ulp
+    differences across engines can flip an ordering).
+
+    Execution shape: a scan-stage projection + distributed top-k
+    (``TakeOrderedAndProject`` — per-partition heaps, O(k) to the
+    driver); no window, no global sort. Ties (identical priorities)
+    break on the key so the sample is total-ordered and reproducible.
+    Rows with non-positive weight are excluded (they have zero inclusion
+    probability).
+    """
+    u = (hash_bucket(F.col(key), seed) + F.lit(1)).cast("double") / F.lit(float(_M))
+    q = F.col(weight_col).cast("double") / u
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("priority", q)
+        .orderBy(F.desc("priority"), F.col(key))
+        .limit(k)
+    )

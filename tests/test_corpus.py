@@ -2,6 +2,7 @@
 benchmark decontamination (functions/corpus.py), checked against
 hand-computed expectations and a pure-Python mirror."""
 
+import pandas as pd
 import pytest
 
 from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
@@ -242,3 +243,36 @@ def test_duplicate_spans_hand_oracle(span_docs):
 def test_dup_span_report_hand_oracle(span_docs):
     rows = [(r.span, r.n_docs) for r in dup_span_report(span_docs, k=3).collect()]
     assert rows == [("a b c", 2), ("c d e", 2)]
+
+
+def test_latest_snapshot_argmax_per_key(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+        latest_snapshot,
+    )
+
+    pdf = pd.DataFrame({
+        "url": ["a", "a", "a", "b", "b", "c"],
+        "ts":  [3,   9,   9,   1,   2,   5],
+        "cap": [10,  11,  12,  20,  21,  30],
+        "body": ["x1", "x2", "x3", "y1", "y2", "z1"],
+    })
+    out = latest_snapshot(spark.createDataFrame(pdf), "url", "ts", "cap") \
+        .toPandas().sort_values("url").reset_index(drop=True)
+    # a: ts tie 9/9 -> larger cap (12) wins; b: ts 2; c: singleton
+    assert list(out.url) == ["a", "b", "c"]
+    assert list(out.cap) == [12, 21, 30]
+    assert list(out.body) == ["x3", "y2", "z1"]
+    assert list(out.ts) == [9, 2, 5]
+
+
+def test_latest_snapshot_single_aggregate_plan(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+        latest_snapshot,
+    )
+
+    pdf = pd.DataFrame({"url": ["a"], "ts": [1], "cap": [1], "body": ["x"]})
+    out = latest_snapshot(spark.createDataFrame(pdf), "url", "ts", "cap")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # argmax via max(struct): one Exchange (the groupBy shuffle), no Window
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan

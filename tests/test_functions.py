@@ -559,3 +559,48 @@ def test_source_report_mirror(docs, docs_pdf):
         assert 0.0 <= got.loc[s, "avg_quality"] <= 1.0
         assert abs(got.loc[s, "avg_tokens"]
                    - got.loc[s, "n_tokens"] / got.loc[s, "n_docs"]) < 1e-6
+
+
+def test_ngram_containment_catches_quoted_subset(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = short + " " + " ".join(f"filler{i}" for i in range(60))
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": [short, long_doc, other]}))
+    cont = ngram_containment_pairs(df, threshold=0.9).toPandas()
+    # every 3-shingle of the short doc appears in the long one
+    assert set(map(tuple, cont[["a", "b"]].itertuples(index=False))) == {(1, 2)}
+    assert cont.containment.iloc[0] == 1.0
+    # Jaccard misses the same pair at any reasonable threshold
+    jac = ngram_jaccard_pairs(df, threshold=0.3).toPandas()
+    assert jac.empty
+
+
+def test_containment_matches_python_mirror(spark, docs):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    sub = docs.limit(40)
+    got = ngram_containment_pairs(sub, threshold=0.1).toPandas()
+    pdf = sub.toPandas()
+    sets = {}
+    for r in pdf.itertuples():
+        t = _toks(r.text)
+        sets[r.doc_id] = {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+    expect = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not sets[a] or not sets[b]:
+                continue
+            c = len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
+            if round(c, 6) >= 0.1:
+                expect[(a, b)] = round(c, 6)
+    got_map = {(r.a, r.b): r.containment for r in got.itertuples()}
+    assert got_map == pytest.approx(expect)

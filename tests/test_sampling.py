@@ -106,3 +106,46 @@ def test_sampling_plan_is_shuffle_free(spark, docs):
 def test_bad_weights_rejected(spark, docs):
     with pytest.raises(ValueError):
         assign_split(docs, "doc_id", {"a": 0.5, "b": 0.1})
+
+
+def test_priority_sample_matches_mirror_and_is_pps(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (
+        priority_sample,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": range(2000),
+        "w": [1.0 + (i % 17) for i in range(2000)],
+    })
+    df = spark.createDataFrame(pdf)
+    out = priority_sample(df, "w", 50, "doc_id", seed=7).toPandas()
+    assert len(out) == 50
+    # mirror: q = w / u, u = (hash+1)/M, k largest with (priority desc, id)
+    qs = []
+    for i, w in zip(pdf.doc_id, pdf.w):
+        u = (_mirror_hash(i, 7) + 1) / _M
+        qs.append((-(w / u), i))
+    expect = sorted(qs)[:50]
+    got = sorted(zip(-out.priority, out.doc_id))
+    for (eq, ei), (gq, gi) in zip(expect, got):
+        assert ei == gi
+        assert abs(eq - gq) < 1e-12 * abs(eq)
+    # PPS sanity: sampled mean weight exceeds population mean (heavier
+    # rows are more likely in)
+    assert out.w.mean() > pdf.w.mean()
+
+
+def test_priority_sample_drops_nonpositive_and_is_stable(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (
+        priority_sample,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(100),
+                        "w": [0.0 if i % 10 == 0 else float(i) for i in range(100)]})
+    df = spark.createDataFrame(pdf)
+    a = priority_sample(df, "w", 20, "doc_id").toPandas()
+    b = priority_sample(df, "w", 20, "doc_id").toPandas()
+    assert (a.w > 0).all()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True))
