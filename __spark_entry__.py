@@ -1880,6 +1880,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["latest_event_snapshot"] = latest_event_snapshot
 
+    def vocab_coverage_q(spark, sf):
+        # frequency-ranked vocabulary with cumulative corpus coverage —
+        # global ordered prefix sum via the two-level scan (no
+        # single-partition window; functions/vocab.py)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.vocab import (
+            vocab_coverage,
+        )
+
+        return vocab_coverage(_docs(spark, sf), top_v=200)
+
+    q["vocab_coverage"] = vocab_coverage_q
+
+    def bpe_pair_counts_q(spark, sf):
+        # one BPE merge iteration's candidate table: adjacent char-pair
+        # counts weighted by word frequency, distributed top-k
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.vocab import (
+            bpe_pair_counts,
+        )
+
+        return bpe_pair_counts(_docs(spark, sf), top_k=50)
+
+    q["bpe_pair_counts"] = bpe_pair_counts_q
+
     return q
 
 
@@ -4172,5 +4195,28 @@ mx2 AS (SELECT e.user_id, e.ts, MAX(e.event_id) AS event_id
         GROUP BY e.user_id, e.ts)
 SELECT e.user_id, e.ts, e.event_id, e.event_type, e.value, e.props
 FROM events e JOIN mx2 USING (user_id, ts, event_id)"""
+    o["vocab_coverage"] = f"""
+WITH toks AS ({TOKS_SQL}),
+t AS (SELECT UNNEST(toks) AS token FROM toks),
+c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+tot AS (SELECT SUM(n) AS s FROM c),
+r AS (SELECT token, n,
+        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+        SUM(n) OVER (ORDER BY n DESC, token
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c)
+SELECT token, n, rank,
+       ROUND(CAST(cum AS DOUBLE) / CAST((SELECT s FROM tot) AS DOUBLE), 6)
+         AS coverage
+FROM r WHERE rank <= 200"""
+    o["bpe_pair_counts"] = f"""
+WITH toks AS ({TOKS_SQL}),
+t AS (SELECT UNNEST(toks) AS word FROM toks),
+w AS (SELECT word, COUNT(*) AS wn FROM t GROUP BY word
+      HAVING LENGTH(word) >= 2),
+p AS (SELECT SUBSTRING(w.word, CAST(r.i AS INTEGER), 2) AS pair, w.wn
+      FROM w, UNNEST(range(1, LENGTH(w.word))) AS r(i))
+SELECT pair, SUM(wn) AS n FROM p GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 50"""
 
     return o
