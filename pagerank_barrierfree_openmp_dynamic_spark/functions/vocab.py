@@ -31,11 +31,12 @@ map-side-combinable shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import tokens
 
-__all__ = ["vocab_coverage", "bpe_pair_counts"]
+__all__ = ["vocab_coverage", "bpe_pair_counts", "bpe_learn"]
 
 
 def vocab_coverage(df: DataFrame, top_v: int = 200,
@@ -130,4 +131,105 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 50,
         pairs.groupBy("pair").agg(F.sum("wn").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_k)
+    )
+
+
+def bpe_learn(df: DataFrame, n_merges: int = 20,
+              text_col: str = "text") -> DataFrame:
+    """Learn an ordered BPE merge list over the corpus (Sennrich et al.
+    2016). Returns (rank, left, right, n): the ``rank``-th merge joins
+    adjacent symbols (left, right) which co-occurred ``n`` times
+    (weighted by word frequency) at that iteration.
+
+    Execution shape: the corpus is scanned ONCE (word-frequency
+    aggregation, map-side combine); every merge iteration then runs on
+    the O(vocab) word-symbol table — a pair-count aggregation (JVM
+    array expressions), a driver-side argmax of one row (the greedy
+    choice is inherently sequential — this is BPE's algorithmic serial
+    term, k scalar argmaxes, not a data-scale bottleneck), and an
+    Arrow-batched pandas rewrite of only the words containing the
+    winning pair (`filter` first, union back). Lineage is truncated
+    per iteration with an eager localCheckpoint like the engine's other
+    iterative kernels. Ties break on (left, right) so the merge list is
+    a pure function of the corpus.
+
+    Symbols are joined with ``\\x00`` in the pair key (multi-char
+    symbols make bare concatenation ambiguous: ('ab','c') vs ('a','bc')).
+    """
+    from pyspark.sql.types import ArrayType, StringType
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wn"))
+        .filter(F.length("word") >= 2)
+    )
+    syms = words.select(
+        F.split("word", "").alias("s"), "wn"
+    ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    merges = []
+    sep = "\x00"
+    for rank in range(1, n_merges + 1):
+        pair_idx = F.sequence(F.lit(0), F.size("s") - 2)
+        pc = (
+            syms.filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda i: F.concat(
+                            F.element_at("s", i + 1),
+                            F.lit(sep),
+                            F.element_at("s", i + 2),
+                        ),
+                    )
+                ).alias("pair"),
+                "wn",
+            )
+            .groupBy("pair").agg(F.sum("wn").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(1)
+            .collect()
+        )
+        if not pc:
+            break
+        left, right = pc[0]["pair"].split(sep, 1)
+        merges.append((rank, left, right, int(pc[0]["n"])))
+
+        def _make_merge(a: str, b: str):
+            @F.pandas_udf(ArrayType(StringType()))
+            def _merge(col: pd.Series) -> pd.Series:
+                out = []
+                for s in col:
+                    s = list(s)
+                    i, res = 0, []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            return _merge
+
+        _merge = _make_merge(left, right)
+
+        # rewrite only words that contain the winning pair adjacently
+        has_pair = F.exists(
+            F.sequence(F.lit(0), F.size("s") - 2),
+            lambda i: (F.element_at("s", i + 1) == left)
+            & (F.element_at("s", i + 2) == right),
+        )
+        hit = syms.filter(F.size("s") >= 2).filter(has_pair)
+        miss = syms.filter(~((F.size("s") >= 2) & has_pair))
+        syms = hit.select(_merge("s").alias("s"), "wn") \
+            .unionByName(miss).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        pd.DataFrame(merges, columns=["rank", "left", "right", "n"]),
+        "rank long, left string, right string, n long",
     )

@@ -69,3 +69,50 @@ def test_bpe_pair_counts_handles_short_words(spark):
     got = {r.pair: r.n for r in bpe_pair_counts(df, top_k=10).collect()}
     # single-char words contribute nothing; 'ab' contributes one pair
     assert got == {"ab": 1}
+
+
+def _bpe_mirror(word_counts, n_merges):
+    syms = {w: list(w) for w in word_counts if len(w) >= 2}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, s in syms.items():
+            n = word_counts[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, a, b, n))
+        for w, s in syms.items():
+            i, res = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            syms[w] = res
+    return merges
+
+
+def test_bpe_learn_matches_mirror(docs, word_counts):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.vocab import bpe_learn
+
+    got = [(r["rank"], r["left"], r["right"], r["n"])
+           for r in bpe_learn(docs, n_merges=8).collect()]
+    assert got == _bpe_mirror(word_counts, 8)
+    # merges compose: later merges may join earlier multi-char symbols
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in got)
+
+
+def test_bpe_learn_overlapping_pairs_left_to_right(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.vocab import bpe_learn
+
+    # 'aaa' must merge left-to-right: ('a','a') once -> ['aa','a']
+    df = spark.createDataFrame([("aaa aaa aa",)], "text string")
+    got = [(r["rank"], r["left"], r["right"], r["n"])
+           for r in bpe_learn(df, n_merges=2).collect()]
+    cnt = Counter({"aaa": 2, "aa": 1})
+    assert got == _bpe_mirror(cnt, 2)
