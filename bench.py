@@ -687,6 +687,69 @@ def kernel_extras(spark) -> dict:
         out["audio_decode_sec"] = round(dt, 3)
         out["audio_decode_mb_per_s"] = round(n_wav * 16044 / 1e6 / dt, 1)
         wavs.unpersist()
+
+        # session-3 shelf one-shots: canonicalization + tokenizer prep
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            latest_snapshot,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.dedup import (
+            containment_verify,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            shingles,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (
+            priority_sample,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.vocab import (
+            bpe_learn,
+            bpe_pair_counts,
+            vocab_coverage,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.chains import (
+            resolve_chains,
+        )
+
+        # redirect chains over the bench edge table (dst<src mapping)
+        mapping = (g.edges.filter(F.col("dst") < F.col("src"))
+                   .groupBy("src").agg(F.max("dst").alias("dst")))
+        t = time.monotonic()
+        resolved = resolve_chains(mapping).localCheckpoint(eager=True)
+        out["redirect_chains"] = int(resolved.count())
+        out["redirect_max_hops"] = int(
+            resolved.agg(F.max("hops")).collect()[0][0])
+        out["redirect_resolve_sec"] = round(time.monotonic() - t, 3)
+
+        # LSH-pruned containment (the scale path pairing of
+        # lsh_candidate_pairs + containment_verify)
+        sh = shingles(docs).persist()
+        t = time.monotonic()
+        cand = lsh_candidate_pairs(minhash_signatures(sh, bands=8),
+                                   max_bucket=64)
+        out["containment_pairs"] = int(
+            containment_verify(sh, cand, threshold=0.8).count())
+        out["containment_lsh_sec"] = round(time.monotonic() - t, 3)
+        sh.unpersist()
+
+        t = time.monotonic()
+        out["vocab_rows"] = int(vocab_coverage(docs, top_v=1000).count())
+        out["vocab_coverage_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        out["bpe_pairs"] = int(bpe_pair_counts(docs, top_k=100).count())
+        out["bpe_pair_counts_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        out["bpe_merges"] = int(bpe_learn(docs, n_merges=5).count())
+        out["bpe_learn5_sec"] = round(time.monotonic() - t, 3)
+
+        t = time.monotonic()
+        out["priority_sample_rows"] = int(
+            priority_sample(docs.select("doc_id", "n_chars"),
+                            "n_chars", 1000, "doc_id").count())
+        out["priority_sample_sec"] = round(time.monotonic() - t, 3)
+        t = time.monotonic()
+        out["latest_snapshot_rows"] = int(
+            latest_snapshot(events, "user_id", "ts", "event_id").count())
+        out["latest_snapshot_sec"] = round(time.monotonic() - t, 3)
     finally:
         g.unpersist()
     return out
