@@ -1903,6 +1903,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_pair_counts"] = bpe_pair_counts_q
 
+    def rrf_centrality_fusion(spark, sf):
+        # reciprocal-rank fusion of three uncalibrated signals
+        # (3-iter PageRank, in-degree, out-degree) — positions from
+        # dense_ids per list (no single-reducer window); lists rank on
+        # the ROUNDED score so cross-engine last-ulp noise cannot flip
+        # an ordering (same device as the sweep-cut query)
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.rankcmp import (
+            rrf_fusion,
+        )
+
+        g = _graph(spark, sf)
+        pr = pagerank(g, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                         metrics_level="none")).ranks \
+            .select("id", F.round("rank", 9).alias("sc"))
+        e = _edges(spark, sf)
+        ind = e.groupBy("dst").agg(
+            F.count("*").cast("double").alias("sc")).withColumnRenamed("dst", "id")
+        outd = e.groupBy("src").agg(
+            F.count("*").cast("double").alias("sc")).withColumnRenamed("src", "id")
+        return rrf_fusion([pr, ind, outd], k=60, score_col="sc").select(
+            "id", F.round("rrf", 9).alias("rrf"), "n_lists")
+
+    q["rrf_centrality_fusion"] = rrf_centrality_fusion
+
     return q
 
 
@@ -4218,5 +4242,27 @@ p AS (SELECT SUBSTRING(w.word, CAST(r.i AS INTEGER), 2) AS pair, w.wn
       FROM w, UNNEST(range(1, LENGTH(w.word))) AS r(i))
 SELECT pair, SUM(wn) AS n FROM p GROUP BY pair
 ORDER BY n DESC, pair ASC LIMIT 50"""
+    o["rrf_centrality_fusion"] = f"""
+WITH pr AS MATERIALIZED ({_pagerank_sql(3, 9)}),
+e0 AS MATERIALIZED ({EDGES_SQL}),
+ind AS (SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS sc
+        FROM e0 GROUP BY dst),
+outd AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS sc
+         FROM e0 GROUP BY src),
+p1 AS (SELECT id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY rank DESC, id))
+         AS t FROM pr),
+p2 AS (SELECT id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY sc DESC, id))
+         AS t FROM ind),
+p3 AS (SELECT id, 1.0 / (60 + ROW_NUMBER() OVER (ORDER BY sc DESC, id))
+         AS t FROM outd)
+SELECT COALESCE(p1.id, p2.id, p3.id) AS id,
+       ROUND(COALESCE(p1.t, 0.0) + COALESCE(p2.t, 0.0)
+             + COALESCE(p3.t, 0.0), 9) AS rrf,
+       CAST((CASE WHEN p1.id IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN p2.id IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN p3.id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_lists
+FROM p1 FULL JOIN p2 ON p1.id = p2.id
+        FULL JOIN p3 ON COALESCE(p1.id, p2.id) = p3.id"""
 
     return o

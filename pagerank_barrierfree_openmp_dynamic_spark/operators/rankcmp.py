@@ -91,3 +91,47 @@ def topk_overlap(
         [(inter, union, float(inter) / float(union or 1), k)],
         "intersection long, union_size long, jaccard double, k int",
     )
+
+
+def rrf_fusion(rankings: list[DataFrame], k: int = 60,
+               score_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack-Clarke-Buettcher, SIGIR 2009) of
+    several (id, score) rankings: ``rrf(id) = Σ_lists 1/(k + pos_i)``,
+    the standard way a search stack combines PageRank-, HITS-, and
+    Katz-style signals without calibrating their score scales.
+
+    Positions are 1-based by (score DESC, id ASC) — the id tie-break
+    makes each list's ordering total — computed per list with
+    :func:`~..operators.graph.dense_ids` (no single-reducer window).
+    Ids missing from a list contribute nothing for it (the RRF
+    convention for retrieval lists of different coverage); ``n_lists``
+    records how many lists ranked the id. The per-list term is a single
+    IEEE division and the sum is taken in list order via a left-to-right
+    fold, so any SQL engine reproduces the double exactly.
+    """
+    if not rankings:
+        raise ValueError("rrf_fusion needs at least one ranking")
+    p = int(rankings[0].sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    fused = None
+    for i, df in enumerate(rankings):
+        pos = dense_ids(
+            df.select("id", (-F.col(score_col)).alias("_neg")),
+            ["_neg", "id"], p,
+        ).select(
+            "id",
+            (F.lit(1.0) / (F.col("idx") + 1 + k)).alias(f"_t{i}"),
+            F.lit(1).alias(f"_c{i}"),
+        )
+        fused = pos if fused is None else fused.join(pos, "id", "full")
+    terms = [F.coalesce(F.col(f"_t{i}"), F.lit(0.0))
+             for i in range(len(rankings))]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    counts = [F.coalesce(F.col(f"_c{i}"), F.lit(0))
+              for i in range(len(rankings))]
+    cacc = counts[0]
+    for c in counts[1:]:
+        cacc = cacc + c
+    return fused.select(
+        "id", acc.alias("rrf"), cacc.cast("int").alias("n_lists"))

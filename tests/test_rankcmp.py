@@ -68,3 +68,41 @@ def test_topk_rejects_bad_k(spark):
     a = _df(spark, [1.0])
     with pytest.raises(ValueError):
         topk_overlap(a, a, 0)
+
+
+def test_rrf_fusion_matches_mirror(spark):
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.rankcmp import (
+        rrf_fusion,
+    )
+
+    a = pd.DataFrame({"id": [1, 2, 3, 4], "rank": [0.4, 0.3, 0.2, 0.1]})
+    b = pd.DataFrame({"id": [2, 3, 5], "rank": [9.0, 1.0, 5.0]})
+    got = rrf_fusion([spark.createDataFrame(a), spark.createDataFrame(b)],
+                     k=60).toPandas().set_index("id").sort_index()
+
+    def pos(df):
+        s = df.sort_values(["rank", "id"], ascending=[False, True])
+        return {i: p + 1 for p, i in enumerate(s.id)}
+
+    pa, pb = pos(a), pos(b)
+    for i in {1, 2, 3, 4, 5}:
+        exp = (1.0 / (60 + pa[i]) if i in pa else 0.0) + \
+              (1.0 / (60 + pb[i]) if i in pb else 0.0)
+        assert got.loc[i, "rrf"] == pytest.approx(exp, abs=1e-15)
+        assert got.loc[i, "n_lists"] == (i in pa) + (i in pb)
+
+
+def test_rrf_fusion_ties_break_on_id(spark):
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.rankcmp import (
+        rrf_fusion,
+    )
+
+    # equal scores: smaller id gets the better position
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [7, 3, 5], "rank": [1.0, 1.0, 1.0]}))
+    got = rrf_fusion([df], k=0).toPandas().set_index("id")
+    assert got.loc[3, "rrf"] > got.loc[5, "rrf"] > got.loc[7, "rrf"]
