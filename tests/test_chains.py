@@ -72,3 +72,36 @@ def test_rewrite_edges_canonicalizes(spark):
     got = set(map(tuple, out[["src", "dst"]].itertuples(index=False)))
     # 10,11 -> 1; (10,1) collapses to a self-loop and is dropped
     assert got == {(1, 2), (2, 1), (3, 1)}
+
+
+def test_canonicalize_then_pagerank_end_to_end(spark):
+    # redirect collapse composes with the ranking pipeline: rewritten
+    # edges build a valid normalized graph and ranks still sum to 1
+    from pyspark.sql import functions as F
+
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        build_graph,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+        PageRankOptions,
+        pagerank,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") % 100).cast("long").alias("dst")).distinct()
+    mapping = (edges.filter(F.col("dst") < F.col("src"))
+               .groupBy("src").agg(F.max("dst").alias("dst")))
+    resolved = resolve_chains(mapping)
+    canon = rewrite_edges(edges, resolved)
+    # every alias source vanished from the edge table
+    aliases = {r.src for r in resolved.collect()}
+    remaining = canon.select(F.col("src").alias("v")).unionByName(
+        canon.select(F.col("dst").alias("v"))).distinct()
+    assert not aliases & {r.v for r in remaining.collect()}
+    g = build_graph(canon)
+    res = pagerank(g, PageRankOptions(tolerance=0.0, max_iterations=5))
+    total = res.ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-12
+    g.unpersist()
