@@ -171,8 +171,13 @@ def bpe_learn(df: DataFrame, n_merges: int = 20,
     spark = df.sparkSession
     merges = []
     sep = "\x00"
+    # 0..size-2 only when a pair exists; the empty array otherwise —
+    # F.sequence(0, -1) would yield a DESCENDING [0, -1] and index the
+    # array at 0/-1 (an error under ANSI, silent nulls otherwise)
+    pair_idx = F.when(
+        F.size("s") >= 2, F.sequence(F.lit(0), F.size("s") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     for rank in range(1, n_merges + 1):
-        pair_idx = F.sequence(F.lit(0), F.size("s") - 2)
         pc = (
             syms.filter(F.size("s") >= 2)
             .select(
@@ -220,12 +225,12 @@ def bpe_learn(df: DataFrame, n_merges: int = 20,
 
         # rewrite only words that contain the winning pair adjacently
         has_pair = F.exists(
-            F.sequence(F.lit(0), F.size("s") - 2),
+            pair_idx,
             lambda i: (F.element_at("s", i + 1) == left)
             & (F.element_at("s", i + 2) == right),
         )
-        hit = syms.filter(F.size("s") >= 2).filter(has_pair)
-        miss = syms.filter(~((F.size("s") >= 2) & has_pair))
+        hit = syms.filter(has_pair)
+        miss = syms.filter(~has_pair)
         syms = hit.select(_merge("s").alias("s"), "wn") \
             .unionByName(miss).localCheckpoint(eager=True)
 
