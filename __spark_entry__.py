@@ -1927,6 +1927,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rrf_centrality_fusion"] = rrf_centrality_fusion
 
+    def influence_spread(spark, sf):
+        # Monte-Carlo independent-cascade spread (KKT'03) for the top-4
+        # out-degree seeds: 3 deterministic hash-sampled subgraphs
+        # (p=0.5), exact 2-hop reach each, averaged — the whole sampled
+        # cascade re-derived by the SQL oracle
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.influence import (
+            influence_estimate,
+        )
+
+        g = _graph(spark, sf, self_loops=False)
+        e = _edges(spark, sf)
+        seeds = (e.groupBy("src").agg(F.count("*").alias("d"))
+                 .orderBy(F.desc("d"), F.asc("src")).limit(4)
+                 .select(F.col("src").alias("id")))
+        return influence_estimate(g, seeds, t=2, replicas=3, p=0.5, seed=7)
+
+    q["influence_spread"] = influence_spread
+
     return q
 
 
@@ -4264,5 +4282,31 @@ SELECT COALESCE(p1.id, p2.id, p3.id) AS id,
          AS n_lists
 FROM p1 FULL JOIN p2 ON p1.id = p2.id
         FULL JOIN p3 ON COALESCE(p1.id, p2.id) = p3.id"""
+    # independent-cascade spread: same affine+quadratic hash as
+    # functions/sampling.py with the replica folded into the key
+    # (src + (rep+7)*1000003), threshold p=0.5 -> 1073741823
+    o["influence_spread"] = f"""
+WITH e0 AS ({EDGES_SQL}),
+ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
+deg AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src),
+sd AS (SELECT src AS id FROM deg ORDER BY d DESC, src LIMIT 4),
+reps AS (SELECT UNNEST(range(0, 3)) AS rep),
+lv0 AS (SELECT r.rep, ed.src, ed.dst,
+          (((ed.src + (r.rep + 7) * 1000003) % 2147483647) * 1103515245
+           + (ed.dst % 2147483647) * 976369) % 2147483647 AS x
+        FROM ed CROSS JOIN reps r),
+live AS (SELECT rep, src, dst FROM lv0
+         WHERE (x * x + x) % 2147483647 < 1073741823),
+r0 AS (SELECT r.rep, sd.id AS s, sd.id AS v FROM sd CROSS JOIN reps r),
+r1 AS (SELECT DISTINCT x.rep, x.s, l.dst AS v
+       FROM r0 x JOIN live l ON l.rep = x.rep AND l.src = x.v),
+s1 AS (SELECT rep, s, v FROM r0 UNION SELECT rep, s, v FROM r1),
+r2 AS (SELECT DISTINCT x.rep, x.s, l.dst AS v
+       FROM s1 x JOIN live l ON l.rep = x.rep AND l.src = x.v),
+s2 AS (SELECT rep, s, v FROM s1 UNION SELECT rep, s, v FROM r2),
+per AS (SELECT s, rep, COUNT(*) AS n FROM s2 GROUP BY s, rep)
+SELECT s AS id, ROUND(CAST(SUM(n) AS DOUBLE) / 3.0, 6) AS avg_reach,
+       MIN(n) AS min_reach, MAX(n) AS max_reach
+FROM per GROUP BY s"""
 
     return o
