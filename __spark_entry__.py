@@ -1945,6 +1945,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["influence_spread"] = influence_spread
 
+    def token_drift_q(spark, sf):
+        # corpus drift monitoring: KL/JS divergence between the first and
+        # last source's smoothed token distributions (union vocabulary,
+        # add-one smoothing); corpus-size work = two count scans
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            token_drift,
+        )
+
+        d = _docs(spark, sf)
+        srcs = sorted(r[0] for r in d.select("source").distinct().collect())
+        return token_drift(d, srcs[0], srcs[-1])
+
+    q["token_drift"] = token_drift_q
+
     return q
 
 
@@ -4308,5 +4322,33 @@ per AS (SELECT s, rep, COUNT(*) AS n FROM s2 GROUP BY s, rep)
 SELECT s AS id, ROUND(CAST(SUM(n) AS DOUBLE) / 3.0, 6) AS avg_reach,
        MIN(n) AS min_reach, MAX(n) AS max_reach
 FROM per GROUP BY s"""
+    o["token_drift"] = """
+WITH toksrc AS (SELECT source,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents),
+ta AS (SELECT UNNEST(toks) AS token FROM toksrc
+       WHERE source = (SELECT MIN(source) FROM documents)),
+tb AS (SELECT UNNEST(toks) AS token FROM toksrc
+       WHERE source = (SELECT MAX(source) FROM documents)),
+ca AS (SELECT token, COUNT(*) AS c FROM ta GROUP BY token),
+cb AS (SELECT token, COUNT(*) AS c FROM tb GROUP BY token),
+j AS (SELECT COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+      FROM ca FULL JOIN cb ON ca.token = cb.token),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS v FROM j),
+p AS (SELECT
+        CAST(ca + 1 AS DOUBLE)
+          / CAST((SELECT na + v FROM tot) AS DOUBLE) AS pa,
+        CAST(cb + 1 AS DOUBLE)
+          / CAST((SELECT nb + v FROM tot) AS DOUBLE) AS pb
+      FROM j)
+SELECT ROUND(SUM(pa * LN(pa / pb)), 6) AS kl_ab,
+       ROUND(SUM(pb * LN(pb / pa)), 6) AS kl_ba,
+       ROUND(SUM(pa * LN(pa / ((pa + pb) / 2))) / 2
+             + SUM(pb * LN(pb / ((pa + pb) / 2))) / 2, 6) AS jsd,
+       (SELECT v FROM tot) AS vocab,
+       (SELECT na FROM tot) AS n_a,
+       (SELECT nb FROM tot) AS n_b
+FROM p"""
 
     return o

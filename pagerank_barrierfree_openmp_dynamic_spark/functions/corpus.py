@@ -249,3 +249,58 @@ def latest_snapshot(df: DataFrame, key: str, ts_col: str,
         F.col(f"_top.{tiebreak}").alias(tiebreak),
         *[F.col(f"_top.{c}").alias(c) for c in rest],
     )
+
+
+def token_drift(df: DataFrame, source_a: str, source_b: str,
+                text_col: str = "text",
+                source_col: str = "source") -> DataFrame:
+    """Distribution drift between two sources' token frequencies —
+    the corpus-monitoring number a training pipeline tracks across
+    crawl snapshots / source mixes (vocabulary shift, topic drift,
+    contamination by a new scrape).
+
+    Returns one row (kl_ab, kl_ba, jsd, vocab, n_a, n_b):
+    KL(P_a‖P_b), KL(P_b‖P_a) and the Jensen-Shannon divergence, with
+    add-one (Laplace) smoothing over the UNION vocabulary so unseen
+    tokens have finite mass: P_x(t) = (c_x(t)+1) / (N_x+V).
+
+    Execution shape: one explode+count aggregation per side collapsed
+    to the O(vocab) token tables, a full outer join on token, then one
+    scalar aggregation of the pointwise terms — corpus-size work is the
+    two count scans (map-side combine); everything after runs on
+    distinct tokens. All column math (ln/÷) — SQL-reproducible, rounded
+    to 6 dp.
+    """
+    def counts(src):
+        return (
+            df.filter(F.col(source_col) == src)
+            .select(F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy("token").agg(F.count("*").cast("long").alias("c"))
+        )
+
+    ca = counts(source_a).withColumnRenamed("c", "ca")
+    cb = counts(source_b).withColumnRenamed("c", "cb")
+    j = ca.join(cb, "token", "full").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = j.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+                F.count("*").alias("v")).collect()[0]
+    na, nb, v = int(tot["na"]), int(tot["nb"]), int(tot["v"])
+    pa = (F.col("ca") + 1).cast("double") / F.lit(float(na + v))
+    pb = (F.col("cb") + 1).cast("double") / F.lit(float(nb + v))
+    m = (pa + pb) / 2
+    agg = j.agg(
+        F.sum(pa * F.log(pa / pb)).alias("kl_ab"),
+        F.sum(pb * F.log(pb / pa)).alias("kl_ba"),
+        (F.sum(pa * F.log(pa / m)) / 2
+         + F.sum(pb * F.log(pb / m)) / 2).alias("jsd"),
+    )
+    return agg.select(
+        F.round("kl_ab", 6).alias("kl_ab"),
+        F.round("kl_ba", 6).alias("kl_ba"),
+        F.round("jsd", 6).alias("jsd"),
+        F.lit(v).cast("long").alias("vocab"),
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+    )

@@ -276,3 +276,59 @@ def test_latest_snapshot_single_aggregate_plan(spark):
     # argmax via max(struct): one Exchange (the groupBy shuffle), no Window
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_token_drift_matches_mirror(spark):
+    import math
+    from collections import Counter
+
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+        token_drift,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = docs.toPandas()
+    srcs = sorted(pdf.source.unique())
+    a, b = srcs[0], srcs[-1]
+    got = token_drift(docs, a, b).toPandas().iloc[0]
+
+    def cnt(src):
+        c = Counter()
+        for t in pdf[pdf.source == src].text:
+            c.update(x for x in t.split(" ") if x)
+        return c
+
+    ca, cb = cnt(a), cnt(b)
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    kl_ab = kl_ba = jsd = 0.0
+    for t in vocab:
+        pa = (ca[t] + 1) / (na + v)
+        pb = (cb[t] + 1) / (nb + v)
+        m = (pa + pb) / 2
+        kl_ab += pa * math.log(pa / pb)
+        kl_ba += pb * math.log(pb / pa)
+        jsd += pa * math.log(pa / m) / 2 + pb * math.log(pb / m) / 2
+    assert got.vocab == v and got.n_a == na and got.n_b == nb
+    assert got.kl_ab == pytest.approx(round(kl_ab, 6), abs=2e-6)
+    assert got.kl_ba == pytest.approx(round(kl_ba, 6), abs=2e-6)
+    assert got.jsd == pytest.approx(round(jsd, 6), abs=2e-6)
+    # divergences are non-negative; JSD bounded by ln 2
+    assert got.kl_ab >= 0 and got.kl_ba >= 0
+    assert 0 <= got.jsd <= math.log(2)
+
+
+def test_token_drift_identical_sources_is_zero(spark):
+    import pandas as pd2
+
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+        token_drift,
+    )
+
+    df = spark.createDataFrame(pd2.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c", "a b c"],
+        "source": ["x", "y"],
+    }))
+    got = token_drift(df, "x", "y").toPandas().iloc[0]
+    assert got.kl_ab == got.kl_ba == got.jsd == 0.0
