@@ -4297,8 +4297,8 @@ SELECT COALESCE(p1.id, p2.id, p3.id) AS id,
 FROM p1 FULL JOIN p2 ON p1.id = p2.id
         FULL JOIN p3 ON COALESCE(p1.id, p2.id) = p3.id"""
     # independent-cascade spread: same affine+quadratic hash as
-    # functions/sampling.py with the replica folded into the key
-    # (src + (rep+7)*1000003), threshold p=0.5 -> 1073741823
+    # functions/sampling.py with the replica mixed in via its own MLCG
+    # multiplier 1566083941 (plans/influence.py _R), p=0.5 -> 1073741823
     o["influence_spread"] = f"""
 WITH e0 AS ({EDGES_SQL}),
 ed AS (SELECT src, dst FROM e0 WHERE src <> dst),
@@ -4306,8 +4306,9 @@ deg AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src),
 sd AS (SELECT src AS id FROM deg ORDER BY d DESC, src LIMIT 4),
 reps AS (SELECT UNNEST(range(0, 3)) AS rep),
 lv0 AS (SELECT r.rep, ed.src, ed.dst,
-          (((ed.src + (r.rep + 7) * 1000003) % 2147483647) * 1103515245
-           + (ed.dst % 2147483647) * 976369) % 2147483647 AS x
+          (((ed.src % 2147483647) * 1103515245
+            + (ed.dst % 2147483647) * 976369) % 2147483647
+           + ((r.rep + 7) % 2147483647) * 1566083941) % 2147483647 AS x
         FROM ed CROSS JOIN reps r),
 live AS (SELECT rep, src, dst FROM lv0
          WHERE (x * x + x) % 2147483647 < 1073741823),
@@ -4342,10 +4343,14 @@ p AS (SELECT
         CAST(cb + 1 AS DOUBLE)
           / CAST((SELECT nb + v FROM tot) AS DOUBLE) AS pb
       FROM j)
-SELECT ROUND(SUM(pa * LN(pa / pb)), 6) AS kl_ab,
-       ROUND(SUM(pb * LN(pb / pa)), 6) AS kl_ba,
-       ROUND(SUM(pa * LN(pa / ((pa + pb) / 2))) / 2
-             + SUM(pb * LN(pb / ((pa + pb) / 2))) / 2, 6) AS jsd,
+SELECT ROUND(SUM(CAST(ROUND(pa * LN(pa / pb) * 1e15) AS BIGINT)) / 1e15,
+             6) AS kl_ab,
+       ROUND(SUM(CAST(ROUND(pb * LN(pb / pa) * 1e15) AS BIGINT)) / 1e15,
+             6) AS kl_ba,
+       ROUND(SUM(CAST(ROUND(pa * LN(pa / ((pa + pb) / 2)) * 1e15)
+                      AS BIGINT)) / 1e15 / 2
+             + SUM(CAST(ROUND(pb * LN(pb / ((pa + pb) / 2)) * 1e15)
+                        AS BIGINT)) / 1e15 / 2, 6) AS jsd,
        (SELECT v FROM tot) AS vocab,
        (SELECT na FROM tot) AS n_a,
        (SELECT nb FROM tot) AS n_b

@@ -290,16 +290,28 @@ def token_drift(df: DataFrame, source_a: str, source_b: str,
     pa = (F.col("ca") + 1).cast("double") / F.lit(float(na + v))
     pb = (F.col("cb") + 1).cast("double") / F.lit(float(nb + v))
     m = (pa + pb) / 2
+
+    # Each pointwise term is rounded to an integer at 1e15 scale BEFORE
+    # the sum, so the aggregate is an exact integer addition — immune to
+    # the partial-aggregation reassociation order (double sums are not
+    # associative; a knife-edge value could otherwise flip the 6-dp
+    # round vs the oracle under a different partition count).  The
+    # per-term quantization error (≤5e-16 each, ≤V terms) is far below
+    # the 6-dp output rounding.
+    def iterm(expr):
+        return F.round(expr * F.lit(1e15)).cast("long")
+
     agg = j.agg(
-        F.sum(pa * F.log(pa / pb)).alias("kl_ab"),
-        F.sum(pb * F.log(pb / pa)).alias("kl_ba"),
-        (F.sum(pa * F.log(pa / m)) / 2
-         + F.sum(pb * F.log(pb / m)) / 2).alias("jsd"),
+        F.sum(iterm(pa * F.log(pa / pb))).alias("kl_ab_i"),
+        F.sum(iterm(pb * F.log(pb / pa))).alias("kl_ba_i"),
+        F.sum(iterm(pa * F.log(pa / m))).alias("ja_i"),
+        F.sum(iterm(pb * F.log(pb / m))).alias("jb_i"),
     )
     return agg.select(
-        F.round("kl_ab", 6).alias("kl_ab"),
-        F.round("kl_ba", 6).alias("kl_ba"),
-        F.round("jsd", 6).alias("jsd"),
+        F.round(F.col("kl_ab_i") / F.lit(1e15), 6).alias("kl_ab"),
+        F.round(F.col("kl_ba_i") / F.lit(1e15), 6).alias("kl_ba"),
+        F.round((F.col("ja_i") / F.lit(1e15) / 2
+                 + F.col("jb_i") / F.lit(1e15) / 2), 6).alias("jsd"),
         F.lit(v).cast("long").alias("vocab"),
         F.lit(na).cast("long").alias("n_a"),
         F.lit(nb).cast("long").alias("n_b"),

@@ -42,10 +42,15 @@ def resolve_chains(mapping: DataFrame, max_rounds: int = 40) -> DataFrame:
     ``src`` (callers dedup first; duplicate sources would make the
     composition join multiply rows).  Returns ``(src, target, hops,
     resolved)`` where ``target`` is the first vertex not itself a
-    source (chain terminal), ``hops`` the number of original edges
-    followed, and ``resolved = false`` only for rows still inside a
-    cycle after ``max_rounds`` doubling rounds (2^40 hops covers any
-    acyclic chain that fits in storage).
+    source (chain terminal) and ``resolved = false`` only for rows
+    still inside a cycle after ``max_rounds`` doubling rounds (2^40
+    hops covers any acyclic chain that fits in storage).
+
+    ``hops`` is the number of original edges followed and is meaningful
+    ONLY where ``resolved = true``: for cyclic (unresolved) rows the
+    doubling keeps compounding it every round, so it comes back as a
+    ~2^rounds artifact with no relation to chain position — treat it as
+    undefined there.
     """
     cur = mapping.select(
         F.col("src").cast("long").alias("src"),
@@ -81,8 +86,14 @@ def rewrite_edges(edges: DataFrame, resolved: DataFrame) -> DataFrame:
     """Rewrite an edge table onto canonical (chain-terminal) vertices.
 
     Every endpoint that appears as a chain source is replaced by its
-    resolved target (unresolved/cyclic rows are left untouched); the
-    rewrite then drops self-loops the collapse created and dedups.
+    resolved target (unresolved/cyclic rows are left untouched).  The
+    output is a DEDUPED, LOOP-FREE edge SET: ALL self-loops and ALL
+    duplicate edges are dropped — including ones already present in the
+    input — not only those the collapse created (canonical link graphs
+    downstream want a simple graph, and distinguishing pre-existing
+    loops/dups from collapse-created ones would cost an extra join for
+    no consumer).  Callers needing multiplicities must aggregate before
+    rewriting.
     Two hash joins + one dedup shuffle — the mapping side is the set of
     redirect sources, orders of magnitude smaller than the edge table,
     so Spark broadcasts it when stats allow.

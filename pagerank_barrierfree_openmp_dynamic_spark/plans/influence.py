@@ -34,8 +34,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.sampling import hash_bucket, _M
+from ..functions.sampling import _A, _B, _M
 from ..operators.graph import LinkGraph
+
+# Replica multiplier for the per-edge liveness draw: a full-period MLCG
+# multiplier mod 2^31-1 (Fishman & Moore 1986), distinct from the
+# engine hash's _A/_B so the replica term mixes multiplicatively rather
+# than by shifting src — replica draws stay independent on any vertex-id
+# span (an additive src offset would alias replica r at src s with
+# replica r+1 at src s-offset).
+_R = 1566083941
+
+
+def _edge_draw(src, dst, rep):
+    """Deterministic per-(src, dst, replica) draw in [0, _M): the
+    engine's affine+quadratic hash with the replica folded in via its
+    own multiplier.  Two-step pmod keeps every intermediate below
+    2^62 (no 64-bit overflow)."""
+    x = F.pmod(
+        F.pmod(src.cast("long"), F.lit(_M)) * F.lit(_A)
+        + F.pmod(dst.cast("long"), F.lit(_M)) * F.lit(_B),
+        F.lit(_M))
+    h = F.pmod(x + F.pmod(rep.cast("long"), F.lit(_M)) * F.lit(_R),
+               F.lit(_M))
+    return F.pmod(h * h + h, F.lit(_M))
 
 
 def influence_estimate(graph: LinkGraph, seeds: DataFrame, t: int = 2,
@@ -61,15 +83,15 @@ def influence_estimate(graph: LinkGraph, seeds: DataFrame, t: int = 2,
         .localCheckpoint(eager=True)
     frontier = state
     for _ in range(t):
-        # hash_bucket's seed term is a Python literal; fold the replica
-        # into the key side instead — hash(src + (rep+seed)·PRIME, dst)
-        # keeps the per-edge draw independent across replicas while
-        # staying a pure column expression evaluable in the join stage.
+        # The replica enters the draw via its own multiplier (_R), not
+        # an additive src offset, so draws are independent across
+        # replicas regardless of the vertex-id span — still a pure
+        # column expression evaluable in the join stage.
         step = (
             frontier.join(edges, frontier.v == edges.src)
             .filter(
-                hash_bucket(F.col("src") + (F.col("rep") + seed) * 1000003,
-                            0, F.col("dst")) < thresh)
+                _edge_draw(F.col("src"), F.col("dst"),
+                           F.col("rep") + seed) < thresh)
             .select("rep", "s", F.col("dst").alias("v"))
             .distinct()
             .join(state, ["rep", "s", "v"], "left_anti")

@@ -8,8 +8,9 @@ from pyspark.sql import functions as F
 
 from pagerank_barrierfree_openmp_dynamic_spark import datagen
 from pagerank_barrierfree_openmp_dynamic_spark.functions.sampling import (
-    _A, _B, _C, _M,
+    _A, _B, _M,
 )
+from pagerank_barrierfree_openmp_dynamic_spark.plans.influence import _R
 from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph
 from pagerank_barrierfree_openmp_dynamic_spark.plans.influence import (
     influence_estimate,
@@ -17,10 +18,9 @@ from pagerank_barrierfree_openmp_dynamic_spark.plans.influence import (
 
 
 def _edge_live(src, dst, rep, seed, p):
-    key = src + (rep + seed) * 1000003
-    h = (key % _M) * _A + (dst % _M) * _B
-    x = h % _M
-    return (x * x + x) % _M < int(p * _M)
+    x = ((src % _M) * _A + (dst % _M) * _B) % _M
+    h = (x + ((rep + seed) % _M) * _R) % _M
+    return (h * h + h) % _M < int(p * _M)
 
 
 def _mirror(edges, seeds, t, replicas, p, seed):
