@@ -1737,6 +1737,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_stats"] = image_stats_q
 
+    def png_image_stats_q(spark, sf):
+        # same closed-form pixel pattern as image_stats but the payload
+        # travels DEFLATE-compressed through the real pure-NumPy PNG
+        # codec (mixed scanline filters exercise all five un-filter
+        # paths); the oracle recomputes the stats from the formula,
+        # never touching a decoder
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
+            image_stats, synth_png_media,
+        )
+
+        return image_stats(
+            synth_png_media(_docs(spark, sf).select("doc_id"), w=8, h=8))
+
+    q["png_image_stats"] = png_image_stats_q
+
     def audio_stats_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
             audio_stats, synth_wav_media,
@@ -4085,6 +4100,17 @@ SELECT media_id, pos, ROUND(value, 6) AS value, n_bytes FROM ex"""
     # recomputes the synthesis pattern in closed form (no decoder needed).
     # Means are k/64 (dyadic, <= 6 dp) so ROUND is the identity both sides.
     o["image_stats"] = """
+SELECT d.doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       ROUND(AVG(CAST((d.doc_id * 31 + t.i * 3 + 0) % 256 AS DOUBLE)), 6)
+         AS mean_r,
+       ROUND(AVG(CAST((d.doc_id * 31 + t.i * 3 + 7) % 256 AS DOUBLE)), 6)
+         AS mean_g,
+       ROUND(AVG(CAST((d.doc_id * 31 + t.i * 3 + 14) % 256 AS DOUBLE)), 6)
+         AS mean_b
+FROM documents d, UNNEST(range(0, 64)) AS t(i)
+GROUP BY d.doc_id"""
+    o["png_image_stats"] = """
 SELECT d.doc_id AS media_id,
        CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
        ROUND(AVG(CAST((d.doc_id * 31 + t.i * 3 + 0) % 256 AS DOUBLE)), 6)

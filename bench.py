@@ -677,6 +677,23 @@ def kernel_extras(spark) -> dict:
         out["image_decode_mb_per_s"] = round(
             n_img * (64 * 64 * 3 + 54) / 1e6 / dt, 1)
         bmps.unpersist()
+        # compressed path: same 64x64 pattern through the pure-NumPy PNG
+        # codec (mixed filters — inflate + full un-filtering per image);
+        # mb/s is measured on DECODED bytes to be comparable with BMP
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
+            synth_png_media,
+        )
+
+        pngs = synth_png_media(ids, w=64, h=64).localCheckpoint(eager=True)
+        n_png = pngs.count()
+        t = time.monotonic()
+        assert image_stats(pngs).count() == n_png
+        dt = time.monotonic() - t
+        out["png_decode_rows"] = n_png
+        out["png_decode_sec"] = round(dt, 3)
+        out["png_decode_mb_per_s"] = round(
+            n_png * (64 * 64 * 3) / 1e6 / dt, 1)
+        pngs.unpersist()
         wavs = synth_wav_media(ids, n=8000, rate=8000) \
             .localCheckpoint(eager=True)
         n_wav = wavs.count()

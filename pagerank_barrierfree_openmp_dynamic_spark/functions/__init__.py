@@ -41,8 +41,11 @@ from .pii import (  # noqa: F401
 from .multimodal import (  # noqa: F401
     audio_stats,
     decode_bmp,
+    decode_image,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
     extract_features,
     image_features,
@@ -51,6 +54,7 @@ from .multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
     synth_bmp_media,
+    synth_png_media,
     synth_wav_media,
 )
 from .packing import (  # noqa: F401

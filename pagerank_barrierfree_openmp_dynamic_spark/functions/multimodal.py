@@ -5,22 +5,27 @@ batch shape, Arrow transfer) is real and tested.
 Codec status (honest split):
 
 - **Real, pure NumPy** — uncompressed 24-bit BI_RGB BMP
-  (:func:`decode_bmp`/:func:`encode_bmp`) and 16-bit PCM WAV
-  (:func:`decode_wav`/:func:`encode_wav`): full header parse +
-  validation, vectorized pixel/sample access. :func:`image_stats`,
-  :func:`audio_stats`, and the image path of :func:`resize_images`
-  decode these for real.
-- **Stubbed** — compressed formats (JPEG/PNG/MP3/video): the decode
-  libraries (PIL/ffmpeg/soundfile) are not in this container, so those
-  paths go through ``_codec``, which raises ``NotImplementedError``
-  unless ``fake=True`` substitutes a deterministic fake (seeded from
-  the content hash) with the correct output shape.
+  (:func:`decode_bmp`/:func:`encode_bmp`), 16-bit PCM WAV
+  (:func:`decode_wav`/:func:`encode_wav`), and COMPRESSED 8-bit
+  non-interlaced PNG (:func:`decode_png`/:func:`encode_png` — stdlib
+  ``zlib`` inflate + vectorized scanline un-filtering for all five
+  PNG filter types, CRC-checked chunks; gray/RGB/RGBA color types).
+  :func:`image_stats`, :func:`image_features`, :func:`audio_stats`,
+  and the image path of :func:`resize_images` decode these for real
+  via the :func:`decode_image` dispatcher.
+- **Stubbed** — formats whose decoders need external libraries
+  (JPEG/MP3/video — PIL/ffmpeg/soundfile are not in this container):
+  those paths go through ``_codec``, which raises
+  ``NotImplementedError`` unless ``fake=True`` substitutes a
+  deterministic fake (seeded from the content hash) with the correct
+  output shape.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -131,6 +136,185 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, np.frombuffer(data, dtype=np.int16)
 
 
+# ---------------------------------------------------------------------------
+# real compressed codec (stdlib zlib + pure NumPy): 8-bit PNG
+#
+# PNG is the one compressed media format decodable without external
+# libraries: DEFLATE is stdlib ``zlib``, and scanline de-filtering
+# (PNG spec §9, filters None/Sub/Up/Average/Paeth) is plain byte
+# arithmetic. Supported: bit depth 8, color types 0 (gray), 2 (RGB),
+# 6 (RGBA), no interlace — the shapes synthetic corpora and most
+# web screenshots use. Anything else raises ``ValueError`` so callers
+# fall back to the stub path, same contract as :func:`decode_bmp`.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over int arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int | str = 0,
+               level: int = 6) -> bytes:
+    """uint8 array -> PNG bytes. ``(H, W)``/``(H, W, 1)`` encodes gray,
+    ``(H, W, 3)`` RGB, ``(H, W, 4)`` RGBA; 8-bit, non-interlaced.
+
+    ``filter_type``: a fixed PNG filter 0-4 for every scanline, or
+    ``"mixed"`` (row ``y`` uses filter ``y % 5``) — useful to exercise
+    every decoder path. Filtering is forward-vectorized (the predictor
+    reads RECONSTRUCTED bytes, all available at encode time)."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects a uint8 array")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    if pixels.ndim != 3 or pixels.shape[2] not in (1, 3, 4):
+        raise ValueError("encode_png expects (H, W[, 1|3|4]) uint8")
+    h, w, bpp = pixels.shape
+    if h <= 0 or w <= 0:
+        raise ValueError("bad PNG dimensions")
+    ctype = {1: 0, 3: 2, 6: 6, 4: 6}[bpp]
+    rows = pixels.reshape(h, w * bpp).astype(np.int64)
+    stride = w * bpp
+    out = np.empty((h, 1 + stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = (y % 5) if filter_type == "mixed" else int(filter_type)
+        cur = rows[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        elif f == 4:
+            filt = cur - _paeth(left, prev, upleft)
+        else:
+            raise ValueError("PNG filter type must be 0-4 or 'mixed'")
+        out[y, 0] = f
+        out[y, 1:] = (filt % 256).astype(np.uint8)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(out.tobytes(), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG bytes -> (H, W, C) uint8 array (C = 1,
+    3 or 4 for gray/RGB/RGBA). CRC-checks every chunk; raises
+    ``ValueError`` on any other PNG flavor or a corrupt stream (callers
+    fall back to the stub path, same contract as :func:`decode_bmp`).
+
+    Un-filtering: Up is a whole-row vectorized add; Sub is a per-channel
+    prefix sum (``cumsum % 256`` on the (w, bpp) view); Average/Paeth
+    carry an intra-row sequential dependency, walked byte-at-a-time —
+    deliberately over plain Python ints, ~10x faster than ndarray
+    scalar ops at this granularity."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG is supported")
+    bpp = _PNG_CHANNELS.get(ctype_)
+    if bpp is None:
+        raise ValueError("only gray/RGB/RGBA PNG color types are supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from None
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data has wrong length")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, rows = arr[:, 0], arr[:, 1:].astype(np.int64)
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:
+            cur = row
+        elif f == 1:
+            cur = np.cumsum(row.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif f == 2:
+            cur = (row + prev) % 256
+        elif f in (3, 4):
+            row_l, prev_l = row.tolist(), prev.tolist()
+            cur_l = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = cur_l[x - bpp] if x >= bpp else 0
+                    cur_l[x] = (row_l[x] + (a + prev_l[x]) // 2) & 0xFF
+            else:
+                for x in range(stride):
+                    a = cur_l[x - bpp] if x >= bpp else 0
+                    b = prev_l[x]
+                    c = prev_l[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = (a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c))
+                    cur_l[x] = (row_l[x] + pred) & 0xFF
+            cur = np.array(cur_l, dtype=np.int64)
+        else:
+            raise ValueError("bad PNG filter byte")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    return recon.reshape(h, w, bpp)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch to the real image decoders (BMP, then PNG) and normalize
+    to (H, W, 3) uint8 RGB: grayscale is replicated across channels,
+    RGBA drops alpha. Raises ``ValueError`` when no real decoder
+    matches (JPEG etc. — the stubbed formats)."""
+    try:
+        return decode_bmp(payload)
+    except ValueError:
+        pass
+    px = decode_png(payload)  # ValueError propagates: no real decoder
+    if px.shape[2] == 1:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if px.shape[2] == 4:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
+
+
 def _codec(payload: bytes, op: str, fake: bool) -> str:
     """STUB for COMPRESSED formats only (see :func:`decode_bmp` /
     :func:`decode_wav` for the real paths): the decode libraries are not
@@ -222,10 +406,11 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   fake: bool = True) -> DataFrame:
     """Resize image payloads; schema-preserving transform.
 
-    BMP payloads are resized FOR REAL (decode -> nearest-neighbor index
-    resize, a vectorized fancy-index -> re-encode); other image formats
-    fall back to the stub path (deterministic fake bytes, or
-    ``NotImplementedError`` when ``fake=False``)."""
+    BMP and PNG payloads are resized FOR REAL (decode ->
+    nearest-neighbor index resize, a vectorized fancy-index ->
+    re-encode in the SAME container); other image formats fall back to
+    the stub path (deterministic fake bytes, or ``NotImplementedError``
+    when ``fake=False``)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -237,11 +422,13 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                     continue
                 raw = bytes(payload)
                 try:
-                    px = decode_bmp(raw)
+                    px = decode_image(raw)
                     ys = (np.arange(height) * px.shape[0]) // height
                     xs = (np.arange(width) * px.shape[1]) // width
-                    payloads.append(encode_bmp(
-                        np.ascontiguousarray(px[ys][:, xs])))
+                    small = np.ascontiguousarray(px[ys][:, xs])
+                    enc = (encode_png if raw[:8] == _PNG_SIG
+                           else encode_bmp)
+                    payloads.append(enc(small))
                     continue
                 except ValueError:
                     pass
@@ -262,11 +449,11 @@ AUDIO_STATS_SCHEMA = ("media_id long, sample_rate int, n_samples long, "
 
 
 def image_stats(media: DataFrame) -> DataFrame:
-    """REAL decode: per BMP image payload, dimensions and per-channel
-    pixel means (rounded to 6 dp — exact: the sum of <=2^24 uint8 values
-    divided by a power-of-two-free count is computed identically in any
-    IEEE double engine). Non-BMP payloads are skipped (they would need
-    the stubbed compressed-format decoders)."""
+    """REAL decode: per BMP/PNG image payload, dimensions and
+    per-channel pixel means (rounded to 6 dp — exact: the sum of <=2^24
+    uint8 values divided by a power-of-two-free count is computed
+    identically in any IEEE double engine). Payloads with no real
+    decoder (the stubbed compressed formats) are skipped."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -276,7 +463,7 @@ def image_stats(media: DataFrame) -> DataFrame:
                 if payload is None or kind != "image":
                     continue
                 try:
-                    px = decode_bmp(bytes(payload))
+                    px = decode_image(bytes(payload))
                 except ValueError:
                     continue
                 means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
@@ -322,11 +509,11 @@ def audio_stats(media: DataFrame) -> DataFrame:
 
 
 def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """REAL decode: per BMP image, a ``dim``-bin normalized grayscale
-    histogram (integer luma ``(299r + 587g + 114b) // 1000``, bins
-    ``luma * dim // 256``) — a genuine content feature usable for
+    """REAL decode: per BMP/PNG image, a ``dim``-bin normalized
+    grayscale histogram (integer luma ``(299r + 587g + 114b) // 1000``,
+    bins ``luma * dim // 256``) — a genuine content feature usable for
     embedding near-dup / ANN joins downstream. Rounded to 6 dp.
-    Non-BMP payloads are skipped (stubbed compressed formats)."""
+    Payloads with no real decoder are skipped (stubbed formats)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -337,7 +524,7 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     continue
                 raw = bytes(payload)
                 try:
-                    px = decode_bmp(raw)
+                    px = decode_image(raw)
                 except ValueError:
                     continue
                 flat = px.reshape(-1, 3).astype(np.int64)
@@ -380,6 +567,36 @@ def synth_bmp_media(ids: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({
                 "media_id": ids_, "kind": ["image"] * k,
                 "payload": payloads, "mime": ["image/bmp"] * k,
+                "width": [w] * k, "height": [h] * k,
+                "duration_ms": [None] * k})
+
+    return ids.select(id_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def synth_png_media(ids: DataFrame, id_col: str = "doc_id",
+                    w: int = 8, h: int = 8) -> DataFrame:
+    """Deterministic REAL-PNG media table from an id column — the same
+    closed-form pixel pattern as :func:`synth_bmp_media`
+    (``(id*31 + (y*w + x)*3 + c*7) mod 256``) but DEFLATE-compressed
+    through :func:`encode_png` with MIXED scanline filters (row ``y``
+    uses filter ``y % 5``), so decoding exercises every un-filter path.
+    The driver's DuckDB oracle recomputes pixel statistics from the
+    formula without ever touching a decoder."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(h * w * 3, dtype=np.int64)
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col]:
+                px = ((int(did) * 31 + (i // 3) * 3 + (i % 3) * 7) % 256)
+                payloads.append(encode_png(
+                    px.astype(np.uint8).reshape(h, w, 3),
+                    filter_type="mixed"))
+                ids_.append(did)
+            k = len(ids_)
+            yield pd.DataFrame({
+                "media_id": ids_, "kind": ["image"] * k,
+                "payload": payloads, "mime": ["image/png"] * k,
                 "width": [w] * k, "height": [h] * k,
                 "duration_ms": [None] * k})
 

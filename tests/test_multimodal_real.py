@@ -6,8 +6,9 @@ import pandas as pd
 import pytest
 
 from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
-    audio_stats, decode_bmp, decode_wav, encode_bmp, encode_wav,
-    image_stats, resize_images, synth_bmp_media, synth_wav_media)
+    audio_stats, decode_bmp, decode_image, decode_png, decode_wav,
+    encode_bmp, encode_png, encode_wav, image_stats, resize_images,
+    synth_bmp_media, synth_png_media, synth_wav_media)
 
 
 def test_bmp_roundtrip_exact():
@@ -22,6 +23,127 @@ def test_wav_roundtrip_exact():
     rate, back = decode_wav(encode_wav(s, 16000))
     assert rate == 16000
     assert np.array_equal(back, s)
+
+
+def test_png_roundtrip_all_filters_and_shapes():
+    rng = np.random.default_rng(5)
+    for shape in [(1, 1, 3), (3, 5, 3), (8, 8, 3), (4, 4, 1), (6, 3, 4)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in [0, 1, 2, 3, 4, "mixed"]:
+            assert np.array_equal(decode_png(encode_png(px, filter_type=ft)),
+                                  px), (shape, ft)
+    # 2-D input encodes as grayscale, decodes to (H, W, 1)
+    g = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(g))[:, :, 0], g)
+
+
+def test_png_unfilter_against_scalar_reference():
+    """Decode a hand-filtered stream: compare the vectorized un-filter
+    against a literal pixel-at-a-time transcription of PNG spec §9.4."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    payload = encode_png(px, filter_type="mixed")
+
+    # scalar reference un-filter over the raw scanline stream
+    import struct
+    import zlib
+    pos, idat = 8, []
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            idat.append(payload[pos + 8:pos + 8 + ln])
+        pos += 12 + ln
+    raw = zlib.decompress(b"".join(idat))
+    h, w, bpp = 10, 7, 3
+    stride = w * bpp
+    recon = [[0] * stride for _ in range(h)]
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = raw[y * (1 + stride) + 1:(y + 1) * (1 + stride)]
+        for x in range(stride):
+            a = recon[y][x - bpp] if x >= bpp else 0
+            b = recon[y - 1][x] if y > 0 else 0
+            c = recon[y - 1][x - bpp] if (y > 0 and x >= bpp) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            recon[y][x] = (line[x] + pred) % 256
+    ref = np.array(recon, dtype=np.uint8).reshape(h, w, bpp)
+    assert np.array_equal(ref, px)  # the reference itself roundtrips
+    assert np.array_equal(decode_png(payload), ref)
+
+
+def test_png_rejects_corruption():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(px)
+    with pytest.raises(ValueError):
+        decode_png(b"JFIF not a png")
+    with pytest.raises(ValueError):
+        decode_png(good[:20])  # truncated chunk
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a bit in IEND's CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad_crc))
+    # corrupt the DEFLATE stream body (keep chunk framing valid by
+    # recomputing nothing — CRC check fires first, which is the point)
+    bad_body = bytearray(good)
+    bad_body[8 + 25 + 8 + 2] ^= 0xFF  # inside IDAT data
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad_body))
+
+
+def test_decode_image_dispatch_normalizes_channels():
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(rgb)), rgb)
+    assert np.array_equal(decode_image(encode_png(rgb)), rgb)
+    gray = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    out = decode_image(encode_png(gray))
+    assert out.shape == (4, 6, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+    rgba = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(rgba)), rgba[:, :, :3])
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def test_png_image_stats_matches_bmp_image_stats(spark):
+    """The PNG and BMP synth tables share one pixel formula, so
+    image_stats over either must produce identical rows — this pins the
+    compressed path to the uncompressed one end-to-end in Spark."""
+    ids = spark.range(12).selectExpr("id as doc_id")
+    via_bmp = image_stats(synth_bmp_media(ids, w=8, h=8)).toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    via_png = image_stats(synth_png_media(ids, w=8, h=8)).toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(via_bmp, via_png)
+
+
+def test_resize_png_stays_png(spark):
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1], "kind": ["image"],
+            "payload": [encode_png(px, filter_type="mixed")],
+            "mime": ["image/png"], "width": [16], "height": [16],
+            "duration_ms": [None]}))
+    out = resize_images(media, width=4, height=4).toPandas()
+    back = decode_png(bytes(out["payload"][0]))
+    ys = (np.arange(4) * 16) // 4
+    xs = (np.arange(4) * 16) // 4
+    assert np.array_equal(back, px[ys][:, xs])
 
 
 def test_decoders_reject_garbage():
