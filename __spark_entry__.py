@@ -1974,6 +1974,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_drift"] = token_drift_q
 
+    def simrank_pairs(spark, sf):
+        # truncated 2-iteration SimRank (Jeh-Widom) over a sparse
+        # order->part projection: candidate-bounded (pairs only through
+        # shared citers, max_fan cap), recursive term exact-integer
+        # aggregated so the 6-dp round is order-stable
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.simrank import (
+            simrank_2iter,
+        )
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e = (li.filter(F.col("l_linenumber") == 1)
+             .select((F.col("l_orderkey") % 3000).cast("long").alias("src"),
+                     (F.col("l_partkey") % 1000).cast("long").alias("dst"))
+             .filter(F.col("src") != F.col("dst")).distinct())
+        g = build_graph(e, add_self_loops=False)
+        return simrank_2iter(g, c=0.8, max_fan=64, min_shared=1)
+
+    q["simrank_pairs"] = simrank_pairs
+
+    def url_canonicalize(spark, sf):
+        # crawl-side URL canonicalization: messy synthetic URLs (mixed
+        # case, www., default ports, tracking params, fragments,
+        # unsorted queries) -> canonical form via the pure-column
+        # RFC 3986 split; the oracle recomputes the EXPECTED canonical
+        # string from the synthesis formula in closed form
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.urls import (
+            canonicalize_urls,
+        )
+
+        d = _docs(spark, sf).select("doc_id")
+        i = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        url = F.concat(
+            F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+            F.lit("://"),
+            F.when(i % 3 == 0, F.concat(F.lit("WWW.Site"), s(i % 20),
+                                        F.lit(".Example.COM")))
+            .otherwise(F.concat(F.lit("site"), s(i % 20),
+                                F.lit(".example.com"))),
+            F.when(i % 4 == 0, F.lit(":443"))
+            .when(i % 4 == 1, F.lit(":80"))
+            .when(i % 4 == 2, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/A/b"), s(i % 7),
+            F.when(i % 3 == 0, F.lit("?utm_source=feed&z=9&a=1&gclid=x"))
+            .when(i % 3 == 1, F.lit("?b=2&utm_campaign=c"))
+            .otherwise(F.lit("")),
+            F.when(i % 5 == 0, F.lit("#Sec1")).otherwise(F.lit("")),
+        )
+        return canonicalize_urls(d.withColumn("url", url)).select(
+            "doc_id", "canonical_url", "host", "registered_domain")
+
+    q["url_canonicalize"] = url_canonicalize
+
+    def chunk_windows(spark, sf):
+        # overlapping token-window chunking (size 32, stride 24) — the
+        # long-document prep for fixed-context training/retrieval; a
+        # linear explode, no shuffle
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            chunk_documents,
+        )
+
+        return chunk_documents(_docs(spark, sf), size=32, stride=24).select(
+            "doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
+
+    q["chunk_windows"] = chunk_windows
+
     return q
 
 
@@ -4381,5 +4447,62 @@ SELECT ROUND(SUM(CAST(ROUND(pa * LN(pa / pb) * 1e15) AS BIGINT)) / 1e15,
        (SELECT na FROM tot) AS n_a,
        (SELECT nb FROM tot) AS n_b
 FROM p"""
+    # truncated 2-iteration SimRank: s1 integer-scaled at 1e12 before the
+    # recursive-term sum (order-stable), same fan cap / candidate set
+    o["simrank_pairs"] = """
+WITH e0 AS (SELECT DISTINCT l_orderkey % 3000 AS src,
+                   l_partkey % 1000 AS dst
+            FROM lineitem
+            WHERE l_linenumber = 1
+              AND (l_orderkey % 3000) <> (l_partkey % 1000)),
+fan AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) <= 64),
+ec AS (SELECT e0.src, e0.dst FROM e0 JOIN fan USING (src)),
+d AS (SELECT dst, COUNT(*) AS dd FROM ec GROUP BY dst),
+cc AS (SELECT x.dst AS a, y.dst AS b, COUNT(*) AS shared
+       FROM ec x JOIN ec y ON x.src = y.src AND x.dst < y.dst
+       GROUP BY 1, 2),
+wd AS (SELECT cc.a, cc.b, cc.shared, da.dd AS da, db.dd AS db
+       FROM cc JOIN d da ON da.dst = cc.a JOIN d db ON db.dst = cc.b),
+s1 AS (SELECT a, b,
+              CAST(ROUND(0.8 * shared / (da * db) * 1e12) AS BIGINT) AS s1i
+       FROM wd),
+s1sym AS (SELECT a, b, s1i FROM s1
+          UNION ALL SELECT b AS a, a AS b, s1i FROM s1),
+t AS (SELECT ea.dst AS a, eb.dst AS b, SUM(p.s1i) AS ti
+      FROM s1sym p JOIN ec ea ON ea.src = p.a JOIN ec eb ON eb.src = p.b
+      WHERE ea.dst < eb.dst
+      GROUP BY 1, 2)
+SELECT wd.a, wd.b, wd.shared,
+       ROUND(0.8 * (wd.shared + COALESCE(t.ti, 0) / 1e12)
+             / (wd.da * wd.db), 6) AS score
+FROM wd LEFT JOIN t ON t.a = wd.a AND t.b = wd.b"""
+    # the oracle recomputes the EXPECTED canonical URL in closed form from
+    # the synthesis formula (lowercase host, www./default-port/fragment/
+    # tracking-param dropped, surviving params sorted: a=1&z=9 / b=2)
+    o["url_canonicalize"] = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+       || '://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+       || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+       || '/A/b' || CAST(doc_id % 7 AS VARCHAR)
+       || (CASE WHEN doc_id % 3 = 0 THEN '?a=1&z=9'
+                WHEN doc_id % 3 = 1 THEN '?b=2' ELSE '' END)
+         AS canonical_url,
+       'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+       'example.com' AS registered_domain
+FROM documents"""
+    o["chunk_windows"] = """
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n, UNNEST(range(0, n, 24)) AS start FROM n)
+SELECT doc_id,
+       CAST(start / 24 AS INTEGER) AS chunk_idx,
+       CAST(start AS INTEGER) AS chunk_start,
+       CAST(LEAST(32, n - start) AS INTEGER) AS chunk_len,
+       array_to_string(list_slice(toks, start + 1, LEAST(start + 32, n)),
+                       ' ') AS chunk_text
+FROM s"""
 
     return o

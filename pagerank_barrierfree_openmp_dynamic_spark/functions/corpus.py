@@ -316,3 +316,48 @@ def token_drift(df: DataFrame, source_a: str, source_b: str,
         F.lit(na).cast("long").alias("n_a"),
         F.lit(nb).cast("long").alias("n_b"),
     )
+
+
+def chunk_documents(df: DataFrame, size: int = 128, stride: int = 96,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    long-document preparation for a fixed-context trainer or retriever
+    (window ``size`` tokens, hop ``stride``; ``size > stride`` gives
+    ``size - stride`` tokens of overlap so no boundary context is lost).
+
+    Chunk starts are ``0, stride, 2·stride, …`` while ``start < n``;
+    the last chunk is simply shorter (no padding — padding is the
+    packer's job, ``functions/packing.py``). Empty documents produce no
+    chunks. Returns ``(doc_id, chunk_idx, chunk_start, chunk_tokens,
+    chunk_text)``.
+
+    Execution shape: tokenize → ``sequence`` of starts → one
+    ``explode`` → ``slice``/``array_join`` — a linear per-row explode
+    producing ~n/stride rows per document, all inside whole-stage
+    codegen, no shuffle and no Python. At 100 TB this rides the
+    extraction scan: chunking is a projection, so Catalyst pipelines it
+    with the parquet read and any pushed filters.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    return (
+        toks.select(
+            id_col, "_toks",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+            ).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.slice("_toks", F.col("chunk_start") + 1, size)
+            .alias("chunk_tokens"),
+        )
+        .withColumn("chunk_len", F.size("chunk_tokens").cast("int"))
+        .withColumn("chunk_text", F.array_join("chunk_tokens", " "))
+    )

@@ -332,3 +332,60 @@ def test_token_drift_identical_sources_is_zero(spark):
     }))
     got = token_drift(df, "x", "y").toPandas().iloc[0]
     assert got.kl_ab == got.kl_ba == got.jsd == 0.0
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+
+
+from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (  # noqa: E402
+    chunk_documents,
+)
+
+
+def _chunk_mirror(text, size, stride):
+    toks = [t for t in text.split(" ") if t]
+    out = []
+    start = 0
+    idx = 0
+    while start < len(toks):
+        piece = toks[start:start + size]
+        out.append((idx, start, len(piece), " ".join(piece)))
+        start += stride
+        idx += 1
+    return out
+
+
+def test_chunk_documents_matches_mirror(spark):
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            " ".join(f"w{i}" for i in range(100)),   # many chunks
+            " ".join(f"x{i}" for i in range(32)),    # exactly one window
+            " ".join(f"y{i}" for i in range(33)),    # one full + tail
+            "single",                                # shorter than size
+            "",                                      # empty -> no rows
+        ],
+    })
+    got = chunk_documents(spark.createDataFrame(docs), size=32, stride=24) \
+        .orderBy("doc_id", "chunk_idx").toPandas()
+    expect = []
+    for _, r in docs.iterrows():
+        for idx, start, ln, txt in _chunk_mirror(r.text, 32, 24):
+            expect.append((r.doc_id, idx, start, ln, txt))
+    assert [
+        (r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_len, r.chunk_text)
+        for r in got.itertuples()
+    ] == expect
+    # overlap contract: consecutive chunks share size - stride tokens
+    first = got[(got.doc_id == 1) & (got.chunk_idx == 0)].iloc[0]
+    second = got[(got.doc_id == 1) & (got.chunk_idx == 1)].iloc[0]
+    assert first.chunk_text.split()[24:] == second.chunk_text.split()[:8]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, stride=0)

@@ -1,0 +1,83 @@
+"""URL canonicalization (functions/urls.py): unit cases, idempotence,
+and the pure-column execution contract (no UDF, no shuffle)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_barrierfree_openmp_dynamic_spark.functions.urls import (
+    canonicalize_url, canonicalize_urls, registered_domain, url_parts,
+)
+
+CASES = [
+    # (input, canonical)
+    ("HTTPS://WWW.Example.COM:443/Path/Q?b=2&a=1#frag",
+     "https://example.com/Path/Q?a=1&b=2"),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com:8080/x", "http://example.com:8080/x"),
+    ("https://example.com", "https://example.com/"),
+    ("https://sub.Example.com/p?utm_source=x&utm_medium=y",
+     "https://sub.example.com/p"),
+    ("http://a.b.c/p?gclid=1&keep=yes&fbclid=2&ref=home",
+     "http://a.b.c/p?keep=yes"),
+    # path case preserved; query VALUE case preserved
+    ("HTTP://HOST.TLD/CaseSensitive?Z=UPPER",
+     "http://host.tld/CaseSensitive?Z=UPPER"),
+    # empty query after stripping -> no '?'
+    ("https://e.com/x?utm_campaign=only", "https://e.com/x"),
+    # params sort; duplicate keys kept (both sorted in)
+    ("https://e.com/x?b=1&a=2&a=1", "https://e.com/x?a=1&a=2&b=1"),
+]
+
+
+def test_canonicalize_cases(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [c[0] for c in CASES]}))
+    got = df.select(canonicalize_url(F.col("url")).alias("c")) \
+        .toPandas()["c"].tolist()
+    assert got == [c[1] for c in CASES]
+
+
+def test_canonicalize_idempotent(spark):
+    df = spark.createDataFrame(pd.DataFrame({"url": [c[0] for c in CASES]}))
+    once = df.select(canonicalize_url(F.col("url")).alias("url"))
+    twice = once.select(canonicalize_url(F.col("url")).alias("url"))
+    assert once.toPandas()["url"].tolist() == twice.toPandas()["url"].tolist()
+
+
+def test_url_parts_and_registered_domain(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"url": ["HTTPS://WWW.News.Example.co:8443/a/b?q=1#sec"]}))
+    p = url_parts(F.col("url"))
+    row = df.select(
+        p["scheme"].alias("scheme"), p["host"].alias("host"),
+        p["port"].alias("port"), p["path"].alias("path"),
+        p["query"].alias("query"), p["fragment"].alias("fragment"),
+        registered_domain(p["host"]).alias("rd"),
+    ).toPandas().iloc[0]
+    assert row.scheme == "https"
+    assert row.host == "www.news.example.co"
+    assert row.port == "8443"
+    assert row.path == "/a/b"
+    assert row.query == "q=1"
+    assert row.fragment == "sec"
+    assert row.rd == "example.co"
+    # single-label host: no registrable domain
+    one = spark.createDataFrame(pd.DataFrame({"h": ["localhost"]})) \
+        .select(registered_domain(F.col("h")).alias("rd")).toPandas()
+    assert one["rd"].tolist() == [""]
+
+
+def test_canonicalize_urls_plan_is_scan_stage(spark):
+    """The dataframe helper must stay a projection: no Exchange (shuffle)
+    and no Python eval in the plan."""
+    df = spark.createDataFrame(pd.DataFrame(
+        {"url": ["https://e.com/x?b=1&a=2"], "doc_id": [1]}))
+    out = canonicalize_urls(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # BatchEvalPython / ArrowEvalPython
+    pdf = out.toPandas()
+    assert pdf["canonical_url"].tolist() == ["https://e.com/x?a=2&b=1"]
+    assert pdf["host"].tolist() == ["e.com"]
+    assert pdf["registered_domain"].tolist() == ["e.com"]
