@@ -90,7 +90,11 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     query = F.when(kept == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), kept))
     path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
-    return F.concat(p["scheme"], F.lit("://"), host, port, path, query)
+    # strings that are not scheme://... URLs pass through untouched —
+    # lets the column run over raw crawl data without corrupting
+    # relative links or garbage rows (and keeps the rewrite idempotent)
+    return F.when(p["scheme"] == "", url).otherwise(
+        F.concat(p["scheme"], F.lit("://"), host, port, path, query))
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",

@@ -185,7 +185,8 @@ def url_dictionary(pages: DataFrame) -> DataFrame:
 
 
 def pages_to_edges(
-    pages: DataFrame, dictionary: DataFrame | None = None
+    pages: DataFrame, dictionary: DataFrame | None = None,
+    canonicalize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full front-end: pages -> (edges(src,dst), dictionary(url,id)).
 
@@ -194,11 +195,29 @@ def pages_to_edges(
     pre-added-vertex model (``/root/reference/src/mtx.hxx:61-63``).
     Dedup mirrors ``LazyBitset.update()`` set-union semantics
     (``/root/reference/src/_bitset.hxx:179-201``).
+
+    ``canonicalize=True`` runs ``functions.urls.canonicalize_url`` over
+    page urls AND extracted link endpoints before the dictionary join,
+    so syntactic URL variants (www., default ports, tracking params,
+    fragments, case) collapse to ONE vertex instead of splitting rank
+    mass. Off by default: the byte-identical-text-per-url contract is
+    stated on raw urls, and canonicalization is a pure scan-stage
+    projection, so opting in adds no shuffle.
     """
+    if canonicalize:
+        from ..functions.urls import canonicalize_url
+
+        pages = pages.withColumn("url", canonicalize_url(F.col("url")))
     d = dictionary if dictionary is not None else url_dictionary(pages)
     # mapInArrow extractor: byte-identical to extract_links, measured
     # equal-or-faster (zero-copy page slices; the gap widens with page size)
     links = extract_links_arrow(pages)
+    if canonicalize:
+        from ..functions.urls import canonicalize_url
+
+        links = links.select(
+            canonicalize_url(F.col("src_url")).alias("src_url"),
+            canonicalize_url(F.col("dst_url")).alias("dst_url"))
     src_d = d.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
     dst_d = d.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
     edges = (

@@ -2,6 +2,7 @@
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from pagerank_barrierfree_openmp_dynamic_spark import datagen
 from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import (
@@ -138,3 +139,35 @@ def test_anchor_nested_markup_and_topk(spark):
     # 'news' appears 3x (1 from nested-markup anchor lowercased + 2 plain)
     assert len(t_rows) == 1
     assert t_rows[0].term == "news" and t_rows[0].cnt == 3
+
+
+def test_pages_to_edges_canonicalize_collapses_variants(spark):
+    """canonicalize=True collapses syntactic URL variants (www., default
+    ports, tracking params, fragments, case) into ONE vertex before the
+    dictionary join."""
+    pages = spark.createDataFrame(
+        [
+            # two raw pages that are the SAME canonical page
+            ("https://WWW.A.com:443/p?utm_source=x",
+             b'<a href="http://b.com/q#frag">to b</a>'),
+            ("https://a.com/p",
+             b'<a href="HTTP://B.com:80/q?gclid=1">to b again</a>'),
+            ("http://b.com/q", b'<a href="https://a.com/p?utm_medium=m">back</a>'),
+        ],
+        "url string, html binary",
+    ).withColumn("text", F.lit("t")).withColumn(
+        "warc_ts", F.current_timestamp()).withColumn(
+        "lang", F.lit("en"))
+    edges, d = pages_to_edges(pages, canonicalize=True)
+    dm = d.toPandas().set_index("url")["id"].to_dict()
+    # 3 raw urls -> 2 canonical vertices
+    assert set(dm) == {"https://a.com/p", "http://b.com/q"}
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == {(dm["https://a.com/p"], dm["http://b.com/q"]),
+                   (dm["http://b.com/q"], dm["https://a.com/p"])}
+    # default stays raw: 3 vertices, and variant-addressed links
+    # don't resolve
+    edges_raw, d_raw = pages_to_edges(pages)
+    assert d_raw.count() == 3
+    assert edges_raw.count() < len(got) + 1  # the variant links dangle
+
