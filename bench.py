@@ -666,7 +666,11 @@ def kernel_extras(spark) -> dict:
             synth_wav_media,
         )
 
-        ids = docs.select("doc_id")
+        # repartition the id column across cores BEFORE synthesis: the
+        # documents parquet at this sf is 1-2 files, and decode is a
+        # per-row mapInPandas that inherits input partitioning — without
+        # the spread the decode numbers measure one core, not the engine
+        ids = docs.select("doc_id").repartition(CPUS)
         bmps = synth_bmp_media(ids, w=64, h=64).localCheckpoint(eager=True)
         n_img = bmps.count()
         t = time.monotonic()
