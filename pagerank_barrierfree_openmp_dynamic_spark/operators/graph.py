@@ -287,6 +287,31 @@ def remove_vertices(graph: LinkGraph, ids) -> LinkGraph:
                        weight_col="weight" if graph.weighted else None)
 
 
+def respan(graph: LinkGraph, n: int) -> LinkGraph:
+    """``respan(n)`` (``/root/reference/src/Graph.hxx:299-311``): change
+    the vertex-ID span to ``[0, n)``.
+
+    Shrinking drops every vertex with ``id >= n`` together with ALL
+    incident edges, both directions — the reference's ``resize(n)``
+    discards the adjacency rows of dropped vertices but would leave
+    in-edges pointing at ids >= n dangling inside surviving bitsets;
+    callers there never shrink without rebuilding, so this operator
+    performs the well-formed version (no dangling endpoints). Growing
+    the span only reserves ID slots with ``vexists`` false — vertices
+    do not come into existence — which in this engine's explicit
+    vertex-table model is the identity: ids are unconstrained longs and
+    existence is table membership, so there is nothing to reserve.
+    """
+    if n < 0:
+        raise ValueError("span must be >= 0")
+    e = graph.edges.filter((F.col("src") < n) & (F.col("dst") < n))
+    v = graph.vertices.filter(F.col("id") < n)
+    return build_graph(e, vertices=v,
+                       add_self_loops=graph.self_loops,
+                       partitions=graph.partitions,
+                       weight_col="weight" if graph.weighted else None)
+
+
 def self_loop_count(edges: DataFrame) -> int:
     """``selfLoopCount`` (``/root/reference/src/selfLoop.hxx:30-36``)."""
     return edges.filter(F.col("src") == F.col("dst")).count()

@@ -342,3 +342,28 @@ def test_incident_delta_broadcasts_batch_side(spark):
     n = _incident_delta(und, b, deletions=True)
     assert n >= 0
     g.unpersist()
+
+
+def test_respan_shrinks_span_and_grow_is_identity(spark):
+    """M1 respan (reference Graph.hxx:299-311): shrinking to [0, n) drops
+    vertices >= n with all incident edges; growing reserves nothing in
+    the explicit-vertex model (identity)."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import respan
+
+    g = build_graph(datagen.edges_df(spark, "tiny"),
+                    vertices=spark.range(10).select("id"))
+    edges0 = {(r.src, r.dst) for r in g.edges.collect()}
+
+    g_small = respan(g, 6)
+    e_small = {(r.src, r.dst) for r in g_small.edges.collect()}
+    assert e_small == {(s, d) for s, d in edges0 if s < 6 and d < 6}
+    assert g_small.num_vertices == 6
+    assert {r.id for r in g_small.vertices.collect()} == set(range(6))
+
+    g_big = respan(g, 99)
+    assert g_big.num_vertices == 10
+    assert {(r.src, r.dst) for r in g_big.edges.collect()} == edges0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        respan(g, -1)
