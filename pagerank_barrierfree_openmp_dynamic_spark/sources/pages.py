@@ -22,15 +22,46 @@ from pyspark.sql import DataFrame, functions as F
 # href in single or double quotes; tolerant of other attributes before href.
 _HREF_RE = re.compile(rb"""<a\s[^>]*?href\s*=\s*["']([^"'#\s>]+)""", re.IGNORECASE)
 
+# nofollow support (the rel microformat real link graphs honor: a
+# nofollow link carries no endorsement, so PageRank pipelines drop it
+# before edge building). The drop path matches whole <a ...> open tags
+# so the rel attribute is inspected wherever it sits relative to href.
+_ATAG_RE = re.compile(rb"<a\s[^>]*>", re.IGNORECASE)
+_HREF_IN_TAG_RE = re.compile(rb"""href\s*=\s*["']([^"'#\s>]+)""",
+                             re.IGNORECASE)
+_NOFOLLOW_RE = re.compile(rb"""rel\s*=\s*["'][^"']*\bnofollow\b""",
+                          re.IGNORECASE)
+
+
+def _page_hrefs(buf, drop_nofollow: bool):
+    """href targets in one page's bytes. ``drop_nofollow=False`` is the
+    original single-regex hot path (byte-identical, fastest);
+    ``drop_nofollow=True`` walks complete ``<a ...>`` open tags and
+    skips those whose ``rel`` contains ``nofollow`` (a tag left
+    unclosed at the buffer end is skipped on this path — it cannot be
+    inspected for rel)."""
+    if not drop_nofollow:
+        return _HREF_RE.findall(buf)
+    out = []
+    for t in _ATAG_RE.finditer(buf):
+        tag = t.group(0)
+        m = _HREF_IN_TAG_RE.search(tag)
+        if m and not _NOFOLLOW_RE.search(tag):
+            out.append(m.group(1))
+    return out
+
+
 _LINKS_SCHEMA = "src_url string, dst_url string"
 
 
-def extract_links(pages: DataFrame) -> DataFrame:
+def extract_links(pages: DataFrame, drop_nofollow: bool = False) -> DataFrame:
     """``(url, html, ...)`` -> ``(src_url, dst_url)``, one row per anchor.
 
     Vectorized per Arrow batch: regex runs on raw bytes (no decode needed),
     duplicates within a page are kept (deduped later at the edge level).
     Column pruning: only url+html are read from the scan.
+    ``drop_nofollow=True`` skips links whose ``rel`` contains
+    ``nofollow`` (see :func:`_page_hrefs`).
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -40,7 +71,7 @@ def extract_links(pages: DataFrame) -> DataFrame:
             for u, h in zip(pdf["url"].to_numpy(), pdf["html"].to_numpy()):
                 if h is None:
                     continue
-                for m in _HREF_RE.findall(bytes(h)):
+                for m in _page_hrefs(bytes(h), drop_nofollow):
                     urls.append(u)
                     dsts.append(m.decode("utf-8", "replace"))
             yield pd.DataFrame({"src_url": urls, "dst_url": dsts})
@@ -48,7 +79,8 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(_extract, schema=_LINKS_SCHEMA)
 
 
-def extract_links_arrow(pages: DataFrame) -> DataFrame:
+def extract_links_arrow(pages: DataFrame,
+                        drop_nofollow: bool = False) -> DataFrame:
     """:func:`extract_links` on the ``mapInArrow`` fast path — byte-identical
     output, less copying.
 
@@ -86,7 +118,7 @@ def extract_links_arrow(pages: DataFrame) -> DataFrame:
                     lo, hi = offs[i], offs[i + 1]
                     if hi <= lo:
                         continue
-                    for m in _HREF_RE.findall(data[lo:hi]):
+                    for m in _page_hrefs(data[lo:hi], drop_nofollow):
                         out_u.append(u_list[i])
                         out_d.append(m.decode("utf-8", "replace"))
             yield pa.record_batch(
@@ -186,7 +218,7 @@ def url_dictionary(pages: DataFrame) -> DataFrame:
 
 def pages_to_edges(
     pages: DataFrame, dictionary: DataFrame | None = None,
-    canonicalize: bool = False,
+    canonicalize: bool = False, drop_nofollow: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full front-end: pages -> (edges(src,dst), dictionary(url,id)).
 
@@ -203,6 +235,10 @@ def pages_to_edges(
     mass. Off by default: the byte-identical-text-per-url contract is
     stated on raw urls, and canonicalization is a pure scan-stage
     projection, so opting in adds no shuffle.
+
+    ``drop_nofollow=True`` excludes links whose ``rel`` contains
+    ``nofollow`` from edge building — the endorsement semantic real
+    PageRank pipelines honor.
     """
     if canonicalize:
         from ..functions.urls import canonicalize_url
@@ -211,7 +247,7 @@ def pages_to_edges(
     d = dictionary if dictionary is not None else url_dictionary(pages)
     # mapInArrow extractor: byte-identical to extract_links, measured
     # equal-or-faster (zero-copy page slices; the gap widens with page size)
-    links = extract_links_arrow(pages)
+    links = extract_links_arrow(pages, drop_nofollow=drop_nofollow)
     if canonicalize:
         from ..functions.urls import canonicalize_url
 

@@ -171,3 +171,35 @@ def test_pages_to_edges_canonicalize_collapses_variants(spark):
     assert d_raw.count() == 3
     assert edges_raw.count() < len(got) + 1  # the variant links dangle
 
+
+
+def test_drop_nofollow_links(spark):
+    """rel=nofollow links are excluded only when requested, identically
+    on the pandas and arrow paths; rel placement relative to href does
+    not matter."""
+    from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import (
+        extract_links, extract_links_arrow,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("p1", b'<a href="kept1">k</a>'
+                   b'<a rel="nofollow" href="dropped1">d</a>'
+                   b'<a href="dropped2" rel="ugc nofollow">d</a>'
+                   b'<a href="kept2" rel="author">k</a>'
+                   b'<a href="kept3" rel="nofollowish">k</a>'),
+            ("p2", b'<A HREF="kept4" REL="NOFOLLOW">case</A>'),
+        ],
+        "url string, html binary",
+    )
+    for fn in (extract_links, extract_links_arrow):
+        default = {(r.src_url, r.dst_url) for r in fn(pages).collect()}
+        assert default == {("p1", "kept1"), ("p1", "dropped1"),
+                           ("p1", "dropped2"), ("p1", "kept2"),
+                           ("p1", "kept3"), ("p2", "kept4")}
+        dropped = {(r.src_url, r.dst_url)
+                   for r in fn(pages, drop_nofollow=True).collect()}
+        # rel="nofollowish" is NOT nofollow (word boundary); upper-case
+        # REL=NOFOLLOW is
+        assert dropped == {("p1", "kept1"), ("p1", "kept2"),
+                           ("p1", "kept3")}
