@@ -68,6 +68,11 @@ from pagerank_barrierfree_openmp_dynamic_spark.sources.pages import pages_to_edg
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages table path (parquet dir or iceberg table)")
+    ap.add_argument("--canonicalize", action="store_true",
+                    help="canonicalize urls before edge building (collapse "
+                         "www./default-port/tracking-param/fragment variants)")
+    ap.add_argument("--drop-nofollow", action="store_true",
+                    help="exclude rel=nofollow links from edge building")
     ap.add_argument("--edges", help="pre-extracted (src,dst) parquet path")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     ap.add_argument("--output", required=True)
@@ -109,7 +114,8 @@ def main(argv=None):
         vertices = None
     elif args.pages:
         pages = spark.read.format(args.format).load(args.pages)
-        edges, d = pages_to_edges(pages)
+        edges, d = pages_to_edges(pages, canonicalize=args.canonicalize,
+                                  drop_nofollow=args.drop_nofollow)
         vertices = d.select("id")
     else:
         ap.error("one of --pages / --edges is required")
