@@ -60,12 +60,25 @@ def url_parts(url: Column) -> dict[str, Column]:
     }
 
 
+# common country-code second-level suffixes (co.uk-style): hosts ending
+# in one of these need THREE labels for the registrable domain. A full
+# public-suffix list would be loaded from disk on a real deployment;
+# this literal subset covers the high-traffic ccSLDs and keeps the
+# expression dependency-free and JVM-side.
+_CCSLD_RE = (r"\.(?:co|com|org|net|ac|gov|edu|ne|or)"
+             r"\.(?:uk|au|jp|nz|za|br|in|mx|kr|id|th|il|sg|tr)$")
+
+
 def registered_domain(host: Column) -> Column:
     """Heuristic registrable domain: the last two dot-labels
-    (``a.b.example.com`` → ``example.com``). A public-suffix list would
-    refine ccSLDs (``co.uk``); none ships in this container, and the
-    two-label rule is the standard dependency-free fallback."""
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    (``a.b.example.com`` → ``example.com``), except under a known
+    ccSLD public suffix (``co.uk`` etc.) where three labels are taken
+    (``www.example.co.uk`` → ``example.co.uk``). Dependency-free
+    approximation of the public-suffix list."""
+    return F.when(
+        host.rlike(_CCSLD_RE),
+        F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1),
+    ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
 
 
 def canonicalize_url(url: Column, strip_www: bool = True) -> Column:

@@ -66,6 +66,15 @@ def test_url_parts_and_registered_domain(spark):
     one = spark.createDataFrame(pd.DataFrame({"h": ["localhost"]})) \
         .select(registered_domain(F.col("h")).alias("rd")).toPandas()
     assert one["rd"].tolist() == [""]
+    # ccSLD suffixes take three labels; lookalikes take two
+    cc = spark.createDataFrame(pd.DataFrame({"h": [
+        "www.example.co.uk", "shop.example.com.au", "news.example.or.jp",
+        "deep.a.example.co.uk", "example.co",  # .co is a TLD, not ccSLD
+        "sub.example.de"]})) \
+        .select(registered_domain(F.col("h")).alias("rd")).toPandas()
+    assert cc["rd"].tolist() == [
+        "example.co.uk", "example.com.au", "example.or.jp",
+        "example.co.uk", "example.co", "example.de"]
 
 
 def test_canonicalize_urls_plan_is_scan_stage(spark):
