@@ -1974,6 +1974,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_drift"] = token_drift_q
 
+    def dedup_incremental(spark, sf):
+        # ingest-time dedup: flag each "incoming" doc (doc_id % 5 == 0)
+        # that near-duplicates the standing corpus (the rest); cross-side
+        # candidates only — neither side self-joins
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.dedup import (
+            near_dup_against_corpus,
+        )
+
+        docs = _docs(spark, sf)
+        return near_dup_against_corpus(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+            threshold=0.5)
+
+    q["dedup_incremental"] = dedup_incremental
+
     def simrank_pairs(spark, sf):
         # truncated 2-iteration SimRank (Jeh-Widom) over a sparse
         # order->part projection: candidate-bounded (pairs only through
@@ -4447,6 +4463,25 @@ SELECT ROUND(SUM(CAST(ROUND(pa * LN(pa / pb) * 1e15) AS BIGINT)) / 1e15,
        (SELECT na FROM tot) AS n_a,
        (SELECT nb FROM tot) AS n_b
 FROM p"""
+    o["dedup_incremental"] = f"""
+WITH {MINHASH_CTES},
+cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+         WHERE a.id % 5 = 0 AND b.id % 5 <> 0),
+sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (SELECT cand.a, cand.b, COUNT(*) AS n_inter
+          FROM cand JOIN sh sa ON sa.id = cand.a
+                    JOIN sh sb ON sb.id = cand.b AND sa.shingle = sb.shingle
+          GROUP BY cand.a, cand.b),
+j AS (SELECT inter.a, inter.b,
+             ROUND(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+      FROM inter JOIN sizes sa ON inter.a = sa.id
+                 JOIN sizes sb ON inter.b = sb.id),
+p AS (SELECT a, b, jaccard FROM j WHERE jaccard >= 0.5)
+SELECT a AS doc_id,
+       (ARRAY_AGG(b ORDER BY jaccard DESC, b ASC))[1] AS dup_of,
+       MAX(jaccard) AS jaccard
+FROM p GROUP BY a"""
     # truncated 2-iteration SimRank: s1 integer-scaled at 1e12 before the
     # recursive-term sum (order-stable), same fan cap / candidate set
     o["simrank_pairs"] = """

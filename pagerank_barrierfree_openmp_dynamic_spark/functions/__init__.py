@@ -18,6 +18,7 @@ from .dedup import (  # noqa: F401
     lsh_candidate_pairs,
     jaccard_verify,
     minhash_near_dup_pairs,
+    near_dup_against_corpus,
     near_dup_clusters,
     ngram_jaccard_pairs,
     containment_verify,

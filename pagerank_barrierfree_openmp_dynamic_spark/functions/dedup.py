@@ -258,3 +258,60 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
         .distinct()
     )
     return containment_verify(sh, pairs, threshold)
+
+
+def near_dup_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            n: int = 3, bands: int = 8,
+                            threshold: float = 0.5,
+                            max_bucket: int | None = None) -> DataFrame:
+    """INCREMENTAL near-dup: flag each NEW document that near-duplicates
+    any CORPUS document — the dedup step an ingesting pipeline runs on
+    every incoming crawl batch without re-clustering the corpus.
+
+    Returns ``(doc_id, dup_of, jaccard)``: the best corpus match per
+    duplicated new document (max Jaccard, ties to the smallest corpus
+    id); new documents with no match above ``threshold`` produce no row
+    (anti-joining the output against the batch yields the accepted
+    docs). Document ids must be disjoint across the two inputs.
+
+    Scale shape: candidates are CROSS-side only — new signatures
+    equi-join corpus signatures on (band, sig); neither side ever
+    self-joins, so candidate volume is driven by the (small) incoming
+    batch, not the corpus. The corpus shingle/signature tables are
+    exactly the artifacts a production pipeline persists as its dedup
+    index (rebuilt only when the corpus version changes), and
+    ``max_bucket`` drops degenerate corpus buckets (boilerplate) before
+    the join, same as :func:`lsh_candidate_pairs`. The verify is
+    candidate-bounded (:func:`jaccard_verify`).
+    """
+    sh_new = shingles(new_df, text_col, id_col, n).persist()
+    sh_cor = shingles(corpus_df, text_col, id_col, n).persist()
+    try:
+        sig_new = minhash_signatures(sh_new, bands)
+        sig_cor = minhash_signatures(sh_cor, bands)
+        if max_bucket is not None:
+            ok = (sig_cor.groupBy("band", "sig")
+                  .agg(F.count("*").alias("_bn"))
+                  .filter(F.col("_bn") <= max_bucket)
+                  .select("band", "sig"))
+            sig_cor = sig_cor.join(ok, ["band", "sig"], "left_semi")
+        cand = (
+            sig_new.select(F.col("id").alias("a"), "band", "sig")
+            .join(sig_cor.select(F.col("id").alias("b"), "band", "sig"),
+                  ["band", "sig"])
+            .select("a", "b").distinct()
+        )
+        verified = jaccard_verify(sh_new.unionByName(sh_cor), cand,
+                                  threshold)
+        best = verified.groupBy("a").agg(
+            F.max(F.struct(F.col("jaccard"),
+                           (-F.col("b")).alias("_negb"))).alias("m"))
+        return best.select(
+            F.col("a").alias("doc_id"),
+            (-F.col("m._negb")).alias("dup_of"),
+            F.col("m.jaccard").alias("jaccard"),
+        ).localCheckpoint(eager=True)
+    finally:
+        sh_new.unpersist()
+        sh_cor.unpersist()

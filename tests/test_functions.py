@@ -604,3 +604,41 @@ def test_containment_matches_python_mirror(spark, docs):
                 expect[(a, b)] = round(c, 6)
     got_map = {(r.a, r.b): r.containment for r in got.itertuples()}
     assert got_map == pytest.approx(expect)
+
+
+def test_near_dup_against_corpus_incremental(spark):
+    """Incremental dedup: cross-side candidates only; the best corpus
+    match is returned per duplicated incoming doc; unique docs pass."""
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.dedup import (
+        near_dup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "an entirely different corpus document about spark",
+                 "the quick brown fox jumps over the lazy cat"],
+    }))
+    new = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the quick brown fox jumps over the lazy dog",  # dup of 10
+                 "completely novel content with no overlap at all"],
+    }))
+    got = near_dup_against_corpus(new, corpus, threshold=0.5).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    # doc 1 matches BOTH 10 (jaccard 1.0) and 12 (high); best = 10
+    assert (r.doc_id, r.dup_of, r.jaccard) == (1, 10, 1.0)
+    # two identical corpus matches -> tie-break to the smaller corpus id
+    new2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [3], "text": ["the quick brown fox jumps over the lazy dog"],
+    }))
+    corpus2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [20, 21],
+        "text": ["the quick brown fox jumps over the lazy dog"] * 2,
+    }))
+    r2 = near_dup_against_corpus(new2, corpus2, threshold=0.5) \
+        .toPandas().iloc[0]
+    assert (r2.doc_id, r2.dup_of, r2.jaccard) == (3, 20, 1.0)
