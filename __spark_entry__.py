@@ -1974,6 +1974,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_drift"] = token_drift_q
 
+    def mirror_report_q(spark, sf):
+        # exact-content mirror detection across sources: text collapses
+        # to md5 before the shuffle; only mirrored docs surface
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+            mirror_report,
+        )
+
+        return mirror_report(_docs(spark, sf))
+
+    q["mirror_report"] = mirror_report_q
+
     def dedup_incremental(spark, sf):
         # ingest-time dedup: flag each "incoming" doc (doc_id % 5 == 0)
         # that near-duplicates the standing corpus (the rest); cross-side
@@ -4463,6 +4474,14 @@ SELECT ROUND(SUM(CAST(ROUND(pa * LN(pa / pb) * 1e15) AS BIGINT)) / 1e15,
        (SELECT na FROM tot) AS n_a,
        (SELECT nb FROM tot) AS n_b
 FROM p"""
+    o["mirror_report"] = """
+WITH h AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+g AS (SELECT fp, COUNT(DISTINCT source) AS n_mirror_hosts,
+             MIN(source) AS canonical_source
+      FROM h GROUP BY fp HAVING COUNT(DISTINCT source) >= 2)
+SELECT h.doc_id, h.source, g.n_mirror_hosts, g.canonical_source,
+       h.source = g.canonical_source AS is_canonical
+FROM h JOIN g ON g.fp = h.fp"""
     o["dedup_incremental"] = f"""
 WITH {MINHASH_CTES},
 cand AS (SELECT DISTINCT a.id AS a, b.id AS b

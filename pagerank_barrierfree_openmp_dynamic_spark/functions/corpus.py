@@ -361,3 +361,39 @@ def chunk_documents(df: DataFrame, size: int = 128, stride: int = 96,
         .withColumn("chunk_len", F.size("chunk_tokens").cast("int"))
         .withColumn("chunk_text", F.array_join("chunk_tokens", " "))
     )
+
+
+def mirror_report(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  source_col: str = "source") -> DataFrame:
+    """Cross-host mirror detection: documents whose EXACT text is served
+    by >= 2 distinct sources (mirror sites / scraped republishing — the
+    crawl pathology that inflates both corpus size and the link graph's
+    duplicate-host mass).
+
+    Returns ``(doc_id, source, n_mirror_hosts, canonical_source,
+    is_canonical)`` for mirrored documents only; ``canonical_source`` is
+    the lexicographically smallest source serving the content (the
+    deterministic keep-rule — swap in a crawl-priority table in
+    production).
+
+    Execution shape: text collapses to a 128-bit md5 BEFORE the
+    shuffle (the shuffle moves 32-byte keys, never document text), one
+    map-side-combinable aggregation on the fingerprint, one equi-join
+    back on the same key — co-partitioned, AQE plans it without a
+    second corpus shuffle. Near-dup mirrors (template drift) are the
+    MinHash pipeline's job; this is the exact-content tier.
+    """
+    h = df.select(F.col(id_col), F.col(source_col).alias("source"),
+                  F.md5(F.col(text_col)).alias("_fp"))
+    g = (h.groupBy("_fp")
+         .agg(F.countDistinct("source").alias("n_mirror_hosts"),
+              F.min("source").alias("canonical_source"))
+         .filter(F.col("n_mirror_hosts") >= 2))
+    return (h.join(g, "_fp")
+            .select(id_col, "source",
+                    F.col("n_mirror_hosts").cast("long")
+                    .alias("n_mirror_hosts"),
+                    "canonical_source",
+                    (F.col("source") == F.col("canonical_source"))
+                    .alias("is_canonical")))

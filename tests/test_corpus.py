@@ -389,3 +389,28 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, size=0)
     with pytest.raises(ValueError):
         chunk_documents(df, stride=0)
+
+
+def test_mirror_report(spark):
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.corpus import (
+        mirror_report,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "source": ["hostB", "hostA", "hostC", "hostA", "hostA"],
+        "text": ["mirrored content", "mirrored content", "mirrored content",
+                 "unique content", "same host twice"],
+    }))
+    got = mirror_report(spark.createDataFrame(
+        docs.toPandas().assign(text=lambda d: d.text))) \
+        .orderBy("doc_id").toPandas()
+    # docs 4 (unique) and 5 (single host) never surface
+    assert got.doc_id.tolist() == [1, 2, 3]
+    assert got.n_mirror_hosts.tolist() == [3, 3, 3]
+    assert got.canonical_source.tolist() == ["hostA"] * 3
+    assert got.is_canonical.tolist() == [False, True, False]
+    # same text twice on ONE host is not a mirror
+    solo = mirror_report(spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "source": ["h", "h"], "text": ["x", "x"]})))
+    assert solo.count() == 0
