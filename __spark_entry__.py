@@ -1974,6 +1974,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_drift"] = token_drift_q
 
+    def filter_cascade_q(spark, sf):
+        # composed C4/Gopher pre-training gate: length window, quality
+        # floor, language allowlist, repetition flags — first-fail
+        # reason attribution
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+            filter_cascade,
+        )
+
+        return filter_cascade(_docs(spark, sf), min_tokens=20,
+                              max_tokens=90, min_quality=0.5,
+                              allowed_langs=("en", "und"))
+
+    q["filter_cascade"] = filter_cascade_q
+
     def mirror_report_q(spark, sf):
         # exact-content mirror detection across sources: text collapses
         # to md5 before the shuffle; only mirrored docs surface
@@ -4474,6 +4488,22 @@ SELECT ROUND(SUM(CAST(ROUND(pa * LN(pa / pb) * 1e15) AS BIGINT)) / 1e15,
        (SELECT na FROM tot) AS n_a,
        (SELECT nb FROM tot) AS n_b
 FROM p"""
+    o["filter_cascade"] = f"""
+WITH qq AS ({o["quality_scores"]}),
+lq AS ({o["lang_id"]}),
+rq AS ({o["repetition_stats"]}),
+j AS (SELECT qq.doc_id, qq.n_tokens, qq.quality, lq.lang_pred, rq.flagged
+      FROM qq JOIN lq USING (doc_id) JOIN rq USING (doc_id)),
+c AS (SELECT *,
+        CASE WHEN n_tokens < 20 THEN 'too_short'
+             WHEN n_tokens > 90 THEN 'too_long'
+             WHEN quality < 0.5 THEN 'low_quality'
+             WHEN lang_pred NOT IN ('en', 'und') THEN 'wrong_lang'
+             WHEN flagged THEN 'repetitive' END AS reject_reason
+      FROM j)
+SELECT doc_id, n_tokens, quality, lang_pred, flagged, reject_reason,
+       reject_reason IS NULL AS accept
+FROM c"""
     o["mirror_report"] = """
 WITH h AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
 g AS (SELECT fp, COUNT(DISTINCT source) AS n_mirror_hosts,

@@ -1,5 +1,6 @@
 from .text import (  # noqa: F401
     token_count,
+    filter_cascade,
     quality_score,
     lang_id,
     fingerprint,

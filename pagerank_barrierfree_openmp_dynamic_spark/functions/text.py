@@ -541,3 +541,49 @@ def lm_score(df: DataFrame, text_col: str = "text",
             F.round(F.exp(-F.coalesce("_avg", F.lit(0.0))), 6).alias("pseudo_ppl"),
         )
     )
+
+
+def filter_cascade(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_tokens: int = 10, max_tokens: int = 50_000,
+                   min_quality: float = 0.4,
+                   allowed_langs: tuple[str, ...] = ("en",)) -> DataFrame:
+    """C4/Gopher-style accept/reject cascade — the composed pre-training
+    document gate, run as ONE DataFrame program over the quality shelf:
+    length window, composite quality floor (:func:`quality_score`),
+    language allowlist (:func:`lang_id`), and the Gopher repetition
+    flags (:func:`repetition_stats`).
+
+    Returns ``(doc_id, n_tokens, quality, lang_pred, flagged, accept,
+    reject_reason)``; ``reject_reason`` is the FIRST failing gate in the
+    fixed order ``too_short, too_long, low_quality, wrong_lang,
+    repetitive`` (null when accepted) — first-fail attribution is what a
+    pipeline dashboards, since later gates are not evaluated semantics
+    in streaming C4 implementations.
+
+    Scale shape: three component lineages over one scan, joined on the
+    id — the length/quality/lang legs are pure per-row expressions
+    (zero shuffle), the repetition leg is the bounded per-doc n-gram
+    aggregation documented in :func:`repetition_stats`; the cascade adds
+    two id-keyed joins and no Python.
+    """
+    q = quality_score(df, text_col, id_col)
+    lg = lang_id(df, text_col, id_col)
+    rep = repetition_stats(df, text_col, id_col) \
+        .select(F.col("doc_id").alias(id_col), "flagged")
+    j = (q.select(id_col, "n_tokens", "quality")
+         .join(lg.select(id_col, "lang_pred"), id_col)
+         .join(rep, id_col))
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(~F.col("lang_pred").isin(*allowed_langs),
+              F.lit("wrong_lang"))
+        .when(F.col("flagged"), F.lit("repetitive"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        id_col, "n_tokens", "quality", "lang_pred", "flagged",
+        reason.alias("reject_reason"),
+    ).withColumn("accept", F.col("reject_reason").isNull())

@@ -117,3 +117,51 @@ def test_readability_hand_oracle(spark):
     assert got[2]["flesch"] == round(206.835 - 1.015 * w / s - 84.6 * syl / w, 6)
     # empty doc: NULL flesch, zero counts
     assert got[3]["n_words"] == 0 and got[3]["flesch"] is None
+
+
+def test_filter_cascade_first_fail_attribution(spark):
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.text import (
+        filter_cascade,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "the of and to in is was for on with good words here now then",
+            "tiny",                                  # too_short
+            " ".join(["the of and to in"] * 40),     # long + repetitive
+            "zzz qqq xxx " * 8,                      # no stopwords -> low quality
+            "the cat sat on a mat and the dog ran to its house in the sun",
+        ],
+    })
+    got = filter_cascade(
+        spark.createDataFrame(docs), min_tokens=5, max_tokens=60,
+        min_quality=0.5, allowed_langs=("en",),
+    ).orderBy("doc_id").toPandas()
+    by = got.set_index("doc_id")
+    assert bool(by.loc[1, "accept"]) and by.loc[1, "reject_reason"] is None
+    assert by.loc[2, "reject_reason"] == "too_short"
+    # doc 3 is BOTH over-length and repetitive: first gate wins
+    assert by.loc[3, "reject_reason"] == "too_long"
+    assert by.loc[4, "reject_reason"] == "low_quality"
+    assert bool(by.loc[5, "accept"]) and by.loc[5, "reject_reason"] is None
+    # a short-window repetitive doc fails ONLY the repetition gate
+    rep = filter_cascade(
+        spark.createDataFrame(pd.DataFrame({
+            "doc_id": [9],
+            "text": ["the of and to in is was for on with " * 2
+                     + "more the of and"]})),
+        min_tokens=5, max_tokens=60, min_quality=0.5,
+        allowed_langs=("en",),
+    ).toPandas().iloc[0]
+    assert rep.reject_reason == "repetitive"
+    # language gate: same docs, disallow everything -> survivors of the
+    # earlier gates become wrong_lang
+    strict = filter_cascade(
+        spark.createDataFrame(docs), min_tokens=5, max_tokens=60,
+        min_quality=0.5, allowed_langs=("xx",),
+    ).orderBy("doc_id").toPandas().set_index("doc_id")
+    assert strict.loc[1, "reject_reason"] == "wrong_lang"
+    assert strict.loc[2, "reject_reason"] == "too_short"  # earlier gate
