@@ -136,14 +136,24 @@ def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
 
 
 def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
-    """Weighted O(touched) dynamic update. A weighted insert/delete changes
-    its source's Σ(out-weights) and therefore re-scales EVERY sibling
-    edge's transition weight ``w = weight/Σ(out-weights)`` — a per-edge net
-    overlay cannot express that. Instead the overlay REPLACES each touched
-    source's full out-adjacency: 'del' rows carry all its current edges at
-    their old normalized weights, 'ins' rows its updated edge set at the
-    new normalization. Overlay size = O(Σ degree(touched sources)) — the
-    same bound as the frontier's seed work, still rebuild-free.
+    """Weighted O(touched) dynamic update, DISTRIBUTED replay. A weighted
+    insert/delete changes its source's Σ(out-weights) and therefore
+    re-scales EVERY sibling edge's transition weight
+    ``w = weight/Σ(out-weights)`` — a per-edge net overlay cannot express
+    that. Instead the overlay REPLACES each touched source's full
+    out-adjacency: 'del' rows carry all its current edges at their old
+    normalized weights, 'ins' rows its updated edge set at the new
+    normalization. Overlay size = O(Σ degree(touched sources)).
+
+    Scale shape: the touched adjacency NEVER lands on the driver. The
+    replay is pure DataFrame algebra — broadcast semi-join of the touched
+    sources against the persisted edge table, broadcast anti-join of the
+    deletions, union+groupBy merge of the insertions, per-source Σ-weight
+    normalization via a broadcast totals join — and the per-slice delta
+    files are written by the workers (``DenseGraph.apply_delta_df``). A
+    batch touching a web-scale hub (10⁷-10⁸ out-edges) costs one
+    distributed pass over that adjacency; driver traffic is O(batch) for
+    the collected batch plus O(touched sources) for the degree deltas.
 
     Batch semantics mirror :func:`apply_batch`: deletions first (self-loops
     protected, deleting an absent edge is a no-op), then insertions with
@@ -154,7 +164,8 @@ def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
     import pandas as pd
 
     spark = graph.edges.sparkSession
-    dels = batch.filter(F.col("op") == "del").select("src", "dst")
+    dels = batch.filter(F.col("op") == "del").select(
+        F.col("src").cast("long"), F.col("dst").cast("long"))
     ins = batch.filter(F.col("op") == "ins")
     w = (F.col("weight").cast("double") if "weight" in ins.columns
          else F.lit(1.0))
@@ -163,87 +174,104 @@ def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
     if graph.self_loops:
         dels = dels.filter(F.col("src") != F.col("dst"))
 
+    # The batch itself is tiny relative to the graph: collect it once
+    # (O(batch)) to validate endpoints and derive the touched-source list.
     with adaptive_execution(spark, False):
         dels_pdf = dels.distinct().toPandas()
         ins_pdf = (ins.groupBy("src", "dst")
                    .agg(F.sum("weight").alias("weight")).toPandas())
-        touched = sorted(set(dels_pdf["src"]) | set(ins_pdf["src"]))
-        if touched:
-            t_df = spark.createDataFrame(
-                pd.DataFrame({"src": np.asarray(touched, dtype=np.int64)}),
-                schema="src long")
-            old_pdf = (
-                graph.edges.join(F.broadcast(t_df), "src", "left_semi")
-                .select("src", "dst",
-                        F.col("weight").cast("double").alias("weight"))
-                .toPandas())
-        else:
-            old_pdf = pd.DataFrame(columns=["src", "dst", "weight"])
 
-    # pandas-side replay of the batch on the touched sources' raw weights
-    raw: dict = {(int(r.src), int(r.dst)): float(r.weight)
-                 for r in old_pdf.itertuples(index=False)}
-    new_raw = dict(raw)
-    for r in dels_pdf.itertuples(index=False):
-        new_raw.pop((int(r.src), int(r.dst)), None)
-    for r in ins_pdf.itertuples(index=False):
-        k = (int(r.src), int(r.dst))
-        new_raw[k] = new_raw.get(k, 0.0) + float(r.weight)
+    ids = dense.ids
+    endpoints = np.unique(np.concatenate([
+        dels_pdf["src"].to_numpy(np.int64), dels_pdf["dst"].to_numpy(np.int64),
+        ins_pdf["src"].to_numpy(np.int64), ins_pdf["dst"].to_numpy(np.int64),
+    ])) if (len(dels_pdf) or len(ins_pdf)) else np.empty(0, np.int64)
+    pos = np.searchsorted(ids, endpoints)
+    bad = (pos >= len(ids)) | (ids[np.minimum(pos, len(ids) - 1)] != endpoints)
+    if bad.any():
+        raise ValueError(
+            "apply_batch_dense: batch references vertices outside "
+            "the dense id space; use apply_batch (full rebuild)")
 
-    def normalized(d: dict) -> tuple:
-        tot: dict = {}
-        for (s, _t), wv in d.items():
-            tot[s] = tot.get(s, 0.0) + wv
-        pairs = np.array([(s, t) for (s, t) in d], dtype=np.int64).reshape(
-            -1, 2)
-        ws = np.array([wv / tot[s] for (s, _t), wv in d.items()])
-        return pairs, ws
+    touched = np.unique(np.concatenate([
+        dels_pdf["src"].to_numpy(np.int64),
+        ins_pdf["src"].to_numpy(np.int64)]))
+    t_df = spark.createDataFrame(
+        pd.DataFrame({"src": touched}), schema="src long")
+    dels_sdf = spark.createDataFrame(dels_pdf, schema="src long, dst long")
+    ins_sdf = spark.createDataFrame(
+        ins_pdf, schema="src long, dst long, weight double")
 
-    del_pairs, del_w = normalized(raw)
-    ins_pairs, ins_w = normalized(new_raw)
+    # distributed replay over the touched sources' raw out-adjacency
+    old = (
+        graph.edges.join(F.broadcast(t_df), "src", "left_semi")
+        .select("src", "dst", F.col("weight").cast("double").alias("weight"))
+        .persist()
+    )
+    new_raw = (
+        old.join(F.broadcast(dels_sdf), ["src", "dst"], "left_anti")
+        .unionByName(ins_sdf)
+        .groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+        .persist()
+    )
+    old_tot = old.groupBy("src").agg(F.sum("weight").alias("tot"))
+    new_tot = new_raw.groupBy("src").agg(F.sum("weight").alias("tot"))
+    del_rows = old.join(F.broadcast(old_tot), "src").select(
+        "src", "dst", (F.col("weight") / F.col("tot")).alias("w"),
+        F.lit("del").alias("tag"))
+    ins_rows = new_raw.join(F.broadcast(new_tot), "src").select(
+        "src", "dst", (F.col("weight") / F.col("tot")).alias("w"),
+        F.lit("ins").alias("tag"))
 
-    def to_idx(pairs: np.ndarray) -> np.ndarray:
-        if pairs.size == 0:
-            return np.empty((0, 2), dtype=np.int64)
-        ids = dense.ids
-        out = np.empty_like(pairs)
-        for j in range(2):
-            vals = pairs[:, j]
-            i = np.searchsorted(ids, vals)
-            bad = (i >= len(ids)) | (ids[np.minimum(i, len(ids) - 1)] != vals)
-            if bad.any():
-                raise ValueError(
-                    "apply_batch_dense: batch references vertices outside "
-                    "the dense id space; use apply_batch (full rebuild)")
-            out[:, j] = i
-        return out
+    # id -> dense idx, vectorized in the workers against the broadcast
+    # sorted ids array (old rows are in the id space by build_graph
+    # invariant; batch endpoints were validated above)
+    ids_bc = spark.sparkContext.broadcast(ids)
 
-    new_dense = dense.apply_delta(to_idx(ins_pairs), to_idx(del_pairs),
-                                  ins_w=ins_w, del_w=del_w)
+    def to_idx_fn(batches):
+        idv = ids_bc.value
+        for pdf in batches:
+            yield pd.DataFrame({
+                "tag": pdf["tag"],
+                "src_idx": np.searchsorted(
+                    idv, pdf["src"].to_numpy(np.int64)).astype(np.int32),
+                "dst_idx": np.searchsorted(
+                    idv, pdf["dst"].to_numpy(np.int64)).astype(np.int32),
+                "w": pdf["w"].to_numpy(np.float64),
+            })
 
-    new_mini = pd.DataFrame(
-        [(s, t, wv) for (s, t), wv in sorted(new_raw.items())],
-        columns=["src", "dst", "weight"])
-    repl = spark.createDataFrame(new_mini if len(new_mini) else
-                                 pd.DataFrame(columns=["src", "dst",
-                                                       "weight"]),
-                                 schema="src long, dst long, weight double")
-    if touched:
-        t_df2 = spark.createDataFrame(
-            pd.DataFrame({"src": np.asarray(touched, dtype=np.int64)}),
-            schema="src long")
-        kept = graph.edges.join(F.broadcast(t_df2), "src", "left_anti")
-    else:
-        kept = graph.edges
-    new_edges = kept.select("src", "dst",
-                            F.col("weight").cast("double").alias("weight")
-                            ).unionByName(repl)
+    overlay_rows = del_rows.unionByName(ins_rows).mapInPandas(
+        to_idx_fn, "tag string, src_idx int, dst_idx int, w double")
+
+    # per-source out-degree deltas: O(touched sources) driver rows
+    with adaptive_execution(spark, False):
+        old_cnt = old.groupBy("src").count().toPandas()
+        new_cnt = new_raw.groupBy("src").count().toPandas()
+    oc = np.zeros(len(touched), dtype=np.float64)
+    nc = np.zeros(len(touched), dtype=np.float64)
+    if len(old_cnt):
+        oc[np.searchsorted(touched, old_cnt["src"].to_numpy(np.int64))] = \
+            old_cnt["count"].to_numpy(np.float64)
+    if len(new_cnt):
+        nc[np.searchsorted(touched, new_cnt["src"].to_numpy(np.int64))] = \
+            new_cnt["count"].to_numpy(np.float64)
+
+    new_dense = dense.apply_delta_df(
+        overlay_rows, (np.searchsorted(ids, touched), nc - oc))
+    ids_bc.destroy()
+    old.unpersist()
+    new_raw.unpersist()
+
+    kept = graph.edges.join(F.broadcast(t_df), "src", "left_anti")
+    new_edges = kept.select(
+        "src", "dst", F.col("weight").cast("double").alias("weight")
+    ).unionByName(new_raw.select("src", "dst", "weight"))
     new_graph = LinkGraph(
         edges=new_edges,
         vertices=graph.vertices,
         adj=None,
         num_vertices=graph.num_vertices,
-        num_edges=graph.num_edges - len(raw) + len(new_raw),
+        num_edges=graph.num_edges - int(oc.sum()) + int(nc.sum()),
         partitions=graph.partitions,
         self_loops=graph.self_loops,
         weighted=True,

@@ -26,7 +26,9 @@ Scale shape (identical to the HITS auth gather): the state frame
 never moves — the join is map-side against the persisted src
 partitioning), else a shuffled hash join on src; the gather is a
 map-side-combinable groupBy(dst). Driver-side values are one scalar
-norm / error per superstep — state is never collected.
+norm / error per superstep, riding along with the state-materialization
+jobs as CollectMetrics observations (``df.observe``) — zero standalone
+scalar-agg actions; state is never collected.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from ..operators.graph import LinkGraph
 from ..session import adaptive_execution, eager_state
@@ -83,9 +85,16 @@ def eigenvector_centrality(
     it, err = 0, float("inf")
     with adaptive_execution(spark, False):
         while it < max_iterations:
-            raw = _in_gather(edges, state, small, weighted).localCheckpoint(
-                eager=True)
-            tot = raw.agg(F.sum("_s")).collect()[0][0] or 1.0
+            # norm sum and L∞ error ride along with the two state
+            # materialization jobs via CollectMetrics (df.observe) — ZERO
+            # standalone scalar-agg actions per superstep
+            t_obs = Observation()
+            raw = (
+                _in_gather(edges, state, small, weighted)
+                .observe(t_obs, F.sum("_s").alias("tot"))
+            ).localCheckpoint(eager=True)
+            tot = t_obs.get["tot"] or 1.0
+            e_obs = Observation()
             nxt = eager_state(
                 vtx.join(raw, vtx.id == raw.dst, "left")
                 .join(state.select(F.col("id"), F.col("score").alias("_p")),
@@ -95,9 +104,10 @@ def eigenvector_centrality(
                     (F.coalesce("_s", F.lit(0.0)) / F.lit(tot)).alias("score"),
                     "_p",
                 )
+                .observe(e_obs,
+                         F.max(F.abs(F.col("score") - F.col("_p"))).alias("err"))
             )
-            err = nxt.agg(
-                F.max(F.abs(F.col("score") - F.col("_p")))).collect()[0][0] or 0.0
+            err = e_obs.get["err"] or 0.0
             state = nxt.select("id", "score")
             it += 1
             if tolerance > 0.0 and err <= tolerance:
@@ -154,6 +164,9 @@ def katz_centrality(
     with adaptive_execution(spark, False):
         while it < max_iterations:
             raw = _in_gather(edges, state, small, weighted)
+            # L∞ error rides along with the state materialization via
+            # CollectMetrics (df.observe) — no standalone scalar-agg action
+            e_obs = Observation()
             nxt = eager_state(
                 vtx.join(raw, vtx.id == raw.dst, "left")
                 .join(state.select(F.col("id"), F.col("score").alias("_p")),
@@ -165,9 +178,10 @@ def katz_centrality(
                      ).alias("score"),
                     "_p",
                 )
+                .observe(e_obs,
+                         F.max(F.abs(F.col("score") - F.col("_p"))).alias("err"))
             )
-            err = nxt.agg(
-                F.max(F.abs(F.col("score") - F.col("_p")))).collect()[0][0] or 0.0
+            err = e_obs.get["err"] or 0.0
             if not math.isfinite(err) or err > 1e15 * abs(beta):
                 raise ValueError(
                     f"Katz iteration diverged (L-inf step {err:.3g} at sweep "

@@ -32,6 +32,11 @@ Determinism (the repo's SURVEY §7 hard part e, same treatment as LPA):
   and ends the pass. Pass-start Q on the contracted graph equals the
   previous partition's Q (self-loop rows carry the intra weight), so
   the guard makes the whole optimization globally non-decreasing.
+  Since round 5 the scoring is DEFERRED: sweep s's labels are scored
+  from sweep s+1's candidate aggregate (``_q_from_cand`` — the
+  symmetric intra weight is exactly Σ_v k_in(v→cur)), eliminating the
+  per-sweep ``_pass_modularity`` edge re-scan while making the very
+  same accept/revert decisions on the very same rounded Q values.
 
 The result therefore matches the NumPy mirror (``tests/oracle.py::
 louvain_oracle``) label-for-label — the same exactness contract the
@@ -51,7 +56,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from ..operators.graph import LinkGraph
 from ..session import adaptive_execution, eager_state
@@ -102,44 +107,85 @@ def _symmetric_view(graph: LinkGraph, use_weights: bool) -> DataFrame:
     )
 
 
-def _sweep(
-    sym: DataFrame,
-    lab: DataFrame,
-    deg: DataFrame,
-    two_m: float,
-    parity: int,
-    gamma: float,
-    precision: int,
-) -> DataFrame:
-    """One synchronous local-move sweep: every vertex scores all neighbor
-    communities plus its own against the frozen state; parity-matching
-    vertices adopt the argmax. Returns the new labels (id, c)."""
-    tot = (
+def _candidates(sym: DataFrame, lab: DataFrame,
+                small: bool = True) -> DataFrame:
+    """Per-(vertex, neighbor-community) weight rows against frozen labels —
+    the ONE edge scan of a sweep. Self-loop rows (contracted
+    intra-community weight) are excluded: that weight moves with the
+    vertex, so it is constant across candidates. The current community is
+    always a candidate, even with no internal neighbors (k_in = 0) —
+    staying put must be scoreable."""
+    nlab = lab.select(F.col("id").alias("dst"), F.col("c").alias("nc"))
+    nbr_rows = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .join(F.broadcast(nlab) if small else nlab, "dst")
+        .select("src", "nc", F.col("w").alias("k_in"))
+    )
+    cur_rows = lab.select(F.col("id").alias("src"), F.col("c").alias("nc"),
+                          F.lit(0.0).alias("k_in"))
+    # union BEFORE the aggregation: one map-side-combinable groupBy over
+    # the edge-level rows instead of agg → union → re-agg (two shuffles)
+    return (nbr_rows.unionByName(cur_rows)
+            .groupBy("src", "nc").agg(F.sum("k_in").alias("k_in")))
+
+
+def _tot(lab: DataFrame, deg: DataFrame) -> DataFrame:
+    return (
         lab.join(deg, "id")
         .groupBy(F.col("c").alias("tc"))
         .agg(F.sum("k").alias("tot"))
     )
-    # weight from each vertex to each neighboring community (self-loop
-    # rows — contracted intra-community weight — are excluded: that
-    # weight moves with the vertex, so it is constant across candidates)
-    nbr = (
-        sym.filter(F.col("src") != F.col("dst"))
-        .join(lab.select(F.col("id").alias("dst"), F.col("c").alias("nc")),
-              "dst")
-        .groupBy("src", "nc")
-        .agg(F.sum("w").alias("k_in"))
-    )
-    # the current community is always a candidate, even with no internal
-    # neighbors (k_in = 0) — staying put must be scoreable
-    cand = nbr.unionByName(
-        lab.select(F.col("id").alias("src"), F.col("c").alias("nc"),
-                   F.lit(0.0).alias("k_in"))
-    ).groupBy("src", "nc").agg(F.sum("k_in").alias("k_in"))
+
+
+def _sweep_plan(
+    sym: DataFrame,
+    lab: DataFrame,
+    deg: DataFrame,
+    tot: DataFrame,
+    two_m: float,
+    parity: int,
+    gamma: float,
+    precision: int,
+    q_obs: Observation,
+    m_obs: Observation,
+    t_obs: Observation,
+    small: bool = True,
+) -> DataFrame:
+    """One synchronous local-move sweep as a SINGLE lazy plan: every
+    vertex scores all neighbor communities plus its own against the frozen
+    state; parity-matching vertices adopt the argmax. Returns the new
+    labels (id, c).
+
+    Three CollectMetrics observations ride along with the sweep's one
+    edge scan: ``q_obs`` captures Σ_v k_in(v → cur(v)) — the symmetric
+    (doubled) loop-free intra weight of the FROZEN labels — and ``t_obs``
+    captures Σ_c (tot_c/2m)², together the deferred Q-guard's inputs;
+    ``m_obs`` the mover count. None costs a separate action (observations
+    fire even on the broadcast side of a join).
+
+    ``small`` (vertex count ≤ ``broadcast_vertices``) broadcasts the
+    vertex-scale frames (tot, lab, deg, winner) into the candidate-row
+    joins EXPLICITLY: their post-aggregation size estimates are poor, and
+    without the hint Catalyst falls back to sort-merge — shuffling and
+    sorting every candidate row per sweep. Past the threshold the
+    shuffled joins are the correct plan and the hint is dropped."""
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    tot = tot.observe(
+        t_obs,
+        F.sum(F.pow(F.col("tot") / F.lit(two_m), F.lit(2.0)))
+        .alias("sumtot2"))
     scored = (
-        cand.join(tot, cand.nc == tot.tc)
-        .join(lab.select(F.col("id").alias("src"), F.col("c").alias("cur")),
-              "src")
-        .join(deg.select(F.col("id").alias("src"), "k"), "src")
+        _candidates(sym, lab, small)
+        .join(_b(tot), F.col("nc") == tot.tc)
+        .join(_b(lab.select(F.col("id").alias("src"),
+                            F.col("c").alias("cur"))), "src")
+        .join(_b(deg.select(F.col("id").alias("src"), "k")), "src")
+        .observe(q_obs,
+                 F.sum(F.when(F.col("nc") == F.col("cur"), F.col("k_in"))
+                       .otherwise(F.lit(0.0))).alias("intra2"))
         .select(
             "src", "nc", "cur",
             F.round(
@@ -153,19 +199,32 @@ def _sweep(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("src").orderBy(F.col("score").desc(),
-                                          F.col("nc").asc())
+    # argmax by a MAP-SIDE-COMBINABLE max(struct) aggregation, not a
+    # row_number window: lexicographic struct order (score desc ≡ max
+    # score, then -nc ≡ min nc on ties) picks the identical winner, but
+    # partial aggregation collapses each partition's candidates before the
+    # shuffle — a window would shuffle+sort ALL candidate rows per sweep
     winner = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("src")
+        .agg(F.max(F.struct(
+            F.col("score"),
+            (-F.col("nc")).alias("neg_nc"),
+            F.col("cur").alias("cur"),
+        )).alias("b"))
+        .select("src", (-F.col("b.neg_nc")).alias("nc"),
+                F.col("b.cur").alias("cur"))
         # parity gate: only half the vertices may move per sweep, so a
         # would-swap pair never oscillates and the schedule is a pure
         # function of (id, sweep)
         .filter((F.col("src") % 2 == parity) & (F.col("nc") != F.col("cur")))
         .select(F.col("src").alias("id"), F.col("nc").alias("new_c"))
     )
-    return lab.join(winner, "id", "left").select(
-        "id", F.coalesce("new_c", "c").alias("c")
+    return (
+        lab.join(_b(winner), "id", "left")
+        .observe(m_obs,
+                 F.sum(F.when(F.col("new_c").isNotNull(), 1)
+                       .otherwise(0)).alias("moved"))
+        .select("id", F.coalesce("new_c", "c").alias("c"))
     )
 
 
@@ -205,6 +264,7 @@ def louvain(
     gamma: float = 1.0,
     precision: int = 12,
     use_weights: bool | None = None,
+    broadcast_vertices: int = 2_000_000,
 ) -> LouvainResult:
     """Run Louvain community detection; returns final per-vertex labels
     (``community`` = the original vertex id the community coalesced onto),
@@ -217,6 +277,7 @@ def louvain(
     contracted graph."""
     if use_weights is None:
         use_weights = graph.weighted
+    small = graph.num_vertices <= broadcast_vertices
     spark = graph.edges.sparkSession
     sym0 = _symmetric_view(graph, use_weights) \
         .repartition(graph.partitions, "src")
@@ -246,32 +307,73 @@ def louvain(
             deg = deg.persist()
             lab = vertices.select("id", F.col("id").alias("c"))
             lab = lab.localCheckpoint(eager=True)
-            q_prev = round(_pass_modularity(sym, lab, deg, two_m, gamma),
-                           precision)
+            # Pass-start Q in closed form: under identity labels the only
+            # intra weight is the contracted self-loop mass, so
+            # Q = selfw/2m − γ·Σ_v (k_v/2m)² — two vertex-scale aggs, no
+            # edge-label double-join.
+            selfw_tot = float(
+                sym.filter(F.col("src") == F.col("dst"))
+                .agg(F.sum("w")).collect()[0][0] or 0.0)
+            sumk2 = float(
+                deg.agg(F.sum(F.pow(F.col("k") / F.lit(two_m), F.lit(2.0))))
+                .collect()[0][0] or 0.0)
+            q_prev = round(selfw_tot / two_m - gamma * sumk2, precision)
+            # DEFERRED Q-guard (VERDICT r4 weak #2): each sweep's candidate
+            # aggregate — built against the labels the previous sweep
+            # produced — scores those labels via _q_from_cand, so accepting
+            # or reverting sweep s happens at the top of sweep s+1 with NO
+            # extra edge scan. Decision sequence (which label sets are
+            # scored, against which q_prev, with the same rounded values)
+            # is identical to the eager guard; only the evaluation point
+            # moves. The single residual full re-score happens when
+            # max_sweeps exhausts right after a moving sweep — once per
+            # pass, not per sweep.
+            pending_moved = None  # movers in `lab` not yet Q-scored
+            prev_lab = None       # labels to revert to if the guard rejects
             moved_total = 0
             quiet = 0
             s = 0
             while s < max_sweeps and quiet < 2:
-                new_lab = eager_state(
-                    _sweep(sym, lab, deg, two_m, s % 2, gamma, precision))
-                moved = (
-                    new_lab.join(lab.withColumnRenamed("c", "c0"), "id")
-                    .filter(F.col("c") != F.col("c0")).count()
-                )
+                tot = _tot(lab, deg)
+                q_obs, m_obs, t_obs = (Observation(), Observation(),
+                                       Observation())
+                new_lab = eager_state(_sweep_plan(
+                    sym, lab, deg, tot, two_m, s % 2, gamma, precision,
+                    q_obs, m_obs, t_obs, small))  # the sweep's ONE edge scan
+                if pending_moved is not None:
+                    intra2 = float(q_obs.get["intra2"] or 0.0)
+                    sumtot2 = float(t_obs.get["sumtot2"] or 0.0)
+                    q_cur = round(
+                        intra2 / two_m + selfw_tot / two_m
+                        - gamma * sumtot2, precision)
+                    if q_cur < q_prev:
+                        # synchronous overshoot: the previous sweep's joint
+                        # moves lowered Q — revert it and end the pass
+                        # (this sweep's provisional labels are discarded)
+                        lab = prev_lab
+                        break
+                    q_prev = q_cur
+                    moved_total += pending_moved
+                    pending_moved = None
+                moved = int(m_obs.get["moved"] or 0)
                 s += 1
                 if moved == 0:
                     quiet += 1
                     continue
-                q_new = round(
-                    _pass_modularity(sym, new_lab, deg, two_m, gamma),
-                    precision)
-                if q_new < q_prev:
-                    # synchronous overshoot: this sweep's joint moves
-                    # lowered Q — revert it and end the pass
-                    break
-                lab, q_prev = new_lab, q_new
-                moved_total += moved
+                prev_lab = lab
+                lab = new_lab
+                pending_moved = moved
                 quiet = 0
+            if pending_moved is not None:
+                # max_sweeps exhausted right after a moving sweep: resolve
+                # the one unscored label set with a full re-score
+                q_new = round(
+                    _pass_modularity(sym, lab, deg, two_m, gamma), precision)
+                if q_new < q_prev:
+                    lab = prev_lab
+                else:
+                    q_prev = q_new
+                    moved_total += pending_moved
             sweeps_used.append(s)
             passes += 1
             history.append(q_prev)

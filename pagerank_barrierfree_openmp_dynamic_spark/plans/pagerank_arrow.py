@@ -451,6 +451,69 @@ class DenseGraph:
         new._owns_files = False
         return new
 
+    def apply_delta_df(self, rows: "DataFrame",
+                       deg_delta: tuple) -> "DenseGraph":
+        """Distributed delta-overlay write: like :meth:`apply_delta`, but the
+        overlay edges arrive as a DataFrame ``(tag 'ins'|'del', src_idx int,
+        dst_idx int, w double)`` and the per-slice delta files are written by
+        the WORKERS (same layout/ownership argument as ``_write_slices`` —
+        after the hash repartition each dst-residue slice lives in exactly
+        one partition, so each ``delta_*`` file has a single writer).
+
+        This is the scale path for weighted full-replacement overlays, whose
+        edge volume is O(Σ degree(touched sources)) — a batch touching a
+        web-scale hub must not land the hub's adjacency on the driver
+        (``operators.batch._apply_batch_dense_weighted`` builds ``rows``).
+        The driver sees only the written (slice, tag) manifest and
+        ``deg_delta`` = (idx, delta) arrays of O(touched sources).
+        """
+        import copy
+
+        if self.resident_dir is None:
+            self.materialize()
+        ov = uuid.uuid4().hex[:12]  # unique overlay tag (see apply_delta)
+        P = self.n_slices
+        d = self.resident_dir
+        weighted = self.weighted
+
+        def write_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from collections import defaultdict
+
+            bufs: dict[tuple, list[pd.DataFrame]] = defaultdict(list)
+            for pdf in batches:
+                for key, grp in pdf.groupby(["slice", "tag"]):
+                    bufs[(int(key[0]), str(key[1]))].append(grp)
+            out_s, out_t, out_n = [], [], []
+            for (s, tag), parts in bufs.items():
+                grp = pd.concat(parts, ignore_index=True)
+                np.save(f"{d}/delta_{ov}_slice_{s}_{tag}_src.npy",
+                        grp["src_idx"].to_numpy(np.int32))
+                np.save(f"{d}/delta_{ov}_slice_{s}_{tag}_dst.npy",
+                        grp["dst_idx"].to_numpy(np.int32))
+                if weighted:
+                    np.save(f"{d}/delta_{ov}_slice_{s}_{tag}_w.npy",
+                            grp["w"].to_numpy(np.float64))
+                out_s.append(s)
+                out_t.append(tag)
+                out_n.append(len(grp))
+            yield pd.DataFrame({"slice": out_s, "tag": out_t, "rows": out_n})
+
+        (
+            rows.withColumn("slice", F.pmod(F.col("dst_idx"), F.lit(P)))
+            .repartition(P, "slice")
+            .mapInPandas(write_fn, "slice int, tag string, rows long")
+            .count()
+        )
+        new = copy.copy(self)
+        new.overlays = self.overlays + (ov,)
+        new.deg = self.deg.copy()
+        idxs, dv = deg_delta
+        if len(idxs):
+            np.add.at(new.deg, np.asarray(idxs, dtype=np.int64),
+                      np.asarray(dv, dtype=np.float64))
+        new._owns_files = False
+        return new
+
     def unpersist(self) -> None:
         if not self._owns_files:
             return

@@ -33,14 +33,16 @@ per call as a dst-partitioned persisted copy (one shuffle per call, not
 per superstep — the HITS ``edges_by_dst`` pattern). Both gathers are
 map-side-combinable groupBys against a broadcast (N ≤ broadcast_vertices)
 or shuffled-hash state frame; the only driver-side values per superstep
-are two scalar norm sums and the L∞ error.
+are two scalar norm sums and the L∞ error, which ride along with the
+state-materialization jobs as CollectMetrics observations (``df.observe``)
+— zero standalone scalar-agg actions per superstep.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.graph import LinkGraph
@@ -104,31 +106,39 @@ def salsa(
     err = float("inf")
     with adaptive_execution(spark, False):
         while it < max_iterations:
+            # Scalar norm sums and the L∞ error ride along with the state
+            # materialization jobs via CollectMetrics (df.observe) — ZERO
+            # standalone scalar-agg actions per superstep.
             hub_in = _bcast(
                 state.select(F.col("id").alias("_hid"), F.col("hub").alias("_h")))
+            a_obs = Observation()
             a_raw = (
                 fwd.join(hub_in, fwd.src == F.col("_hid"))
                 .groupBy("dst")
                 .agg(F.sum(F.col("_h") * F.col("w")).alias("_a"))
+                .observe(a_obs, F.sum("_a").alias("tot"))
             ).localCheckpoint(eager=True)
-            a_tot = a_raw.agg(F.sum("_a")).collect()[0][0] or 1.0
+            a_tot = a_obs.get["tot"] or 1.0
             auth = vtx.join(a_raw, vtx.id == a_raw.dst, "left").select(
                 vtx.id, (F.coalesce("_a", F.lit(0.0)) / F.lit(a_tot)).alias("auth"))
 
             auth_in = _bcast(
                 auth.select(F.col("id").alias("_aid"), F.col("auth").alias("_a")))
+            h_obs = Observation()
             h_raw = (
                 bwd.join(auth_in, bwd.dst == F.col("_aid"))
                 .groupBy("src")
                 .agg(F.sum(F.col("_a") * F.col("w")).alias("_h"))
+                .observe(h_obs, F.sum("_h").alias("tot"))
             ).localCheckpoint(eager=True)
-            h_tot = h_raw.agg(F.sum("_h")).collect()[0][0] or 1.0
+            h_tot = h_obs.get["tot"] or 1.0
             hub = vtx.join(h_raw, vtx.id == h_raw.src, "left").select(
                 vtx.id, (F.coalesce("_h", F.lit(0.0)) / F.lit(h_tot)).alias("hub"))
 
             # eager_state, not bare localCheckpoint: the state sits on both
             # sides of this join, so inherited size ESTIMATES would compound
             # geometrically with the iteration count (see session.eager_state)
+            e_obs = Observation()
             nxt = eager_state(
                 hub.join(auth, "id")
                 .join(state.select(F.col("id"), F.col("hub").alias("_ph"),
@@ -140,8 +150,9 @@ def salsa(
                         F.abs(F.col("auth") - F.col("_pa")),
                     ).alias("_d"),
                 )
+                .observe(e_obs, F.max("_d").alias("err"))
             )
-            err = nxt.agg(F.max("_d")).collect()[0][0] or 0.0
+            err = e_obs.get["err"] or 0.0
             state = nxt.select("id", "hub", "auth")
             it += 1
             if tolerance > 0.0 and err <= tolerance:
