@@ -2050,6 +2050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         url = F.concat(
             F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
             F.lit("://"),
+            # every 11th URL carries userinfo — canonicalization must
+            # pass those through UNCHANGED (credentials affect the fetch)
+            F.when(i % 11 == 0, F.lit("u:Pw@")).otherwise(F.lit("")),
             F.when(i % 3 == 0, F.concat(F.lit("WWW.Site"), s(i % 20),
                                         F.lit(".Example.COM")))
             .otherwise(F.concat(F.lit("site"), s(i % 20),
@@ -2061,7 +2064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.when(i % 3 == 0, F.lit("?utm_source=feed&z=9&a=1&gclid=x"))
             .when(i % 3 == 1, F.lit("?b=2&utm_campaign=c"))
             .otherwise(F.lit("")),
-            F.when(i % 5 == 0, F.lit("#Sec1")).otherwise(F.lit("")),
+            # every 5th URL has a fragment; every 10th an SPA hash route
+            # with a '?' INSIDE it — never promoted to a query
+            F.when(i % 10 == 0, F.lit("#/Route?tab=1"))
+            .when(i % 5 == 0, F.lit("#Sec1")).otherwise(F.lit("")),
         )
         return canonicalize_urls(d.withColumn("url", url)).select(
             "doc_id", "canonical_url", "host", "registered_domain")
@@ -4562,19 +4568,41 @@ SELECT wd.a, wd.b, wd.shared,
 FROM wd LEFT JOIN t ON t.a = wd.a AND t.b = wd.b"""
     # the oracle recomputes the EXPECTED canonical URL in closed form from
     # the synthesis formula (lowercase host, www./default-port/fragment/
-    # tracking-param dropped, surviving params sorted: a=1&z=9 / b=2)
+    # tracking-param dropped, surviving params sorted: a=1&z=9 / b=2).
+    # Userinfo rows (doc_id % 11 = 0) expect the messy URL VERBATIM
+    # (passthrough), rebuilt here from the same formula; hash-route
+    # fragments (#/Route?tab=1) must vanish without leaking a query.
     o["url_canonicalize"] = """
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+    || '://'
+    || (CASE WHEN doc_id % 11 = 0 THEN 'u:Pw@' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN 'WWW.Site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.Example.COM'
+             ELSE 'site' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.example.com' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN ':443' WHEN doc_id % 4 = 1 THEN ':80'
+             WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+    || '/A/b' || CAST(doc_id % 7 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&z=9&a=1&gclid=x'
+             WHEN doc_id % 3 = 1 THEN '?b=2&utm_campaign=c' ELSE '' END)
+    || (CASE WHEN doc_id % 10 = 0 THEN '#/Route?tab=1'
+             WHEN doc_id % 5 = 0 THEN '#Sec1' ELSE '' END) AS messy
+  FROM documents)
 SELECT doc_id,
-       (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
-       || '://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
-       || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
-       || '/A/b' || CAST(doc_id % 7 AS VARCHAR)
-       || (CASE WHEN doc_id % 3 = 0 THEN '?a=1&z=9'
-                WHEN doc_id % 3 = 1 THEN '?b=2' ELSE '' END)
-         AS canonical_url,
+       CASE WHEN doc_id % 11 = 0 THEN messy ELSE
+         (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+         || '://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+         || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+         || '/A/b' || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '?a=1&z=9'
+                  WHEN doc_id % 3 = 1 THEN '?b=2' ELSE '' END)
+       END AS canonical_url,
        'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
        'example.com' AS registered_domain
-FROM documents"""
+FROM u"""
     o["chunk_windows"] = """
 WITH t AS (SELECT doc_id,
                   list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -330,7 +330,7 @@ def chunk_documents(df: DataFrame, size: int = 128, stride: int = 96,
     the last chunk is simply shorter (no padding — padding is the
     packer's job, ``functions/packing.py``). Empty documents produce no
     chunks. Returns ``(doc_id, chunk_idx, chunk_start, chunk_tokens,
-    chunk_text)``.
+    chunk_len, chunk_text)``.
 
     Execution shape: tokenize → ``sequence`` of starts → one
     ``explode`` → ``slice``/``array_join`` — a linear per-row explode

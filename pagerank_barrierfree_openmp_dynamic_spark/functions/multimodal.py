@@ -408,9 +408,13 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
 
     BMP and PNG payloads are resized FOR REAL (decode ->
     nearest-neighbor index resize, a vectorized fancy-index ->
-    re-encode in the SAME container); other image formats fall back to
-    the stub path (deterministic fake bytes, or ``NotImplementedError``
-    when ``fake=False``)."""
+    re-encode in the SAME container AND the same color type: PNGs are
+    decoded with :func:`decode_png` directly so a gray PNG stays
+    1-channel gray and an RGBA PNG keeps its alpha plane —
+    :func:`decode_image`'s RGB normalization is for the stats/feature
+    paths only); other image formats fall back to the stub path
+    (deterministic fake bytes, or ``NotImplementedError`` when
+    ``fake=False``)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -422,12 +426,13 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                     continue
                 raw = bytes(payload)
                 try:
-                    px = decode_image(raw)
+                    if raw[:8] == _PNG_SIG:
+                        px, enc = decode_png(raw), encode_png
+                    else:
+                        px, enc = decode_bmp(raw), encode_bmp
                     ys = (np.arange(height) * px.shape[0]) // height
                     xs = (np.arange(width) * px.shape[1]) // width
                     small = np.ascontiguousarray(px[ys][:, xs])
-                    enc = (encode_png if raw[:8] == _PNG_SIG
-                           else encode_bmp)
                     payloads.append(enc(small))
                     continue
                 except ValueError:

@@ -21,8 +21,14 @@ Rules applied (the conservative, semantics-preserving subset of RFC
 - tracking parameters are removed: any ``utm_*`` plus the common
   click-id set (gclid/fbclid/msclkid/igshid/mc_cid/mc_eid/ref)
 - surviving query parameters are sorted (order is almost never
-  semantic; sorting makes equal parameter SETS compare equal)
+  semantic; sorting makes equal parameter SETS compare equal); the
+  query is taken strictly from the pre-fragment prefix — a ``?``
+  inside the fragment (SPA hash routes) is never promoted to a query
 - an empty path becomes ``/``
+- URLs with userinfo in the authority (``user[:pass]@host``) pass
+  through UNCHANGED: credentials affect the fetch, so rewriting them
+  is not semantics-preserving (``url_parts`` still reports the true
+  host/port for them)
 
 Execution shape: pure column expressions — ``regexp_extract`` for the
 RFC 3986 component split, ``split``/``filter``/``array_sort``/
@@ -42,18 +48,27 @@ TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid|ref)
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the query lives strictly BEFORE the fragment: anchor the scan to the
+# pre-'#' prefix, or a '?' inside a fragment (SPA hash routes like
+# https://h/#/route?tab=1) would be mis-parsed as a real query and
+# canonicalization would fabricate a URL the server never saw
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def url_parts(url: Column) -> dict[str, Column]:
     """RFC 3986 component split as pure column expressions: scheme,
-    host (lowercased, port stripped), port (string, '' if absent),
-    path, query (no '?'), fragment (no '#')."""
+    userinfo (no '@', '' if absent), host (lowercased, userinfo/port
+    stripped), port (string, '' if absent), path, query (no '?'),
+    fragment (no '#')."""
     auth = F.regexp_extract(url, _AUTH_RE, 1)
+    # authority = [userinfo@]host[:port] — strip userinfo before the
+    # host/port split or user:pass@example.com parses host='user'
+    hostport = F.regexp_replace(auth, r"^[^@]*@", "")
     return {
         "scheme": F.lower(F.regexp_extract(url, _SCHEME_RE, 1)),
-        "host": F.lower(F.regexp_extract(auth, r"^([^:]*)", 1)),
-        "port": F.regexp_extract(auth, r":([0-9]+)$", 1),
+        "userinfo": F.regexp_extract(auth, r"^([^@]*)@", 1),
+        "host": F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)),
+        "port": F.regexp_extract(hostport, r":([0-9]+)$", 1),
         "path": F.regexp_extract(url, _PATH_RE, 1),
         "query": F.regexp_extract(url, _QUERY_RE, 1),
         "fragment": F.regexp_extract(url, r"#(.*)$", 1),
@@ -105,8 +120,12 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
     # strings that are not scheme://... URLs pass through untouched —
     # lets the column run over raw crawl data without corrupting
-    # relative links or garbage rows (and keeps the rewrite idempotent)
-    return F.when(p["scheme"] == "", url).otherwise(
+    # relative links or garbage rows (and keeps the rewrite idempotent).
+    # URLs with userinfo in the authority ('@') also pass through:
+    # credentials affect the fetch, so rewriting them is not
+    # semantics-preserving — the conservative contract of this module.
+    has_userinfo = F.regexp_extract(url, _AUTH_RE, 1).contains("@")
+    return F.when((p["scheme"] == "") | has_userinfo, url).otherwise(
         F.concat(p["scheme"], F.lit("://"), host, port, path, query))
 
 

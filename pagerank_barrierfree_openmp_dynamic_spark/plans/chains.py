@@ -46,11 +46,11 @@ def resolve_chains(mapping: DataFrame, max_rounds: int = 40) -> DataFrame:
     still inside a cycle after ``max_rounds`` doubling rounds (2^40
     hops covers any acyclic chain that fits in storage).
 
-    ``hops`` is the number of original edges followed and is meaningful
-    ONLY where ``resolved = true``: for cyclic (unresolved) rows the
-    doubling keeps compounding it every round, so it comes back as a
-    ~2^rounds artifact with no relation to chain position — treat it as
-    undefined there.
+    ``hops`` is the number of original edges followed; for cyclic
+    (unresolved) rows it is NULL — the doubling would otherwise return a
+    ~2^rounds counter artifact with no relation to chain position, so
+    the column is nulled where ``resolved = false`` instead of leaking
+    an undefined number.
     """
     cur = mapping.select(
         F.col("src").cast("long").alias("src"),
@@ -77,7 +77,8 @@ def resolve_chains(mapping: DataFrame, max_rounds: int = 40) -> DataFrame:
             break
     srcs = mapping.select(F.col("src").cast("long").alias("dsrc")).distinct()
     return cur.join(srcs, cur.target == srcs.dsrc, "left").select(
-        "src", "target", "hops",
+        "src", "target",
+        F.when(F.col("dsrc").isNull(), F.col("hops")).alias("hops"),
         F.col("dsrc").isNull().alias("resolved"),
     )
 

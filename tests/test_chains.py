@@ -61,6 +61,11 @@ def test_cycle_marked_unresolved(spark):
     # domain); the acyclic alias resolves
     assert not got.loc[10, "resolved"]
     assert got.loc[20, "resolved"] and got.loc[20, "target"] == 21
+    # contract: hops is NULL exactly where resolved=false (a doubling
+    # counter would otherwise leak a ~2^rounds artifact), and a real
+    # count where resolved=true
+    assert got.loc[[1, 2, 3, 10], "hops"].isna().all()
+    assert got.loc[20, "hops"] == 1
 
 
 def test_rewrite_edges_canonicalizes(spark):

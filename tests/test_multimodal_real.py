@@ -146,6 +146,32 @@ def test_resize_png_stays_png(spark):
     assert np.array_equal(back, px[ys][:, xs])
 
 
+def test_resize_png_preserves_color_type(spark):
+    """A resized gray PNG stays 1-channel gray and a resized RGBA PNG
+    keeps its alpha plane — the 'same container' contract covers the
+    color type, not just the format (decode_image's RGB normalization
+    is for the stats/features paths only)."""
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (16, 16, 1), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2], "kind": ["image", "image"],
+            "payload": [encode_png(gray), encode_png(rgba)],
+            "mime": ["image/png"] * 2, "width": [16] * 2,
+            "height": [16] * 2, "duration_ms": [None, None]}))
+    out = resize_images(media, width=4, height=4).toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    ys = (np.arange(4) * 16) // 4
+    xs = (np.arange(4) * 16) // 4
+    back_gray = decode_png(bytes(out["payload"][0]))
+    assert back_gray.shape == (4, 4, 1)
+    assert np.array_equal(back_gray, gray[ys][:, xs])
+    back_rgba = decode_png(bytes(out["payload"][1]))
+    assert back_rgba.shape == (4, 4, 4)
+    assert np.array_equal(back_rgba, rgba[ys][:, xs])
+
+
 def test_decoders_reject_garbage():
     with pytest.raises(ValueError):
         decode_bmp(b"BM but not really a bitmap header at all.....")
