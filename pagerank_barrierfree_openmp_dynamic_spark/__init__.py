@@ -25,4 +25,9 @@ from .operators.graph import (  # noqa: F401
     remove_vertices,
 )
 from .plans.pagerank import PageRankOptions, pagerank  # noqa: F401
-from .plans.pagerank_arrow import DenseGraph, pagerank_arrow  # noqa: F401
+from .plans.pagerank_arrow import (  # noqa: F401
+    DenseGraph,
+    dense_state_fits,
+    pagerank_arrow,
+    pagerank_auto,
+)

@@ -104,6 +104,40 @@ def _inject_fault(fault, s: int) -> None:
         time.sleep(sleep_ms / 1000.0)
 
 
+# --- driver-state budget for the dense path --------------------------------
+# The dense kernel keeps O(N) DRIVER-resident state (documented design,
+# BENCH/BASELINE.md §1): the sorted ids and out-degree vectors on the index
+# (8 B each) plus rank / previous / partial-sum vectors and frontier masks
+# in the kernel loop — ~6 8-byte-per-vertex arrays worst-case. Beyond the
+# budget the fully-sharded join-agg plan (``plans.pagerank``) is the right
+# physical strategy; both produce identical ranks, so the selection is a
+# pure planning decision. Override with SPARK_GRAFT_DRIVER_STATE_BUDGET
+# (bytes) to match the deployment's driver heap.
+DRIVER_STATE_BYTES_PER_VERTEX = 48
+DRIVER_STATE_BUDGET = int(os.environ.get(
+    "SPARK_GRAFT_DRIVER_STATE_BUDGET", str(16 * 1024 ** 3)))
+
+
+def dense_state_fits(num_vertices: int, budget: int | None = None) -> bool:
+    """True when the dense path's O(N) driver state fits ``budget`` bytes
+    (default: module ``DRIVER_STATE_BUDGET``). The planning predicate
+    behind :func:`pagerank_auto` and the :class:`DenseGraph` guard."""
+    b = DRIVER_STATE_BUDGET if budget is None else budget
+    return num_vertices * DRIVER_STATE_BYTES_PER_VERTEX <= b
+
+
+def _check_dense_budget(num_vertices: int) -> None:
+    if not dense_state_fits(num_vertices):
+        raise ValueError(
+            f"dense path refused: {num_vertices} vertices need "
+            f"~{num_vertices * DRIVER_STATE_BYTES_PER_VERTEX >> 20} MiB of "
+            "driver-resident state, over the "
+            f"{DRIVER_STATE_BUDGET >> 20} MiB budget "
+            "(SPARK_GRAFT_DRIVER_STATE_BUDGET). Use the fully-sharded "
+            "join-agg plan (plans.pagerank.pagerank / pagerank_auto) — "
+            "identical ranks, no O(N) driver state")
+
+
 class DenseGraph:
     """Dense-indexed view of a LinkGraph, ready for the Arrow kernel.
 
@@ -127,6 +161,7 @@ class DenseGraph:
     def __init__(self, graph: LinkGraph):
         from ..operators.graph import dense_ids
 
+        _check_dense_budget(graph.num_vertices)
         self.graph = graph
         self.epoch = uuid.uuid4().hex
         n = graph.num_vertices
@@ -351,6 +386,7 @@ class DenseGraph:
 
         with open(f"{path}/meta.json") as f:
             meta = json.load(f)
+        _check_dense_budget(graph.num_vertices)
         if int(meta["n"]) != graph.num_vertices:
             raise ValueError(
                 f"dense index at {path} was built for n={meta['n']} vertices, "
@@ -1610,3 +1646,39 @@ def resume_arrow(
     res = pagerank_arrow(graph, o, init=ranks, frontier=frontier, dense=dense,
                          personalization=store.load_personalization(spark))
     return res
+
+
+def pagerank_auto(
+    graph: LinkGraph,
+    opts: PageRankOptions | None = None,
+    init: DataFrame | None = None,
+    personalization: DataFrame | None = None,
+    **arrow_kw,
+) -> PageRankResult:
+    """Physical-plan selector for static / naive-dynamic PageRank: the
+    dense Arrow kernel while its O(N) driver-resident state fits
+    ``DRIVER_STATE_BUDGET`` (N ≈ 1e8-1e9 at the default 16 GiB — every
+    web graph the reference runs), else the fully-sharded join-agg plan
+    (``plans.pagerank.pagerank``) with NO driver-side vertex state. Both
+    produce identical ranks (same recurrence, same stop rule), so this is
+    a pure planning decision — the cluster-scale guard the design note in
+    BENCH/BASELINE.md §1 calls for.
+
+    ``arrow_kw`` (dense= / resident= / frontier=) are Arrow-path knobs:
+    passing one while the budget forces the join-agg fallback raises
+    rather than silently ignoring it (dynamic-frontier callers pick their
+    plan explicitly — ``plans.pagerank.pagerank_dynamic_frontier`` is the
+    sharded counterpart)."""
+    if dense_state_fits(graph.num_vertices):
+        return pagerank_arrow(graph, opts, init=init,
+                              personalization=personalization, **arrow_kw)
+    if arrow_kw:
+        raise ValueError(
+            f"pagerank_auto: {sorted(arrow_kw)} are dense-kernel options, "
+            f"but {graph.num_vertices} vertices exceed the driver-state "
+            "budget (SPARK_GRAFT_DRIVER_STATE_BUDGET) and the run falls "
+            "back to the join-agg plan — drop them or call pagerank_arrow "
+            "explicitly")
+    from .pagerank import pagerank
+
+    return pagerank(graph, opts, init=init, personalization=personalization)
