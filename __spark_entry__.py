@@ -1752,6 +1752,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["png_image_stats"] = png_image_stats_q
 
+    def jpeg_image_stats_q(spark, sf):
+        # per-8x8-block FLAT grayscale at quality 100: DCT of a constant
+        # block = a lone DC coefficient and the q100 quantizers are all
+        # ones, so the baseline-JPEG round-trip is EXACT and the oracle
+        # recomputes the decoded means from the block formula in closed
+        # form — while the decode exercises the real Huffman / DC-
+        # prediction / IDCT / restart-marker paths (functions/jpeg.py)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
+            image_stats, synth_jpeg_media,
+        )
+
+        return image_stats(
+            synth_jpeg_media(_docs(spark, sf).select("doc_id"), w=16, h=16))
+
+    q["jpeg_image_stats"] = jpeg_image_stats_q
+
     def audio_stats_q(spark, sf):
         from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
             audio_stats, synth_wav_media,
@@ -4233,6 +4249,21 @@ SELECT d.doc_id AS media_id,
        ROUND(AVG(CAST((d.doc_id * 31 + t.i * 3 + 14) % 256 AS DOUBLE)), 6)
          AS mean_b
 FROM documents d, UNNEST(range(0, 64)) AS t(i)
+GROUP BY d.doc_id"""
+    # 16x16 gray JPEG of four flat 8x8 blocks (value (id*37 + b*11) % 256,
+    # block b in raster order): quality-100 baseline round-trips flat
+    # blocks exactly, so the decoded mean is the mean of the 4 block
+    # values; decode_image replicates gray across RGB
+    o["jpeg_image_stats"] = """
+SELECT d.doc_id AS media_id,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       ROUND(AVG(CAST((d.doc_id * 37 + t.b * 11) % 256 AS DOUBLE)), 6)
+         AS mean_r,
+       ROUND(AVG(CAST((d.doc_id * 37 + t.b * 11) % 256 AS DOUBLE)), 6)
+         AS mean_g,
+       ROUND(AVG(CAST((d.doc_id * 37 + t.b * 11) % 256 AS DOUBLE)), 6)
+         AS mean_b
+FROM documents d, UNNEST(range(0, 4)) AS t(b)
 GROUP BY d.doc_id"""
     o["audio_stats"] = """
 SELECT d.doc_id AS media_id,

@@ -698,6 +698,23 @@ def kernel_extras(spark) -> dict:
         out["png_decode_mb_per_s"] = round(
             n_png * (64 * 64 * 3) / 1e6 / dt, 1)
         pngs.unpersist()
+        # baseline JPEG (functions/jpeg.py): Huffman entropy decode is a
+        # per-symbol Python loop — the honest pure-Python cost, reported
+        # on DECODED bytes like the others (PNG/BMP stay the fast paths)
+        from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
+            synth_jpeg_media,
+        )
+
+        jpgs = synth_jpeg_media(ids, w=64, h=64).localCheckpoint(eager=True)
+        n_jpg = jpgs.count()
+        t = time.monotonic()
+        assert image_stats(jpgs).count() == n_jpg
+        dt = time.monotonic() - t
+        out["jpeg_decode_rows"] = n_jpg
+        out["jpeg_decode_sec"] = round(dt, 3)
+        out["jpeg_decode_mb_per_s"] = round(
+            n_jpg * (64 * 64 * 3) / 1e6 / dt, 1)
+        jpgs.unpersist()
         wavs = synth_wav_media(ids, n=8000, rate=8000) \
             .localCheckpoint(eager=True)
         n_wav = wavs.count()

@@ -6,19 +6,21 @@ Codec status (honest split):
 
 - **Real, pure NumPy** — uncompressed 24-bit BI_RGB BMP
   (:func:`decode_bmp`/:func:`encode_bmp`), 16-bit PCM WAV
-  (:func:`decode_wav`/:func:`encode_wav`), and COMPRESSED 8-bit
+  (:func:`decode_wav`/:func:`encode_wav`), COMPRESSED 8-bit
   non-interlaced PNG (:func:`decode_png`/:func:`encode_png` — stdlib
   ``zlib`` inflate + vectorized scanline un-filtering for all five
-  PNG filter types, CRC-checked chunks; gray/RGB/RGBA color types).
-  :func:`image_stats`, :func:`image_features`, :func:`audio_stats`,
-  and the image path of :func:`resize_images` decode these for real
-  via the :func:`decode_image` dispatcher.
+  PNG filter types, CRC-checked chunks; gray/RGB/RGBA color types),
+  and baseline JPEG (``functions/jpeg.py`` — SOF0 Huffman sequential,
+  gray/YCbCr, 4:4:4/4:2:2/4:2:0 sampling, restart markers; progressive
+  and arithmetic flavors raise).  :func:`image_stats`,
+  :func:`image_features`, :func:`audio_stats`, and the image path of
+  :func:`resize_images` decode these for real via the
+  :func:`decode_image` dispatcher.
 - **Stubbed** — formats whose decoders need external libraries
-  (JPEG/MP3/video — PIL/ffmpeg/soundfile are not in this container):
-  those paths go through ``_codec``, which raises
-  ``NotImplementedError`` unless ``fake=True`` substitutes a
-  deterministic fake (seeded from the content hash) with the correct
-  output shape.
+  (MP3/video — ffmpeg/soundfile are not in this container): those
+  paths go through ``_codec``, which raises ``NotImplementedError``
+  unless ``fake=True`` substitutes a deterministic fake (seeded from
+  the content hash) with the correct output shape.
 """
 
 from __future__ import annotations
@@ -299,15 +301,20 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch to the real image decoders (BMP, then PNG) and normalize
-    to (H, W, 3) uint8 RGB: grayscale is replicated across channels,
-    RGBA drops alpha. Raises ``ValueError`` when no real decoder
-    matches (JPEG etc. — the stubbed formats)."""
+    """Dispatch to the real image decoders (BMP, PNG, baseline JPEG) and
+    normalize to (H, W, 3) uint8 RGB: grayscale is replicated across
+    channels, RGBA drops alpha. Raises ``ValueError`` when no real
+    decoder matches (progressive JPEG etc. — the stubbed flavors)."""
     try:
         return decode_bmp(payload)
     except ValueError:
         pass
-    px = decode_png(payload)  # ValueError propagates: no real decoder
+    try:
+        px = decode_png(payload)
+    except ValueError:
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)  # ValueError propagates: no real decoder
     if px.shape[2] == 1:
         return np.ascontiguousarray(np.repeat(px, 3, axis=2))
     if px.shape[2] == 4:
@@ -428,6 +435,11 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                 try:
                     if raw[:8] == _PNG_SIG:
                         px, enc = decode_png(raw), encode_png
+                    elif raw[:2] == b"\xff\xd8":
+                        from .jpeg import decode_jpeg, encode_jpeg
+
+                        px = decode_jpeg(raw)  # gray stays (H, W, 1)
+                        enc = lambda p: encode_jpeg(p, quality=95)  # noqa: E731
                     else:
                         px, enc = decode_bmp(raw), encode_bmp
                     ys = (np.arange(height) * px.shape[0]) // height
@@ -602,6 +614,45 @@ def synth_png_media(ids: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({
                 "media_id": ids_, "kind": ["image"] * k,
                 "payload": payloads, "mime": ["image/png"] * k,
+                "width": [w] * k, "height": [h] * k,
+                "duration_ms": [None] * k})
+
+    return ids.select(id_col).mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def synth_jpeg_media(ids: DataFrame, id_col: str = "doc_id",
+                     w: int = 16, h: int = 16) -> DataFrame:
+    """Deterministic REAL-JPEG media table from an id column: per-8x8-
+    block FLAT grayscale (block ``b`` has value ``(id*37 + b*11) mod
+    256``) encoded at quality 100 with a restart marker every 2 MCUs.
+
+    Why flat blocks: the DCT of a constant block is a lone DC
+    coefficient and the quality-100 quantizers are all ones, so the
+    baseline JPEG round-trip is EXACT — the driver's ``jpeg_image_stats``
+    DuckDB oracle recomputes the decoded per-channel means from the
+    block formula in closed form, the same oracle pattern as
+    :func:`synth_png_media`, while the decode exercises the Huffman,
+    DC-prediction, IDCT, and restart-resync paths for real."""
+    from .jpeg import encode_jpeg
+
+    if w % 8 or h % 8:
+        raise ValueError("synth_jpeg_media needs 8-aligned dimensions "
+                         "(flat-block exactness argument)")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        by, bx = h // 8, w // 8
+        bidx = (np.arange(h)[:, None] // 8) * bx + (np.arange(w)[None, :] // 8)
+        for pdf in batches:
+            ids_, payloads = [], []
+            for did in pdf[id_col]:
+                px = ((int(did) * 37 + bidx * 11) % 256).astype(np.uint8)
+                payloads.append(encode_jpeg(px, quality=100,
+                                            restart_interval=2))
+                ids_.append(did)
+            k = len(ids_)
+            yield pd.DataFrame({
+                "media_id": ids_, "kind": ["image"] * k,
+                "payload": payloads, "mime": ["image/jpeg"] * k,
                 "width": [w] * k, "height": [h] * k,
                 "duration_ms": [None] * k})
 

@@ -74,15 +74,21 @@ def main():
                                            metrics_level="none"),
                         dense=dense, resident=True)
 
-    edges_pdf = (g.edges.filter(F.col("src") != F.col("dst"))
-                 .select("src", "dst").toPandas())
+    # deletion candidates are SAMPLED distributively (seeded Bernoulli
+    # sample + limit): the driver sees O(batch) rows per fraction, never
+    # the edge table — required once the sweep runs on the ~100M-edge
+    # thread-curve graph
+    base_edges = g.edges.filter(F.col("src") != F.col("dst")) \
+        .select("src", "dst")
+    m_nonloop = max(1, g.num_edges - g.num_vertices)
     rng = np.random.default_rng(42)
     rows = []
-    for frac in fracs:
+    for fi, frac in enumerate(fracs):
         k = max(1, int(g.num_edges * frac))
         # deletions: existing non-loop edges; insertions: new random edges
-        idx = rng.choice(len(edges_pdf), size=k, replace=False)
-        dels = edges_pdf.iloc[idx][["src", "dst"]].copy()
+        over = min(1.0, 3.0 * k / m_nonloop + 1e-6)
+        dels = (base_edges.sample(False, over, seed=42 + fi)
+                .limit(k).toPandas())
         dels["op"] = "del"
         ids = np.asarray(dense.ids)
         ins = pd.DataFrame({

@@ -274,3 +274,93 @@ def test_resize_real_bmp_nearest_neighbor(spark):
     ys = (np.arange(4) * 8) // 4
     xs = (np.arange(4) * 8) // 4
     assert np.array_equal(px, src[ys][:, xs])
+
+
+# --- baseline JPEG (functions/jpeg.py) --------------------------------------
+
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """Quality-100 flat 8x8 blocks round-trip EXACTLY (DC-only blocks,
+    all-ones quantizers) — the exactness anchor the jpeg_image_stats
+    oracle rests on."""
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    bidx = (np.arange(16)[:, None] // 8) * 2 + (np.arange(16)[None, :] // 8)
+    for did in (0, 3, 11, 255):
+        px = ((did * 37 + bidx * 11) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=100, restart_interval=2))
+        assert out.shape == (16, 16, 1)
+        assert np.array_equal(out[:, :, 0], px)
+
+
+def test_jpeg_rgb_and_subsampled_roundtrip():
+    """4:4:4 and 4:2:0 color round-trips: flat color exact at q100;
+    smooth gradients within a tight bound at q95; restart markers
+    change the byte stream but not the decode."""
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    flat = np.zeros((16, 16, 3), np.uint8)
+    flat[:] = (200, 30, 90)
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg(flat, quality=100, subsample=sub))
+        assert np.array_equal(out, flat), f"subsample={sub}"
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack([(yy * 2 + xx) % 256, (yy + xx * 2) % 256,
+                    (yy * 3) % 256], axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+    rng = np.random.default_rng(5)
+    noisy = rng.integers(0, 256, (40, 24, 3), dtype=np.uint8)
+    a = decode_jpeg(encode_jpeg(noisy, quality=85))
+    b = decode_jpeg(encode_jpeg(noisy, quality=85, restart_interval=3))
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_rejects_unsupported():
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    # progressive (SOF2) must raise, not mis-decode
+    good = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = good.find(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(good))
+    # truncated entropy stream
+    whole = encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    with pytest.raises(ValueError):
+        decode_jpeg(whole[: len(whole) // 2])
+
+
+def test_jpeg_image_stats_and_resize(spark):
+    """synth_jpeg_media flows through image_stats (exact closed-form
+    means) and resize_images re-encodes gray JPEG as gray JPEG."""
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.jpeg import (
+        decode_jpeg,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.functions.multimodal import (
+        synth_jpeg_media,
+    )
+
+    ids = spark.range(10).selectExpr("id as doc_id")
+    media = synth_jpeg_media(ids, w=16, h=16)
+    stats = image_stats(media).toPandas().sort_values("media_id")
+    assert len(stats) == 10
+    for _, row in stats.iterrows():
+        vals = [(int(row.media_id) * 37 + b * 11) % 256 for b in range(4)]
+        want = round(sum(vals) / 4, 6)
+        assert row.mean_r == want and row.mean_g == want \
+            and row.mean_b == want
+    out = resize_images(media, width=8, height=8).toPandas()
+    back = decode_jpeg(bytes(out["payload"][0]))
+    assert back.shape == (8, 8, 1)  # gray stays gray through resize
