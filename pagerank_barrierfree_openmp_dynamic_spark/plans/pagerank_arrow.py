@@ -52,20 +52,50 @@ from collections import OrderedDict  # noqa: E402
 
 _BLOCK_CACHE: OrderedDict = OrderedDict()
 _BLOCK_CACHE_MAX = 192
+# Byte budget per WORKER PROCESS in addition to the entry cap: derived
+# per-slice arrays (the gs/own/upd sorted forms) are ~30 bytes/edge, so at
+# 100M-edge scale a single entry is ~100 MB and 192 of them would be ~20 GB
+# *per worker* — the box OOMs long before the entry cap bites (observed:
+# the JVM got OOM-killed mid-experiment). mmap-backed views cost pages the
+# OS can reclaim, so they are counted as free. Override with
+# SPARK_GRAFT_WORKER_CACHE_BYTES to match executor memory on a cluster.
+_BLOCK_CACHE_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_WORKER_CACHE_BYTES", str(1536 * 1024 * 1024)))
+_BLOCK_CACHE_USED = 0
+
+
+def _entry_nbytes(blk) -> int:
+    if isinstance(blk, np.memmap):
+        return 0  # page-cache backed; reclaimable, shared across workers
+    if isinstance(blk, np.ndarray):
+        return int(blk.nbytes)
+    if isinstance(blk, (tuple, list)):
+        return sum(_entry_nbytes(b) for b in blk)
+    return 0
 
 
 def _cache_get(key):
     blk = _BLOCK_CACHE.get(key)
     if blk is not None:
         _BLOCK_CACHE.move_to_end(key)
-    return blk
+        return blk[1]
+    return None
 
 
 def _cache_put(key, blk):
-    _BLOCK_CACHE[key] = blk
-    _BLOCK_CACHE.move_to_end(key)
-    while len(_BLOCK_CACHE) > _BLOCK_CACHE_MAX:
-        _BLOCK_CACHE.popitem(last=False)
+    global _BLOCK_CACHE_USED
+    nb = _entry_nbytes(blk)
+    old = _BLOCK_CACHE.pop(key, None)
+    if old is not None:
+        _BLOCK_CACHE_USED -= old[0]
+    _BLOCK_CACHE[key] = (nb, blk)
+    _BLOCK_CACHE_USED += nb
+    while _BLOCK_CACHE and (
+            len(_BLOCK_CACHE) > _BLOCK_CACHE_MAX
+            or (_BLOCK_CACHE_USED > _BLOCK_CACHE_BYTES
+                and len(_BLOCK_CACHE) > 1)):
+        _k, (onb, _b) = _BLOCK_CACHE.popitem(last=False)
+        _BLOCK_CACHE_USED -= onb
 
 
 def fault_draw(seed: int, it: int, s: int) -> float:
@@ -319,6 +349,71 @@ class DenseGraph:
                 "restored with load() has forward slices only; rebuild via "
                 "DenseGraph(graph)")
         self._write_slices("src_idx", "rslice_", with_w=False)
+        open(marker, "w").close()
+        return self
+
+    def materialize_masked(self) -> "DenseGraph":
+        """Write per-slice DST-SORTED auxiliary files for the frontier-
+        masked scatter: ``msort_{s}_{src,own}.npy`` (+``_w`` when
+        weighted) with an ``indptr`` over the owned residue positions,
+        plus a SRC-SORTED live-edge view ``esort_{s}_{src,dst}.npy`` for
+        mover expansion. The masked kernel mmaps these — a sparse
+        superstep reads O(active in-edges) PAGES, worker processes hold
+        NO derived per-slice arrays in RAM (the in-memory CSR variant
+        thrashed the worker block cache at 100M-edge scale: ~100 MB per
+        slice × slices × generations), and the OS page cache keeps one
+        physical copy shared by every worker. Stable dst-sort preserves
+        each destination's in-edge file order, so masked sums are
+        FP-identical to the unsorted scatter. Built once per graph,
+        idempotent; delta overlays stay small and are sorted per task at
+        superstep time."""
+        import os
+
+        if self.resident_dir is None:
+            self.materialize()
+        marker = f"{self.resident_dir}/_msort_done"
+        if os.path.exists(marker):
+            return self
+        d = self.resident_dir
+        P = self.n_slices
+        n = self.n
+        weighted = self.weighted
+        spark = self.graph.edges.sparkSession
+
+        def build_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            done = []
+            for pdf in batches:
+                for s in pdf["id"].to_numpy():
+                    s = int(s)
+                    src = np.load(f"{d}/slice_{s}_src.npy", mmap_mode="r")
+                    dst = np.load(f"{d}/slice_{s}_dst.npy", mmap_mode="r")
+                    src = np.asarray(src)
+                    dst = np.asarray(dst)
+                    own = (dst // P).astype(np.int64)
+                    order = np.argsort(own, kind="stable")
+                    own_s = own[order]
+                    seg_len = len(range(s, n, P))
+                    np.save(f"{d}/msort_{s}_src.npy",
+                            src[order].astype(np.int32))
+                    np.save(f"{d}/msort_{s}_own.npy",
+                            own_s.astype(np.int32))
+                    np.save(f"{d}/msort_{s}_ptr.npy", np.searchsorted(
+                        own_s, np.arange(seg_len + 1)).astype(np.int64))
+                    if weighted:
+                        w = np.asarray(np.load(f"{d}/slice_{s}_w.npy",
+                                               mmap_mode="r"))
+                        np.save(f"{d}/msort_{s}_w.npy",
+                                w[order].astype(np.float64))
+                    so = np.argsort(src, kind="stable")
+                    np.save(f"{d}/esort_{s}_src.npy",
+                            src[so].astype(np.int32))
+                    np.save(f"{d}/esort_{s}_dst.npy",
+                            dst[so].astype(np.int32))
+                    done.append(s)
+            yield pd.DataFrame({"slice": done})
+
+        (spark.range(0, P, 1, P).withColumnRenamed("id", "id")
+         .mapInPandas(build_fn, "slice int").count())
         open(marker, "w").close()
         return self
 
@@ -701,69 +796,290 @@ def _load_update_slice(resident_dir: str, epoch: str, s: int, overlays: tuple,
     return comps
 
 
+def _ragged_take(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate the index ranges [starts[i], starts[i]+lens[i]) —
+    the vectorized CSR row-gather (no Python loop over rows)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ends = lens.cumsum()
+    return np.repeat(starts - (ends - lens), lens) + np.arange(total)
+
+
+def _load_msort(resident_dir: str, epoch: str, s: int, overlays: tuple,
+                n_slices: int, weighted: bool,
+                ivd: np.ndarray | None):
+    """Worker-side: mmap views of slice ``s``'s dst-sorted base files
+    (written by ``DenseGraph.materialize_masked``) plus the slice's delta
+    overlays SORTED in-RAM (overlays are O(batch) — tiny). Returns
+    ``(msrc, mown, indptr, mw_or_None, esrc, edst, delta_csr,
+    delta_live)`` where ``delta_csr`` entries are
+    ``(ds_sorted, own_sorted, f_sorted, sign)`` and ``delta_live`` the
+    inserted edges' (src-sorted src, dst) for expansion.
+
+    Only the mmap handles and the tiny delta arrays are cached — a
+    worker's block cache stays O(batch) bytes per slice regardless of
+    slice edge count (the page cache holds the single physical copy of
+    the sorted files)."""
+    key = (epoch, "msort", int(s), tuple(overlays), bool(weighted))
+    block = _cache_get(key)
+    if block is None:
+        msrc = np.load(f"{resident_dir}/msort_{s}_src.npy", mmap_mode="r")
+        mown = np.load(f"{resident_dir}/msort_{s}_own.npy", mmap_mode="r")
+        indptr = np.load(f"{resident_dir}/msort_{s}_ptr.npy", mmap_mode="r")
+        mw = (np.load(f"{resident_dir}/msort_{s}_w.npy", mmap_mode="r")
+              if weighted else None)
+        esrc = np.load(f"{resident_dir}/esort_{s}_src.npy", mmap_mode="r")
+        edst = np.load(f"{resident_dir}/esort_{s}_dst.npy", mmap_mode="r")
+        delta_csr, dl_src, dl_dst = [], [], []
+        if overlays:
+            _bs, _bd, _bw, deltas = _load_slice(
+                resident_dir, epoch, s, overlays, weighted)
+            P = n_slices
+            for dsrc, ddst, dw, sign in deltas:
+                dsrc = np.asarray(dsrc)
+                ddst = np.asarray(ddst)
+                own = (ddst // P).astype(np.int64)
+                order = np.argsort(own, kind="stable")
+                ds_s = dsrc[order]
+                f_s = (np.asarray(dw)[order] if weighted else ivd[ds_s])
+                delta_csr.append((ds_s, own[order], f_s, float(sign)))
+                if sign > 0 and dsrc.size:
+                    dl_src.append(dsrc)
+                    dl_dst.append(ddst)
+        if dl_src:
+            lsrc = np.concatenate(dl_src)
+            ldst = np.concatenate(dl_dst)
+            so = np.argsort(lsrc, kind="stable")
+            delta_live = (lsrc[so], ldst[so])
+        else:
+            delta_live = (np.empty(0, np.int32), np.empty(0, np.int32))
+        block = (msrc, mown, indptr, mw, esrc, edst, delta_csr, delta_live)
+        _cache_put(key, block)
+    return block
+
+
 def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
-                         overlays: tuple, q_bc, mask_bc, movers_bc=None,
-                         weighted: bool = False, fault=None):
+                         overlays: tuple, state_bc,
+                         weighted: bool = False, ivd_bc=None,
+                         d: float = 0.85, c0: float | None = None,
+                         D: float = 0.0, tol: float = 0.0,
+                         contracting: bool = False,
+                         fault=None):
     """Scatter over resident slices: the input DataFrame carries only slice
     ids — zero edge bytes cross the JVM<->Python boundary after warmup.
-    Slice ``s`` owns destination indices ``s, s+P, s+2P, ...`` and emits
-    exactly that compact segment of the accumulator. ``q_bc`` broadcasts
-    q = r / outdeg; delta overlays contribute with their sign.
+    Slice ``s`` owns destination indices ``s, s+P, s+2P, ...``.
+    ``state_bc`` is the superstep's SINGLE broadcast, carrying
+    ``(rank vector, scope mask or None, movers pair or None)`` — one
+    driver round-trip per superstep instead of three. Per-edge scatter
+    factors (transition weight, or 1/outdeg from the run-static
+    ``ivd_bc``) are pre-gathered in the cached slice forms, and delta
+    overlays contribute with their sign.
 
-    ``movers_bc`` fuses the previous superstep's frontier expansion into
-    this scatter (halving the jobs per dynamic superstep): because a slice
-    owns ALL in-edges of its dst residue class, each task can expand the
-    movers' out-neighbors locally, widen its own scatter mask with them
-    (their accumulators are then complete), and report the expansion in the
-    ``exp`` column for the driver to fold into the affected set."""
+    Frontier mode (``mask_bc`` set) runs over the cached DST-CSR form
+    (``_load_masked_slice``): the active owned positions select their
+    in-edge ranges by indptr (one vectorized ragged gather), so the
+    superstep's work — and its Arrow output, emitted SPARSE as
+    (idx, val) pairs — is proportional to the affected set's in-edges,
+    not to the slice's edge count. With a scalar teleport ``c0`` the rank
+    update itself is FUSED into the task (the same fusion
+    ``_resident_update_fn`` gives the full sweep): sparse rows carry NEW
+    rank values, dense (flooded) rows a full new-rank segment with
+    untouched positions copied from ``r``. ``c0=None`` (vector-teleport
+    personalization) emits raw accumulators instead. Together these turn
+    the reference's frontier pruning from an edge-work claim into a
+    wall-clock win at 100M-edge scale (README.md:47-58).
+
+    The movers pair ``(mask, sorted-index-array)`` fuses the previous
+    superstep's frontier expansion into this scatter (halving the jobs
+    per dynamic superstep): because a slice owns ALL in-edges of its dst
+    residue class, each task expands the movers' out-neighbors locally
+    via the src-sorted live-edge view, density-switched between
+    O(|movers| log E + out-edges) binary search and one O(E) boolean
+    gather, widens its own active set with them (their accumulators are
+    then complete), and reports the expansion in the ``exp`` column for
+    the driver to fold into the affected set."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q = q_bc.value
-        mask = mask_bc.value if mask_bc is not None else None
-        movers = movers_bc.value if movers_bc is not None else None
+        r, mask, movers = state_bc.value
+        ivd = ivd_bc.value if ivd_bc is not None else None
+        movers_idx = movers[1] if movers is not None else None
         P = n_slices
         for pdf in batches:
             for s in pdf["id"].to_numpy():
                 s = int(s)
                 _inject_fault(fault, s)
                 seg_len = len(range(s, n, P))
-                comps = _load_scatter_slice(
-                    resident_dir, epoch, s, overlays, P, weighted)
+                if mask is None:
+                    # full sweep (vector-teleport static/naive): bincount
+                    # over the pre-gathered (src, own, f) comps
+                    comps = _load_update_slice(
+                        resident_dir, epoch, s, overlays, P, weighted, ivd)
+                    seg = np.zeros(seg_len)
+                    m_edges = 0
+                    for src, own, f, sign in comps:
+                        if src.size:
+                            seg += sign * np.bincount(
+                                own, weights=r[src] * f, minlength=seg_len)
+                            m_edges += int(src.size)
+                    yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()],
+                                        "idx": [b""], "m": [m_edges],
+                                        "exp": [b""], "mov": [b""],
+                                        "keep": [b""], "nact": [0],
+                                        "e1": [0.0], "e2": [0.0],
+                                        "ei": [0.0]})
+                    continue
+                msrc, mown, indptr, mw, esrc, edst, dcsr, dlive = _load_msort(
+                    resident_dir, epoch, s, overlays, P, weighted, ivd)
+                mask_seg = mask[s::P]
                 exp_idx = np.empty(0, np.int32)
+                exp_own = None
                 if movers is not None:
-                    # expansion walks live out-edges (base + inserted),
-                    # matching _resident_expand_fn
-                    outs = [
-                        dd[movers[ds]]
-                        for ds, dd, _own, _w, sg in comps
-                        if sg > 0 and ds.size
-                    ]
-                    outs = [e for e in outs if e.size]
-                    if outs:
-                        exp_idx = np.unique(
-                            np.concatenate(outs)).astype(np.int32)
-                exp_seg = None
-                if exp_idx.size:
-                    exp_seg = np.zeros(seg_len, dtype=bool)
-                    exp_seg[exp_idx // P] = True
+                    m_mask = movers[0]
+                    hits = []
+                    for es, ed in ((esrc, edst), dlive):
+                        if not len(es):
+                            continue
+                        # density switch: few movers -> binary-search
+                        # their out-edge ranges, touching O(M) pages of
+                        # the mmap'd src-sorted view; many (the driver
+                        # then ships no index array) -> one boolean
+                        # gather over the live edges
+                        if (movers_idx is not None
+                                and movers_idx.size * 20 < len(es)):
+                            lo = np.searchsorted(es, movers_idx, "left")
+                            hi = np.searchsorted(es, movers_idx, "right")
+                            pos = _ragged_take(lo, hi - lo)
+                            if pos.size:
+                                hits.append(np.asarray(ed)[pos])
+                        else:
+                            sel = m_mask[np.asarray(es)]
+                            if sel.any():
+                                hits.append(np.asarray(ed)[sel])
+                    if hits:
+                        # owned-position flags instead of a sort-unique:
+                        # O(hits + segment), and only NEWLY-activated
+                        # positions leave the task (the driver's fold is
+                        # idempotent, so already-masked ones carry no
+                        # information — keeps flooded-phase output tiny)
+                        expb = np.zeros(seg_len, dtype=bool)
+                        for h in hits:
+                            expb[h // P] = True
+                        exp_own = np.flatnonzero(expb)
+                        exp_idx = ((exp_own[~mask_seg[exp_own]] * P + s)
+                                   .astype(np.int32))
+                act = np.flatnonzero(mask_seg).astype(np.int64)
+                if exp_own is not None and exp_own.size:
+                    act = np.union1d(act, exp_own)
                 seg = np.zeros(seg_len)
                 m_edges = 0
-                for ds, dd, own, ww, sign in comps:
-                    if mask is not None and dd.size:
-                        keep = mask[dd]
-                        if exp_seg is not None:
-                            keep = keep | exp_seg[own]
-                        ds, own = ds[keep], own[keep]
-                        if ww is not None:
-                            ww = ww[keep]
-                    if own.size:
-                        contrib = q[ds] if ww is None else q[ds] * ww
-                        seg += sign * np.bincount(own, weights=contrib,
-                                                  minlength=seg_len)
-                        m_edges += int(own.size)
-                yield pd.DataFrame({"slice": [s], "acc": [seg.tobytes()],
-                                    "m": [m_edges],
-                                    "exp": [exp_idx.tobytes()]})
+                dense_frontier = True
+                if act.size:
+                    # exact selected-edge count from the indptr (O(act)
+                    # mmap reads) drives the second density switch: a
+                    # SPARSE frontier gathers only its in-edge ranges and
+                    # emits (idx, val) pairs; a DENSE (flooded) frontier
+                    # reverts to the boolean-mask bincount over the
+                    # dst-sorted arrays — same restriction, same per-dst
+                    # summation order, identical FP results, cheaper
+                    # constants
+                    starts = indptr[act]
+                    lens = indptr[act + 1] - starts
+                    sel_edges = int(lens.sum())
+                    total_edges = len(msrc)
+                    if sel_edges * 4 < total_edges:
+                        dense_frontier = False
+                        pos = _ragged_take(starts, lens)
+                        if pos.size:
+                            src_sel = np.asarray(msrc[pos])
+                            f = (np.asarray(mw[pos]) if weighted
+                                 else ivd[src_sel])
+                            seg += np.bincount(
+                                np.asarray(mown[pos]),
+                                weights=r[src_sel] * f, minlength=seg_len)
+                            m_edges += int(pos.size)
+                        for ds_s, own_s, f_s, sign in dcsr:
+                            dlo = np.searchsorted(own_s, act)
+                            dhi = np.searchsorted(own_s, act, "right")
+                            dpos = _ragged_take(dlo, dhi - dlo)
+                            if dpos.size:
+                                seg += sign * np.bincount(
+                                    own_s[dpos],
+                                    weights=r[ds_s[dpos]] * f_s[dpos],
+                                    minlength=seg_len)
+                                m_edges += int(dpos.size)
+                    else:
+                        act_seg = np.zeros(seg_len, dtype=bool)
+                        act_seg[act] = True
+                        mown_a = np.asarray(mown)
+                        keep = act_seg[mown_a]
+                        if keep.any():
+                            dsk = np.asarray(msrc)[keep]
+                            f = (np.asarray(mw)[keep] if weighted
+                                 else ivd[dsk])
+                            seg += np.bincount(
+                                mown_a[keep], weights=r[dsk] * f,
+                                minlength=seg_len)
+                            m_edges += int(dsk.size)
+                        for ds_s, own_s, f_s, sign in dcsr:
+                            if own_s.size:
+                                dk = act_seg[own_s]
+                                if dk.any():
+                                    seg += sign * np.bincount(
+                                        own_s[dk],
+                                        weights=r[ds_s[dk]] * f_s[dk],
+                                        minlength=seg_len)
+                                    m_edges += int(dk.sum())
+                if c0 is None:
+                    # vector-teleport personalization: raw accumulators,
+                    # driver applies the (vector) rank update
+                    if not dense_frontier:
+                        yield pd.DataFrame({
+                            "slice": [s], "acc": [seg[act].tobytes()],
+                            "idx": [(act * P + s).tobytes()],
+                            "m": [m_edges], "exp": [exp_idx.tobytes()],
+                            "mov": [b""], "keep": [b""], "nact": [0],
+                            "e1": [0.0], "e2": [0.0], "ei": [0.0]})
+                    else:
+                        yield pd.DataFrame({
+                            "slice": [s], "acc": [seg.tobytes()],
+                            "idx": [b""], "m": [m_edges],
+                            "exp": [exp_idx.tobytes()],
+                            "mov": [b""], "keep": [b""], "nact": [0],
+                            "e1": [0.0], "e2": [0.0], "ei": [0.0]})
+                    continue
+                # FULLY fused: new ranks, per-slice norm partials, the
+                # next superstep's movers, and (contracting) surviving
+                # actives all computed here — the driver's per-superstep
+                # serial work drops to segment placement + P-way combines
+                gidx = act * P + s
+                vals = c0 + d * seg[act]
+                dl = np.abs(vals - r[gidx])
+                e1 = float(dl.sum())
+                e2 = float(dl @ dl)
+                ei = float(dl.max()) if dl.size else 0.0
+                mov = gidx[dl > D]
+                keep = (gidx[dl > tol] if contracting
+                        else np.empty(0, np.int64))
+                if not dense_frontier:
+                    yield pd.DataFrame({
+                        "slice": [s], "acc": [vals.tobytes()],
+                        "idx": [gidx.tobytes()],
+                        "m": [m_edges], "exp": [exp_idx.tobytes()],
+                        "mov": [mov.tobytes()], "keep": [keep.tobytes()],
+                        "nact": [int(act.size)],
+                        "e1": [e1], "e2": [e2], "ei": [ei]})
+                    continue
+                out_seg = np.array(r[s::P], dtype=np.float64)
+                if act.size:
+                    out_seg[act] = vals
+                yield pd.DataFrame({
+                    "slice": [s], "acc": [out_seg.tobytes()],
+                    "idx": [b""], "m": [m_edges],
+                    "exp": [exp_idx.tobytes()],
+                    "mov": [mov.tobytes()], "keep": [keep.tobytes()],
+                    "nact": [int(act.size)],
+                    "e1": [e1], "e2": [e2], "ei": [ei]})
 
     return fn
 
@@ -870,7 +1186,9 @@ def _gs_update_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mask = mask_bc.value if mask_bc is not None else None
-        movers = movers_bc.value if movers_bc is not None else None
+        # movers broadcast is a (mask, sorted-index) pair; this kernel
+        # gathers by mask
+        movers = movers_bc.value[0] if movers_bc is not None else None
         r_shared = (np.load(shared_path, mmap_mode="r+")
                     if shared_path else None)
         r_glob = r_shared if r_shared is not None else r_bc.value
@@ -1193,7 +1511,7 @@ def load_label_checkpoint(graph, dense, store, expect_mode=None):
 def _resident_expand_fn(resident_dir: str, epoch: str, overlays: tuple,
                         movers_bc):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        m = movers_bc.value
+        m = movers_bc.value[0]  # (mask, idx) pair; walk by mask here
         outs = []
         for pdf in batches:
             for s in pdf["id"].to_numpy():
@@ -1266,6 +1584,9 @@ def pagerank_arrow(
             "only — run with resident=True (or rebuild for streaming mode)")
     if resident and dg.resident_dir is None:
         dg.materialize()
+    if resident and frontier is not None:
+        # frontier-masked supersteps read the dst-sorted mmap files
+        dg.materialize_masked()
     gs_mode = o.async_updates
     if gs_mode:
         if gs_mode not in ("slice", "shared"):
@@ -1371,17 +1692,27 @@ def pagerank_arrow(
     # P scalars, shrinking the per-superstep serial term.
     fused = bool(resident and gs_mode is None and frontier is None
                  and personalization is None)
+    # FUSED frontier path (resident sync dynamic, scalar teleport): the
+    # masked scatter tasks apply the rank update themselves and emit new
+    # rank values (sparse for small frontiers) — _resident_scatter_fn.
+    fused_frontier = bool(resident and gs_mode is None
+                          and frontier is not None and personalization is None)
     ivd_bc = None
     shared_path = None
-    if (gs_mode or fused) and not dg.weighted:
+    if resident and not dg.weighted:
+        # run-static 1/outdeg broadcast: every resident kernel gathers
+        # per-edge factors from the cached slice forms
         ivd_bc = sc.broadcast(inv_deg)
     if gs_mode == "shared":
         shared_path = f"{dg.resident_dir}/async_r_{run_id}.npy"
         np.save(shared_path, r)
     # resident dynamic mode fuses frontier expansion into the NEXT
     # superstep's scatter (one distributed job per superstep instead of
-    # two); this broadcast carries the previous superstep's movers mask
+    # two). The async path ships the previous superstep's movers as its
+    # own broadcast (pending_movers_bc); the sync scatter packs them into
+    # the superstep's single state broadcast (pending_movers arrays).
     pending_movers_bc = None
+    pending_movers: tuple | None = None
     with adaptive_execution(spark, o.adaptive_supersteps):
         while it < o.max_iterations:
             t_it = time.monotonic()
@@ -1396,13 +1727,23 @@ def pagerank_arrow(
             # from the run-static ivd broadcast so it can keep updating its
             # own sources mid-pass); shared mode ships NO rank state at all
             # — workers read/write the mmap'd buffer.
+            scope = active if o.contracting and active is not None else affected
             if gs_mode or fused:
                 ranks_bc = (sc.broadcast(r) if shared_path is None else None)
+            elif resident:
+                # ONE per-superstep broadcast for the resident scatter:
+                # (r, scope, movers). A broadcast create/destroy round-trip
+                # costs ~30-40 ms of driver RPC in local mode — the frontier
+                # path used to pay three per superstep, which dominated its
+                # fixed cost at sparse frontiers
+                ranks_bc = sc.broadcast((r, scope, pending_movers))
             else:
                 ranks_bc = sc.broadcast(r if dg.weighted else r * inv_deg)
-            scope = active if o.contracting and active is not None else affected
-            mask_bc = sc.broadcast(scope) if scope is not None else None
-            acc = np.zeros(n) if not fused else None
+            mask_bc = (sc.broadcast(scope)
+                       if scope is not None and (gs_mode or not resident)
+                       else None)
+            acc = (np.zeros(n)
+                   if not (fused or (fused_frontier and resident)) else None)
             new_r: np.ndarray | None = None
             fused_norms: tuple[float, float, float] | None = None
             slice_edges: dict[int, int] = {}
@@ -1430,11 +1771,21 @@ def pagerank_arrow(
                     kernel = _resident_scatter_fn(
                         dg.resident_dir, dg.epoch, n, dg.n_slices,
                         dg.overlays,
-                        ranks_bc, mask_bc, pending_movers_bc,
-                        weighted=dg.weighted, fault=fault)
-                schema = ("slice int, acc binary, m long, e1 double, "
-                          "e2 double, ei double") if fused else (
-                    "slice int, acc binary, m long, exp binary")
+                        ranks_bc,
+                        weighted=dg.weighted, ivd_bc=ivd_bc, d=d,
+                        c0=(float(c0) if fused_frontier else None),
+                        D=D, tol=tol,
+                        contracting=bool(o.contracting and active is not None),
+                        fault=fault)
+                if fused:
+                    schema = ("slice int, acc binary, m long, e1 double, "
+                              "e2 double, ei double")
+                elif gs_mode:
+                    schema = "slice int, acc binary, m long, exp binary"
+                else:
+                    schema = ("slice int, acc binary, idx binary, m long, "
+                              "exp binary, mov binary, keep binary, "
+                              "nact long, e1 double, e2 double, ei double")
                 parts = slice_df.mapInPandas(kernel, schema).toPandas()
                 P = dg.n_slices
                 if gs_mode:
@@ -1453,12 +1804,57 @@ def pagerank_arrow(
                     fused_norms = (float(parts["e1"].sum()),
                                    float(parts["e2"].sum()),
                                    float(parts["ei"].max()))
+                elif scope is not None:
+                    # frontier mode: sparse slices emit (idx, val) pairs,
+                    # dense (flooded) slices a full segment with empty idx.
+                    # With the fused update the values ARE new ranks —
+                    # place them IN PLACE over r (the broadcast pickled the
+                    # old values; no driver copy) and combine the per-slice
+                    # norm/mover/keep partials; else raw accumulators.
+                    if fused_frontier:
+                        ff_rows = 0
+                        ff_e1 = ff_e2 = ff_ei = 0.0
+                        ff_mov: list = []
+                        ff_keep: list = []
+                        for (s, blob, ib, m_e, na, mv, kp, p1, p2, pi) in zip(
+                                parts["slice"], parts["acc"], parts["idx"],
+                                parts["m"], parts["nact"], parts["mov"],
+                                parts["keep"], parts["e1"], parts["e2"],
+                                parts["ei"]):
+                            if len(ib):
+                                r[np.frombuffer(ib, dtype=np.int64)] = \
+                                    np.frombuffer(blob, dtype=np.float64)
+                            elif len(blob):
+                                r[int(s)::P] = np.frombuffer(
+                                    blob, dtype=np.float64)
+                            if len(mv):
+                                ff_mov.append(np.frombuffer(mv, np.int64))
+                            if len(kp):
+                                ff_keep.append(np.frombuffer(kp, np.int64))
+                            ff_rows += int(na)
+                            ff_e1 += float(p1)
+                            ff_e2 += float(p2)
+                            ff_ei = max(ff_ei, float(pi))
+                            slice_edges[int(s)] = int(m_e)
+                        new_r = r
+                    else:
+                        for s, blob, ib, m_e in zip(
+                                parts["slice"], parts["acc"], parts["idx"],
+                                parts["m"]):
+                            if len(ib):
+                                acc[np.frombuffer(ib, dtype=np.int64)] = \
+                                    np.frombuffer(blob, dtype=np.float64)
+                            elif len(blob):
+                                acc[int(s)::P] = np.frombuffer(
+                                    blob, dtype=np.float64)
+                            slice_edges[int(s)] = int(m_e)
                 else:
                     for s, blob, m_e in zip(parts["slice"], parts["acc"],
                                             parts["m"]):
                         acc[int(s)::P] = np.frombuffer(blob, dtype=np.float64)
                         slice_edges[int(s)] = int(m_e)
-                if affected is not None and pending_movers_bc is not None:
+                if affected is not None and (pending_movers_bc is not None
+                                             or pending_movers is not None):
                     # fold the worker-side expansions into the affected set;
                     # their accumulators are already complete (each slice
                     # widened its own mask before scattering)
@@ -1477,7 +1873,11 @@ def pagerank_arrow(
                     acc += np.frombuffer(blob, dtype=np.float64)
             if new_r is None:
                 new_r = c0 + d * acc
-            if affected is not None:
+            ff = fused_frontier and resident
+            if ff:
+                delta = None  # update/norms/movers computed in the tasks
+                rows = ff_rows
+            elif affected is not None:
                 # frontier semantics: only in-scope vertices update
                 # (pagerankCalculateRanks fa filter, src/pagerank.hxx:229-256)
                 upd = scope
@@ -1493,7 +1893,11 @@ def pagerank_arrow(
                 delta = np.abs(new_r - r)
                 rows = n
             it += 1
-            if fused_norms is not None:
+            if ff:
+                err = {"L1": ff_e1, "L2": ff_e2,
+                       "Li": ff_ei}[o.tolerance_norm]
+                linf = ff_ei
+            elif fused_norms is not None:
                 e1, e2, ei = fused_norms
                 err = {"L1": e1, "L2": e2, "Li": ei}[o.tolerance_norm]
                 linf = ei
@@ -1502,16 +1906,46 @@ def pagerank_arrow(
                             o.tolerance_norm)
                 linf = float(np.max(delta)) if delta.size else 0.0
 
-            if affected is not None:
+            if ff:
+                # movers for the next superstep and the contracting
+                # survivor set were computed inside the tasks
+                pending_movers = None
+                if ff_mov:
+                    mcat = np.concatenate(ff_mov)
+                    mmask = np.zeros(n, dtype=bool)
+                    mmask[mcat] = True
+                    midx = np.flatnonzero(mmask)
+                    pending_movers = (mmask,
+                                      midx if midx.size * 16 < n else None)
+                if o.contracting and active is not None:
+                    # equivalent to the legacy fold-then-filter: keep =
+                    # (updated positions with delta > tol); the exp fold
+                    # above already matches the legacy ordering
+                    active[:] = False
+                    if ff_keep:
+                        active[np.concatenate(ff_keep)] = True
+            elif affected is not None:
                 movers_mask = delta > D
                 if pending_movers_bc is not None:
                     pending_movers_bc.destroy()
                     pending_movers_bc = None
+                pending_movers = None
                 if resident:
-                    # fused expansion: ship the movers mask with the NEXT
-                    # superstep's scatter instead of a separate job
+                    # fused expansion: ship the movers (mask + sorted index
+                    # array — the sync kernel walks the src-sorted live-edge
+                    # view by index, the async kernel gathers by mask) with
+                    # the NEXT superstep's scatter instead of a separate job
                     if movers_mask.any():
-                        pending_movers_bc = sc.broadcast(movers_mask)
+                        midx = np.flatnonzero(movers_mask).astype(np.int64)
+                        # ship the index array only while it is small — a
+                        # flooded movers set would add 8N bytes to the
+                        # broadcast for a path the kernel won't take
+                        mm = (movers_mask,
+                              midx if midx.size * 16 < n else None)
+                        if gs_mode:
+                            pending_movers_bc = sc.broadcast(mm)
+                        else:
+                            pending_movers = mm  # rides the state broadcast
                     if o.contracting and active is not None:
                         active &= delta > tol  # converged drop out; neighbor
                         # push re-activates when the expansion folds in
@@ -1560,23 +1994,25 @@ def pagerank_arrow(
                         for s, m_e in sorted(slice_edges.items())
                     )
             if store and (it % o.checkpoint_every == 0):
-                if affected is not None and pending_movers_bc is not None:
+                if affected is not None and (pending_movers_bc is not None
+                                             or pending_movers is not None):
                     # materialize the fused expansion before persisting the
                     # frontier, so a resumed run restores the complete
                     # affected set (the movers mask itself is not saved)
+                    mv_bc = pending_movers_bc or sc.broadcast(pending_movers)
                     exp = (
                         slice_df.mapInPandas(
                             _resident_expand_fn(dg.resident_dir, dg.epoch,
-                                                dg.overlays,
-                                                pending_movers_bc),
+                                                dg.overlays, mv_bc),
                             "dst_idx int",
                         ).distinct().toPandas()["dst_idx"].to_numpy()
                     )
                     affected[exp] = True
                     if o.contracting and active is not None:
                         active[exp] = True
-                    pending_movers_bc.destroy()
+                    mv_bc.destroy()
                     pending_movers_bc = None
+                    pending_movers = None
                 rdf = spark.createDataFrame(
                     pd.DataFrame({"id": dg.ids, "rank": r}))
                 fdf = None
@@ -1598,7 +2034,7 @@ def pagerank_arrow(
             if err < tol:
                 break
             if (o.contracting and active is not None and not active.any()
-                    and pending_movers_bc is None):
+                    and pending_movers_bc is None and pending_movers is None):
                 # a pending movers mask could still re-activate vertices at
                 # the next superstep's fused expansion — only stop when none
                 break
