@@ -47,7 +47,7 @@ from pagerank_barrierfree_openmp_dynamic_spark.session import get_spark  # noqa:
 from pagerank_barrierfree_openmp_dynamic_spark import datagen  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (  # noqa: E402
     apply_batch_dense,
-    batch_endpoints_frontier,
+    batch_endpoints_frontier_dense,
 )
 from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.plans.components import (  # noqa: E402
@@ -178,7 +178,7 @@ def run_suite(spark, extras: dict) -> dict[str, float]:
     )
     with timed("dynamic_frontier"):
         g2, dense2 = apply_batch_dense(g, dense, batch)
-        frontier = batch_endpoints_frontier(g, g2, batch)
+        frontier = batch_endpoints_frontier_dense(dense, dense2, batch)
         res_dyn = pagerank_arrow(
             g2, PageRankOptions(tolerance=1e-6, metrics_level="none"),
             init=res.ranks, frontier=frontier, dense=dense2, resident=True,

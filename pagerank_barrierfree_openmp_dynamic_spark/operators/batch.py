@@ -280,6 +280,112 @@ def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
     return new_graph, new_dense
 
 
+def batch_endpoints_frontier_dense(dense_old, dense_new,
+                                   batch: DataFrame) -> DataFrame:
+    """Reference-exact Dynamic Frontier seed (``pagerankAffectedFrontierW``,
+    ``/root/reference/src/pagerank.hxx:386-410``: out-neighbors of every
+    deletion source in the OLD graph and insertion source in the NEW
+    graph) computed from the RESIDENT index instead of the edge table.
+
+    ``batch_endpoints_frontier`` evaluates two broadcast semi-joins over
+    the full edge DataFrame — one complete edge scan + distinct per call,
+    which at web scale dwarfs the entire frontier re-rank it seeds (the
+    re-rank is O(affected), the seed was O(E)). This variant binary-
+    searches the src-sorted ``esort`` slice files (mmap, written by
+    ``DenseGraph.materialize_masked``) and nets each view's delta
+    overlays in-RAM: O(|batch| log E + Σ out-degree(batch sources)) per
+    slice, one 1-row-per-slice job, no edge bytes shuffled.
+
+    Both views must share one resident slice directory (the
+    ``apply_batch_dense`` delta-overlay protocol). Returns (id,)
+    distinct, identical to ``batch_endpoints_frontier``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.pagerank_arrow import _load_slice, _ragged_take
+
+    spark = batch.sparkSession
+    dense_old.materialize_masked()
+    ids = dense_old.ids
+    n = dense_old.n
+
+    def to_idx(vals: np.ndarray) -> np.ndarray:
+        i = np.searchsorted(ids, vals)
+        ok = (i < n) & (ids[np.minimum(i, n - 1)] == vals)
+        if not ok.all():
+            raise ValueError(
+                "batch_endpoints_frontier_dense: batch references vertices "
+                "outside the dense id space")
+        return i
+
+    with adaptive_execution(spark, False):
+        bpdf = batch.select("src", "op").toPandas()
+    del_src = np.unique(to_idx(
+        bpdf.loc[bpdf["op"] == "del", "src"].to_numpy("int64")))
+    ins_src = np.unique(to_idx(
+        bpdf.loc[bpdf["op"] == "ins", "src"].to_numpy("int64")))
+
+    d = dense_old.resident_dir
+    epoch = dense_old.epoch
+    P = dense_old.n_slices
+    ov_old = tuple(dense_old.overlays)
+    ov_new = tuple(dense_new.overlays)
+    weighted = dense_old.weighted
+
+    def fn(batches):
+        def view_dsts(srcs: np.ndarray, overlays: tuple, s: int):
+            """dsts of `srcs`' live out-edges in the view = base ∪ net
+            overlay effect, restricted to slice s's dst residue."""
+            es = np.load(f"{d}/esort_{s}_src.npy", mmap_mode="r")
+            ed = np.load(f"{d}/esort_{s}_dst.npy", mmap_mode="r")
+            pairs_src, pairs_dst, signs = [], [], []
+            if len(es) and srcs.size:
+                lo = np.searchsorted(es, srcs, "left")
+                hi = np.searchsorted(es, srcs, "right")
+                pos = _ragged_take(lo, hi - lo)
+                if pos.size:
+                    pairs_src.append(np.asarray(es[pos], dtype=np.int64))
+                    pairs_dst.append(np.asarray(ed[pos], dtype=np.int64))
+                    signs.append(np.ones(pos.size))
+            if overlays:
+                _b1, _b2, _b3, deltas = _load_slice(d, epoch, s, overlays,
+                                                    weighted)
+                for dsrc, ddst, _dw, sign in deltas:
+                    dsrc = np.asarray(dsrc, dtype=np.int64)
+                    m = np.isin(dsrc, srcs)
+                    if m.any():
+                        pairs_src.append(dsrc[m])
+                        pairs_dst.append(
+                            np.asarray(ddst, dtype=np.int64)[m])
+                        signs.append(np.full(int(m.sum()), float(sign)))
+            if not pairs_src:
+                return np.empty(0, np.int64)
+            ps = np.concatenate(pairs_src)
+            pdst = np.concatenate(pairs_dst)
+            sg = np.concatenate(signs)
+            key = ps * np.int64(n) + pdst
+            uk, inv = np.unique(key, return_inverse=True)
+            net = np.bincount(inv, weights=sg)
+            return (uk[net > 0] % np.int64(n))
+
+        for pdf in batches:
+            out = []
+            for s in pdf["id"].to_numpy():
+                s = int(s)
+                out.append(view_dsts(del_src, ov_old, s))
+                out.append(view_dsts(ins_src, ov_new, s))
+            dsts = (np.unique(np.concatenate(out)) if out
+                    else np.empty(0, np.int64))
+            yield pd.DataFrame({"dst_idx": dsts})
+
+    with adaptive_execution(spark, False):
+        pdf = (spark.range(0, P, 1, P)
+               .mapInPandas(fn, "dst_idx long").toPandas())
+    seed = np.unique(pdf["dst_idx"].to_numpy("int64"))
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids[seed]}), schema="id long")
+
+
 def batch_endpoints_frontier(
     graph_old: LinkGraph, graph_new: LinkGraph, batch: DataFrame
 ) -> DataFrame:

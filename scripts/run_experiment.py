@@ -33,7 +33,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.session import get_spark  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (  # noqa: E402
     apply_batch_dense,
-    batch_endpoints_frontier,
+    batch_endpoints_frontier_dense,
 )
 from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import build_graph  # noqa: E402
 from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import PageRankOptions  # noqa: E402
@@ -103,7 +103,9 @@ def main():
         batch = spark.createDataFrame(pd.concat([dels, ins]),
                                       schema="src long, dst long, op string")
         g2, dense2 = apply_batch_dense(g, dense, batch)
-        frontier = batch_endpoints_frontier(g, g2, batch)
+        # resident-index seed: O(batch) work — the DataFrame variant's
+        # full edge scan would dwarf the frontier re-rank it seeds
+        frontier = batch_endpoints_frontier_dense(dense, dense2, batch)
 
         s0 = pagerank_arrow(g2, PageRankOptions(tolerance=GOLD_TOL,
                                                 metrics_level="none"),
@@ -139,10 +141,13 @@ def main():
                             if m["partition_id"] >= 0)
             row_work = sum(m["rows_processed"] for m in ans.metrics
                            if m["partition_id"] < 0)
+            iter_ms = [round(m["elapsed_ms"]) for m in ans.metrics
+                       if m["partition_id"] < 0]
             row = dict(batchf=frac, technique=name,
                        iterations=ans.iterations,
                        seconds=round(dt, 3), err_linf=err,
-                       edge_work=int(edge_work), row_work=int(row_work))
+                       edge_work=int(edge_work), row_work=int(row_work),
+                       iter_ms=iter_ms)
             rows.append(row)
             print(json.dumps(row), flush=True)
         dense2.unpersist()

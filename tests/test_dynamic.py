@@ -461,3 +461,56 @@ def test_cc_dynamic_noop_deletions_skip_reset(spark, setting):
         pd.testing.assert_frame_equal(got, want)
     finally:
         g2.unpersist()
+
+
+def test_batch_endpoints_frontier_dense_matches_dataframe_variant(spark):
+    """The resident-index frontier seed (esort binary search + overlay
+    netting) must equal the DataFrame variant's seed exactly — including
+    after a STACKED delta overlay, where netting (base ∪ ins − del) is
+    what keeps the walk on the view's true edge set."""
+    import numpy as np
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        apply_batch_dense,
+        batch_endpoints_frontier,
+        batch_endpoints_frontier_dense,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        build_graph,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+        DenseGraph,
+    )
+
+    n = 40
+    es = sorted({(s, (s * 3 + 1) % n) for s in range(n)}
+                | {(0, 5), (5, 9), (9, 0), (7, 11)})
+    g = build_graph(
+        spark.createDataFrame(pd.DataFrame(es, columns=["src", "dst"]),
+                              schema="src long, dst long"),
+        vertices=spark.range(n).select("id"))
+    dense = DenseGraph(g).materialize()
+    b1 = spark.createDataFrame(
+        pd.DataFrame([(0, 5, "del"), (7, 13, "ins"), (11, 2, "ins")],
+                     columns=["src", "dst", "op"]),
+        schema="src long, dst long, op string")
+    g2, d2 = apply_batch_dense(g, dense, b1)
+    want = sorted(r.id for r in
+                  batch_endpoints_frontier(g, g2, b1).collect())
+    got = sorted(r.id for r in
+                 batch_endpoints_frontier_dense(dense, d2, b1).collect())
+    assert got == want
+    # second batch on the overlaid view: old=d2, new=d3
+    b2 = spark.createDataFrame(
+        pd.DataFrame([(7, 13, "del"), (0, 17, "ins")],
+                     columns=["src", "dst", "op"]),
+        schema="src long, dst long, op string")
+    g3, d3 = apply_batch_dense(g2, d2, b2)
+    want2 = sorted(r.id for r in
+                   batch_endpoints_frontier(g2, g3, b2).collect())
+    got2 = sorted(r.id for r in
+                  batch_endpoints_frontier_dense(d2, d3, b2).collect())
+    assert got2 == want2
+    g.unpersist()
+    dense.unpersist()
