@@ -1008,7 +1008,30 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                                     weights=r[ds_s[dpos]] * f_s[dpos],
                                     minlength=seg_len)
                                 m_edges += int(dpos.size)
+                    elif total_edges >= 500_000:
+                        # FLOODED frontier at scale: sum ALL in-edges with
+                        # the same pre-gathered comps the full-sweep kernel
+                        # uses (shared worker-cache entries — no extra
+                        # memory), then zero the non-active accumulators.
+                        # Active dsts get identical sums; a flooded DF
+                        # superstep costs exactly a naive-dynamic superstep
+                        # instead of paying masked-path constants on ~all
+                        # edges (m_edges honestly reports the full count).
+                        act_seg = np.zeros(seg_len, dtype=bool)
+                        act_seg[act] = True
+                        comps = _load_update_slice(
+                            resident_dir, epoch, s, overlays, P, weighted,
+                            ivd)
+                        for src, own, f, sign in comps:
+                            if src.size:
+                                seg += sign * np.bincount(
+                                    own, weights=r[src] * f,
+                                    minlength=seg_len)
+                                m_edges += int(src.size)
+                        seg[~act_seg] = 0.0
                     else:
+                        # small slice: masked compaction still prunes the
+                        # counted work and the constants don't matter
                         act_seg = np.zeros(seg_len, dtype=bool)
                         act_seg[act] = True
                         mown_a = np.asarray(mown)
