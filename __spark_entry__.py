@@ -254,6 +254,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pagerank_weighted_3iter"] = pagerank_weighted_3iter
 
+    # -- weighted DYNAMIC batch through the distributed dense replay
+    # (round-5 fix, operators/batch.py:_apply_batch_dense_weighted): a
+    # deterministic del+reversed-ins weighted batch applied as a delta
+    # overlay (worker-written slice files, O(Σ degree(touched))), then
+    # 3-iteration weighted PageRank on the OVERLAY index. The oracle is
+    # the same unrolled weighted recurrence evaluated on the batched
+    # edge table — fixed-iteration ranks are update-path-independent,
+    # so an overlay that diverged from the true E' would hash-mismatch.
+    def weighted_dynamic_batch(spark, sf):
+        from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+            apply_batch_dense,
+        )
+        from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+            DenseGraph,
+            pagerank_arrow,
+        )
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        ew = li.select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("l_partkey") % 100).cast("long").alias("dst"),
+            F.col("l_quantity").cast("double").alias("weight"),
+        )
+        g = build_graph(ew, weight_col="weight")
+        dense = DenseGraph(g).materialize()
+        pairs = ew.select("src", "dst").distinct().filter(
+            ((F.col("src") + F.col("dst")) % 7 == 0)
+            & (F.col("src") != F.col("dst")))
+        batch = pairs.select(
+            "src", "dst", F.lit(None).cast("double").alias("weight"),
+            F.lit("del").alias("op"),
+        ).unionByName(pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.lit(3.0).alias("weight"), F.lit("ins").alias("op")))
+        g2, dense2 = apply_batch_dense(g, dense, batch)
+        res = pagerank_arrow(
+            g2, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                metrics_level="none"),
+            dense=dense2, resident=True)
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    q["weighted_dynamic_batch"] = weighted_dynamic_batch
+
     # -- page→host contraction (operators/graph.py:contract_edges): the
     # quotient graph under group = id % 7, weights = inter-group edge count
     def _host_edges(spark, sf):
@@ -3119,6 +3162,19 @@ SELECT src, dst FROM e2 WHERE src % 13 <> 1 AND dst % 13 <> 1"""
     o["naive_dynamic"] = _pagerank_sql(60, 6, edge_cte=BATCHED_EDGES_SQL)
     o["dynamic_frontier"] = o["naive_dynamic"]
     o["pagerank_weighted_3iter"] = _pagerank_weighted_3iter_sql()
+    # batched weighted edge set: delete (src+dst)%7==0 non-loops, insert
+    # their reversals at weight 3.0 (additive merge into survivors) —
+    # reversal keeps every endpoint incident, so the vertex set derived
+    # from the batched edges equals the engine's preserved vertex set
+    o["weighted_dynamic_batch"] = _pagerank_weighted_3iter_sql(f"""
+SELECT src, dst, CAST(SUM(weight) AS DOUBLE) AS weight FROM (
+  SELECT e.src, e.dst, e.weight FROM ({WEIGHTED_EDGES_SQL}) e
+  WHERE NOT ((e.src + e.dst) % 7 = 0 AND e.src <> e.dst)
+  UNION ALL
+  SELECT d.dst AS src, d.src AS dst, 3.0 AS weight
+  FROM ({WEIGHTED_EDGES_SQL}) d
+  WHERE (d.src + d.dst) % 7 = 0 AND d.src <> d.dst
+) GROUP BY src, dst""")
     o["host_graph"] = f"SELECT * FROM ({HOST_EDGES_SQL})"
     o["host_pagerank_3iter"] = _pagerank_weighted_3iter_sql(HOST_EDGES_SQL)
     o["pagerank_personalized_3iter"] = _pagerank_personalized_3iter_sql()
