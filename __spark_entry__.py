@@ -289,10 +289,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("dst").alias("src"), F.col("src").alias("dst"),
             F.lit(3.0).alias("weight"), F.lit("ins").alias("op")))
         g2, dense2 = apply_batch_dense(g, dense, batch)
-        res = pagerank_arrow(
-            g2, PageRankOptions(tolerance=0.0, max_iterations=3,
-                                metrics_level="none"),
-            dense=dense2, resident=True)
+        try:
+            res = pagerank_arrow(
+                g2, PageRankOptions(tolerance=0.0, max_iterations=3,
+                                    metrics_level="none"),
+                dense=dense2, resident=True)
+        finally:
+            # result ranks are driver-side arrays; the resident slice dir
+            # (owned by `dense` — the overlay view shares it with
+            # _owns_files=False) is no longer referenced and must not
+            # accumulate across sweep/bench runs
+            dense.unpersist()
         return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
     q["weighted_dynamic_batch"] = weighted_dynamic_batch

@@ -305,13 +305,15 @@ def decode_image(payload: bytes) -> np.ndarray:
     normalize to (H, W, 3) uint8 RGB: grayscale is replicated across
     channels, RGBA drops alpha. Raises ``ValueError`` when no real
     decoder matches (progressive JPEG etc. — the stubbed flavors)."""
-    try:
+    # dispatch on the container magic so a corrupted-but-identified file
+    # (e.g. valid PNG signature, bad CRC/IDAT) surfaces its own decoder's
+    # error instead of a misleading "not a JPEG payload" from the last
+    # fallback in a try-chain
+    if payload[:2] == b"BM":
         return decode_bmp(payload)
-    except ValueError:
-        pass
-    try:
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
         px = decode_png(payload)
-    except ValueError:
+    else:
         from .jpeg import decode_jpeg
 
         px = decode_jpeg(payload)  # ValueError propagates: no real decoder

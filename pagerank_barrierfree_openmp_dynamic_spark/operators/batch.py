@@ -243,10 +243,27 @@ def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
     overlay_rows = del_rows.unionByName(ins_rows).mapInPandas(
         to_idx_fn, "tag string, src_idx int, dst_idx int, w double")
 
-    # per-source out-degree deltas: O(touched sources) driver rows
+    # per-source out-degree deltas: O(touched sources) driver rows. The
+    # same rows validate the normalization denominators BEFORE any delta
+    # file is written: Spark's Divide returns NULL (-> NaN through Arrow)
+    # on tot=0 where the old pandas replay raised, so a touched source
+    # whose out-weights sum to zero must fail loudly here instead of
+    # silently corrupting ranks.
     with adaptive_execution(spark, False):
-        old_cnt = old.groupBy("src").count().toPandas()
-        new_cnt = new_raw.groupBy("src").count().toPandas()
+        old_cnt = (old.groupBy("src")
+                   .agg(F.count("*").alias("count"),
+                        F.sum("weight").alias("tot")).toPandas())
+        new_cnt = (new_raw.groupBy("src")
+                   .agg(F.count("*").alias("count"),
+                        F.sum("weight").alias("tot")).toPandas())
+    for cnt_pdf, side in ((old_cnt, "existing"), (new_cnt, "updated")):
+        tots = cnt_pdf["tot"].to_numpy(np.float64)
+        if len(tots) and (~(tots != 0.0)).any():  # catches 0.0 and NaN
+            bad_src = cnt_pdf["src"].to_numpy(np.int64)[~(tots != 0.0)]
+            raise ValueError(
+                "apply_batch_dense: zero/NaN out-weight sum for "
+                f"{side} adjacency of source(s) {bad_src[:5].tolist()}; "
+                "transition weights w/Σw are undefined")
     oc = np.zeros(len(touched), dtype=np.float64)
     nc = np.zeros(len(touched), dtype=np.float64)
     if len(old_cnt):
@@ -260,7 +277,12 @@ def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
         overlay_rows, (np.searchsorted(ids, touched), nc - oc))
     ids_bc.destroy()
     old.unpersist()
-    new_raw.unpersist()
+    # new_raw stays persisted: it is unioned into the returned graph's
+    # edge lineage below, and its cache (already populated by the counts
+    # and delta-write actions) is what keeps later actions over
+    # new_graph.edges from re-running the replay joins. Storage is
+    # bounded O(Σ degree(touched)) and is reclaimed by Spark's
+    # ContextCleaner once the returned graph is garbage-collected.
 
     kept = graph.edges.join(F.broadcast(t_df), "src", "left_anti")
     new_edges = kept.select(

@@ -412,7 +412,7 @@ class DenseGraph:
                     done.append(s)
             yield pd.DataFrame({"slice": done})
 
-        (spark.range(0, P, 1, P).withColumnRenamed("id", "id")
+        (spark.range(0, P, 1, P)
          .mapInPandas(build_fn, "slice int").count())
         open(marker, "w").close()
         return self
@@ -929,9 +929,20 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                                         "e1": [0.0], "e2": [0.0],
                                         "ei": [0.0]})
                     continue
+                mask_seg = mask[s::P]
+                if movers is None and not mask_seg.any():
+                    # idle slice, nothing to expand: emit a no-op sparse
+                    # row (empty idx AND empty acc — the driver skips
+                    # both placement branches) instead of serializing a
+                    # full unchanged rank segment through Arrow
+                    yield pd.DataFrame({
+                        "slice": [s], "acc": [b""], "idx": [b""],
+                        "m": [0], "exp": [b""], "mov": [b""],
+                        "keep": [b""], "nact": [0],
+                        "e1": [0.0], "e2": [0.0], "ei": [0.0]})
+                    continue
                 msrc, mown, indptr, mw, esrc, edst, dcsr, dlive = _load_msort(
                     resident_dir, epoch, s, overlays, P, weighted, ivd)
-                mask_seg = mask[s::P]
                 exp_idx = np.empty(0, np.int32)
                 exp_own = None
                 if movers is not None:
@@ -971,6 +982,15 @@ def _resident_scatter_fn(resident_dir: str, epoch: str, n: int, n_slices: int,
                 act = np.flatnonzero(mask_seg).astype(np.int64)
                 if exp_own is not None and exp_own.size:
                     act = np.union1d(act, exp_own)
+                if not act.size:
+                    # movers expanded nothing into this slice: same no-op
+                    # sparse row as the pre-load early-out above
+                    yield pd.DataFrame({
+                        "slice": [s], "acc": [b""], "idx": [b""],
+                        "m": [0], "exp": [b""], "mov": [b""],
+                        "keep": [b""], "nact": [0],
+                        "e1": [0.0], "e2": [0.0], "ei": [0.0]})
+                    continue
                 seg = np.zeros(seg_len)
                 m_edges = 0
                 dense_frontier = True

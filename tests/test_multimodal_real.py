@@ -118,6 +118,16 @@ def test_decode_image_dispatch_normalizes_channels():
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
 
+def test_decode_image_corrupt_png_reports_png_error():
+    """Magic-based dispatch: a payload with a valid PNG signature but a
+    corrupted body must surface decode_png's own error, not fall through
+    to the JPEG decoder's misleading 'not a JPEG payload'."""
+    good = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    good[-5] ^= 0xFF  # flip a bit in IEND's CRC
+    with pytest.raises(ValueError, match="(?i)png|crc|chunk"):
+        decode_image(bytes(good))
+
+
 def test_png_image_stats_matches_bmp_image_stats(spark):
     """The PNG and BMP synth tables share one pixel formula, so
     image_stats over either must produce identical rows — this pins the

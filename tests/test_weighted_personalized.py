@@ -406,3 +406,29 @@ def test_weighted_dense_hub_batch_never_materializes_adjacency(
         dense.unpersist()
         g2.unpersist()
         g.unpersist()
+
+
+def test_weighted_dense_batch_zero_weight_sum_raises(spark):
+    """A touched source whose updated out-weights sum to zero must fail
+    LOUDLY before any delta file is written: the transition weights
+    w/Σw are undefined, and Spark's Divide would otherwise return NULL
+    (-> NaN through Arrow) and silently corrupt every later rank."""
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, 1, 2.0), (1, 0, 1.0)],
+                     columns=["src", "dst", "weight"]),
+        schema="src long, dst long, weight double")
+    g = build_graph(df, vertices=spark.range(2).select("id"),
+                    weight_col="weight", add_self_loops=False)
+    dense = DenseGraph(g).materialize()
+    # merging -2.0 into the only (0,1) edge cancels src 0's out-weight sum
+    batch = spark.createDataFrame(
+        pd.DataFrame([(0, 1, -2.0, "ins")],
+                     columns=["src", "dst", "weight", "op"]),
+        schema="src long, dst long, weight double, op string")
+    try:
+        with pytest.raises(ValueError, match="out-weight sum"):
+            apply_batch_dense(g, dense, batch)
+        assert not dense.overlays  # nothing was stacked on the view
+    finally:
+        dense.unpersist()
+        g.unpersist()
