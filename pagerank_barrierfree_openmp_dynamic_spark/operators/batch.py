@@ -96,8 +96,7 @@ def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
     net_del_df = d_in_e.join(ins, ["src", "dst"], "left_anti").distinct()
     net_ins_df = ins.join(graph.edges, ["src", "dst"], "left_anti").distinct()
 
-    def to_idx(df: DataFrame) -> np.ndarray:
-        pdf = df.toPandas()
+    def to_idx(pdf) -> np.ndarray:
         if len(pdf) == 0:
             return np.empty((0, 2), dtype=np.int64)
         ids = dense.ids
@@ -113,14 +112,24 @@ def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
             out[:, j] = i
         return out
 
-    with adaptive_execution(graph.edges.sparkSession, False):
-        net_ins = to_idx(net_ins_df)
-        net_del = to_idx(net_del_df)
+    spark = graph.edges.sparkSession
+    with adaptive_execution(spark, False):
+        ins_pdf = net_ins_df.select("src", "dst").toPandas()
+        del_pdf = net_del_df.select("src", "dst").toPandas()
+    net_ins = to_idx(ins_pdf)
+    net_del = to_idx(del_pdf)
     new_dense = dense.apply_delta(net_ins, net_del)
 
+    # rebuild the (tiny, already-collected) net rows as literal DataFrames:
+    # chaining batches otherwise stacks the semi/anti joins — and a
+    # reference to the incoming micro-batch DataFrame — into the light
+    # view's edge lineage, so every later action re-runs the whole chain
+    # (quadratic in batch count for streaming callers)
+    net_del_lit = spark.createDataFrame(del_pdf, schema="src long, dst long")
+    net_ins_lit = spark.createDataFrame(ins_pdf, schema="src long, dst long")
     new_edges = (
-        graph.edges.join(F.broadcast(net_del_df), ["src", "dst"], "left_anti")
-        .unionByName(net_ins_df)
+        graph.edges.join(F.broadcast(net_del_lit), ["src", "dst"], "left_anti")
+        .unionByName(net_ins_lit)
     )
     new_graph = LinkGraph(
         edges=new_edges,
@@ -214,8 +223,34 @@ def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
         .groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
         .persist()
     )
-    old_tot = old.groupBy("src").agg(F.sum("weight").alias("tot"))
-    new_tot = new_raw.groupBy("src").agg(F.sum("weight").alias("tot"))
+    # ONE aggregation pass per side: per-source count (degree deltas) and
+    # Σ(weight) (normalization denominators) come from the same
+    # O(touched sources) collected rows, instead of separate tot and cnt
+    # aggregation jobs over the same persisted frames. Validating the
+    # denominators HERE — before the normalization joins are even built —
+    # matters: Spark's Divide returns NULL (-> NaN through Arrow) on
+    # tot=0 where the old pandas replay raised, so a touched source whose
+    # out-weights sum to zero must fail loudly, not corrupt ranks.
+    with adaptive_execution(spark, False):
+        old_cnt = (old.groupBy("src")
+                   .agg(F.count("*").alias("count"),
+                        F.sum("weight").alias("tot")).toPandas())
+        new_cnt = (new_raw.groupBy("src")
+                   .agg(F.count("*").alias("count"),
+                        F.sum("weight").alias("tot")).toPandas())
+    for cnt_pdf, side in ((old_cnt, "existing"), (new_cnt, "updated")):
+        tots = cnt_pdf["tot"].to_numpy(np.float64)
+        if len(tots) and (~(tots != 0.0)).any():  # catches 0.0 and NaN
+            bad_src = cnt_pdf["src"].to_numpy(np.int64)[~(tots != 0.0)]
+            raise ValueError(
+                "apply_batch_dense: zero/NaN out-weight sum for "
+                f"{side} adjacency of source(s) {bad_src[:5].tolist()}; "
+                "transition weights w/Σw are undefined")
+
+    old_tot = spark.createDataFrame(
+        old_cnt[["src", "tot"]], schema="src long, tot double")
+    new_tot = spark.createDataFrame(
+        new_cnt[["src", "tot"]], schema="src long, tot double")
     del_rows = old.join(F.broadcast(old_tot), "src").select(
         "src", "dst", (F.col("weight") / F.col("tot")).alias("w"),
         F.lit("del").alias("tag"))
@@ -243,27 +278,8 @@ def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
     overlay_rows = del_rows.unionByName(ins_rows).mapInPandas(
         to_idx_fn, "tag string, src_idx int, dst_idx int, w double")
 
-    # per-source out-degree deltas: O(touched sources) driver rows. The
-    # same rows validate the normalization denominators BEFORE any delta
-    # file is written: Spark's Divide returns NULL (-> NaN through Arrow)
-    # on tot=0 where the old pandas replay raised, so a touched source
-    # whose out-weights sum to zero must fail loudly here instead of
-    # silently corrupting ranks.
-    with adaptive_execution(spark, False):
-        old_cnt = (old.groupBy("src")
-                   .agg(F.count("*").alias("count"),
-                        F.sum("weight").alias("tot")).toPandas())
-        new_cnt = (new_raw.groupBy("src")
-                   .agg(F.count("*").alias("count"),
-                        F.sum("weight").alias("tot")).toPandas())
-    for cnt_pdf, side in ((old_cnt, "existing"), (new_cnt, "updated")):
-        tots = cnt_pdf["tot"].to_numpy(np.float64)
-        if len(tots) and (~(tots != 0.0)).any():  # catches 0.0 and NaN
-            bad_src = cnt_pdf["src"].to_numpy(np.int64)[~(tots != 0.0)]
-            raise ValueError(
-                "apply_batch_dense: zero/NaN out-weight sum for "
-                f"{side} adjacency of source(s) {bad_src[:5].tolist()}; "
-                "transition weights w/Σw are undefined")
+    # per-source out-degree deltas: reuse the counts collected (and
+    # validated) above — no extra job
     oc = np.zeros(len(touched), dtype=np.float64)
     nc = np.zeros(len(touched), dtype=np.float64)
     if len(old_cnt):
@@ -327,6 +343,16 @@ def batch_endpoints_frontier_dense(dense_old, dense_new,
     from ..plans.pagerank_arrow import _load_slice, _ragged_take
 
     spark = batch.sparkSession
+    if (dense_new.resident_dir != dense_old.resident_dir
+            or dense_new.epoch != dense_old.epoch):
+        # the insertion-side lookup below resolves dense_new's overlay
+        # tags under dense_old's directory — with views from two
+        # different base builds every delta file would be "legitimately
+        # absent" and the seed silently incomplete
+        raise ValueError(
+            "batch_endpoints_frontier_dense: dense_new must be an overlay "
+            "view of dense_old (shared resident_dir/epoch, the "
+            "apply_batch_dense protocol); got two unrelated dense views")
     dense_old.materialize_masked()
     ids = dense_old.ids
     n = dense_old.n

@@ -299,6 +299,13 @@ class DenseGraph:
             if not os.path.exists(f"{d}/{prefix}{s}_src.npy"):
                 np.save(f"{d}/{prefix}{s}_src.npy", empty)
                 np.save(f"{d}/{prefix}{s}_dst.npy", empty)
+                if with_w and self.weighted:
+                    # weighted readers (materialize_masked, _load_slice)
+                    # load the _w file unconditionally for non-empty
+                    # views; an empty residue needs its empty _w too, or
+                    # the missing-file-means-corruption rule misfires
+                    np.save(f"{d}/{prefix}{s}_w.npy",
+                            np.empty(0, np.float64))
 
     def materialize(self, path: str | None = None) -> "DenseGraph":
         """Write per-slice ``.npy`` edge blocks for resident supersteps.
@@ -736,13 +743,21 @@ def _load_slice(resident_dir: str, epoch: str, s: int,
         deltas = []
         for ov in overlays:
             for tag, sign in (("ins", 1.0), ("del", -1.0)):
-                try:
-                    dsrc = np.load(
-                        f"{resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_src.npy")
-                    ddst = np.load(
-                        f"{resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_dst.npy")
-                except (OSError, FileNotFoundError):
-                    continue
+                sp = f"{resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_src.npy"
+                dp = f"{resident_dir}/delta_{ov}_slice_{int(s)}_{tag}_dst.npy"
+                s_here, d_here = os.path.exists(sp), os.path.exists(dp)
+                if not s_here and not d_here:
+                    continue  # generation touched no edge in this slice
+                if s_here != d_here:
+                    # a half-written pair (crash/disk-full between the two
+                    # np.save calls) is corruption: silently skipping it
+                    # would compute ranks against a partially-applied batch
+                    raise FileNotFoundError(
+                        f"half-written delta overlay {ov}/{tag} for slice "
+                        f"{int(s)}: {'src' if s_here else 'dst'} file "
+                        "present without its pair")
+                dsrc = np.load(sp)
+                ddst = np.load(dp)
                 # weighted deltas carry per-edge normalized weights; missing
                 # them while src/dst exist would silently scatter weight-1.0
                 dw = (np.load(

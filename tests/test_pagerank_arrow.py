@@ -800,3 +800,44 @@ def test_driver_state_budget_guard_and_auto_fallback(spark, monkeypatch):
     with pytest.raises(ValueError, match="dense-kernel options"):
         pagerank_auto(g, o, resident=True)
     g.unpersist()
+
+
+def test_apply_batch_dense_light_view_lineage_is_literal(spark):
+    """The light view's edge lineage must embed the NET change rows as
+    literal DataFrames, not as the semi/anti joins that derived them:
+    chained streaming batches otherwise re-run the whole derivation
+    chain (and pin the incoming micro-batch DataFrame) on every later
+    action. Post-fix the optimized plan contains no LeftSemi (the
+    dels-in-E derivation) at any stacking depth."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        apply_batch_dense,
+    )
+
+    n = 60
+    edges_pdf = datagen.synth_edges(n, seed=9)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    dense = DenseGraph(g).materialize()
+    try:
+        gv, dv = g, dense
+        for i in range(3):  # stack three generations
+            row = edges_pdf.iloc[[i]][["src", "dst"]]
+            batch = spark.createDataFrame(
+                pd.concat([row.assign(op="del"),
+                           pd.DataFrame({"src": [int(row["src"].iloc[0])],
+                                         "dst": [(int(row["dst"].iloc[0])
+                                                  + 7) % n],
+                                         "op": ["ins"]})],
+                          ignore_index=True),
+                schema="src long, dst long, op string")
+            gv, dv = apply_batch_dense(gv, dv, batch)
+        plan = gv.edges._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" not in plan, (
+            "net-change derivation joins leaked into the light view's "
+            "lineage")
+        assert gv.edges.count() == gv.num_edges
+    finally:
+        dense.unpersist()
+        g.unpersist()

@@ -432,3 +432,64 @@ def test_weighted_dense_batch_zero_weight_sum_raises(spark):
     finally:
         dense.unpersist()
         g.unpersist()
+
+
+def test_weighted_masked_build_survives_empty_slice(spark):
+    """A weighted graph with an empty dst-residue slice (n < n_slices
+    with no self-loops) must still build the masked/esort view: the
+    empty-residue backfill writes the _w file too, so the unconditional
+    weighted load in materialize_masked finds it."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        batch_endpoints_frontier_dense,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, 1, 2.0), (1, 0, 1.0)],
+                     columns=["src", "dst", "weight"]),
+        schema="src long, dst long, weight double")
+    g = build_graph(df, vertices=spark.range(2).select("id"),
+                    weight_col="weight", add_self_loops=False)
+    dense = DenseGraph(g).materialize()
+    assert dense.n_slices > dense.n  # the empty-residue precondition
+    try:
+        dense.materialize_masked()  # crashed pre-fix: missing slice_*_w.npy
+        batch = spark.createDataFrame(
+            pd.DataFrame([(0, 1, 1.0, "ins")],
+                         columns=["src", "dst", "weight", "op"]),
+            schema="src long, dst long, weight double, op string")
+        g2, d2 = apply_batch_dense(g, dense, batch)
+        fr = batch_endpoints_frontier_dense(dense, d2, batch)
+        assert fr.count() >= 1  # out-neighbors of the insertion source
+    finally:
+        dense.unpersist()
+        g.unpersist()
+
+
+def test_frontier_dense_rejects_unrelated_views(spark):
+    """batch_endpoints_frontier_dense requires dense_new to be an overlay
+    view of dense_old (shared resident dir/epoch); two independent builds
+    must be rejected loudly instead of silently dropping the insertion
+    side of the seed."""
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.batch import (
+        batch_endpoints_frontier_dense,
+    )
+
+    es = _edges_df(spark, _weighted_edges())
+    g1 = build_graph(es, vertices=spark.range(N).select("id"),
+                     weight_col="weight")
+    g2 = build_graph(es, vertices=spark.range(N).select("id"),
+                     weight_col="weight")
+    d1 = DenseGraph(g1).materialize()
+    d2 = DenseGraph(g2).materialize()
+    batch = spark.createDataFrame(
+        pd.DataFrame([(0, 1, None, "del")],
+                     columns=["src", "dst", "weight", "op"]),
+        schema="src long, dst long, weight double, op string")
+    try:
+        with pytest.raises(ValueError, match="overlay view"):
+            batch_endpoints_frontier_dense(d1, d2, batch)
+    finally:
+        d1.unpersist()
+        d2.unpersist()
+        g1.unpersist()
+        g2.unpersist()
