@@ -88,6 +88,14 @@ class CheckpointStore:
         extra: dict | None = None,
     ) -> None:
         d = self._iter_dir(it)
+        # write-data-THEN-commit: when overwriting an iteration dir from
+        # an earlier run segment, the stale _COMMIT must come down first,
+        # or a crash mid-overwrite leaves a committed marker over partial
+        # parquet and the next resume loads truncated state
+        try:
+            os.remove(os.path.join(d, "_COMMIT"))
+        except OSError:
+            pass
         self._write(ranks, os.path.join(d, "ranks"))
         if frontier is not None:
             self._write(frontier, os.path.join(d, "frontier"))
@@ -138,6 +146,14 @@ class CheckpointStore:
         paths = [
             os.path.join(self.root, n, "metrics")
             for n in sorted(os.listdir(self.root))
-            if n.startswith("iter=") and os.path.isdir(os.path.join(self.root, n, "metrics"))
+            if n.startswith("iter=")
+            and os.path.isdir(os.path.join(self.root, n, "metrics"))
+            # only COMMITTED iterations: a crash between the metrics write
+            # and the _COMMIT write must not leak partial rows into history
+            and os.path.exists(os.path.join(self.root, n, "_COMMIT"))
         ]
+        if not paths:
+            # metrics_level='none' runs save no metrics dirs; an empty
+            # frame with the documented schema beats a reader schema error
+            return spark.createDataFrame([], METRICS_SCHEMA)
         return spark.read.format(self.fmt).load(paths)

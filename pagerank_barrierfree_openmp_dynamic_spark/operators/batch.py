@@ -16,6 +16,15 @@ from .graph import LinkGraph, build_graph
 from ..session import adaptive_execution
 
 
+class DenseIdSpaceError(ValueError):
+    """Batch references vertices outside the dense id space. The dense
+    delta-overlay path cannot grow the vertex set; callers that can,
+    fall back to the full :func:`apply_batch` rebuild on THIS error
+    specifically — other ``ValueError``s (e.g. the weighted zero
+    out-weight-sum validation) signal data problems that a rebuild
+    would silently carry through, and must propagate."""
+
+
 def apply_batch(
     graph: LinkGraph,
     batch: DataFrame,
@@ -24,10 +33,14 @@ def apply_batch(
     """Apply a (src, dst, op['ins'|'del']) batch; return the updated graph.
 
     Deletions are applied first, then insertions (the reference's protocol
-    deletes a random batch then re-inserts it, ``main.cxx:38-66``). Vertex
-    set is preserved (vertices never vanish — ``vexists`` model); self-loops
-    are re-asserted by the rebuild, mirroring ``main.cxx:84-85`` re-running
-    ``selfLoopOmpU`` after each batch.
+    deletes a random batch then re-inserts it, ``main.cxx:38-66``). Vertices
+    never vanish (``vexists`` model) and insertion endpoints GROW the
+    vertex set (the reference's ``addVertexU``/``respan``,
+    ``/root/reference/src/Graph.hxx:344-360``): without the union, an
+    edge to a newly-discovered page stays in the edge table but falls out
+    of the id dictionary, and every downstream dense build silently drops
+    it. Self-loops are re-asserted by the rebuild, mirroring
+    ``main.cxx:84-85`` re-running ``selfLoopOmpU`` after each batch.
     """
     dels = batch.filter(F.col("op") == "del").select("src", "dst")
     ins = batch.filter(F.col("op") == "ins")
@@ -47,9 +60,13 @@ def apply_batch(
         # Never delete the normalization self-loops.
         dels = dels.filter(F.col("src") != F.col("dst"))
     new_edges = base.join(dels, ["src", "dst"], "left_anti").unionByName(ins)
+    ins_v = (ins.select(F.col("src").alias("id"))
+             .unionByName(ins.select(F.col("dst").alias("id"))))
+    new_vertices = (graph.vertices.select("id")
+                    .unionByName(ins_v).distinct())
     return build_graph(
         new_edges,
-        vertices=graph.vertices,
+        vertices=new_vertices,
         add_self_loops=graph.self_loops,
         partitions=partitions or graph.partitions,
         weight_col="weight" if graph.weighted else None,
@@ -106,7 +123,7 @@ def apply_batch_dense(graph: LinkGraph, dense, batch: DataFrame):
             i = np.searchsorted(ids, vals)
             bad = (i >= len(ids)) | (ids[np.minimum(i, len(ids) - 1)] != vals)
             if bad.any():
-                raise ValueError(
+                raise DenseIdSpaceError(
                     "apply_batch_dense: batch references vertices outside the "
                     "dense id space; use apply_batch (full rebuild) instead")
             out[:, j] = i
@@ -198,7 +215,7 @@ def _apply_batch_dense_weighted(graph: LinkGraph, dense, batch: DataFrame):
     pos = np.searchsorted(ids, endpoints)
     bad = (pos >= len(ids)) | (ids[np.minimum(pos, len(ids) - 1)] != endpoints)
     if bad.any():
-        raise ValueError(
+        raise DenseIdSpaceError(
             "apply_batch_dense: batch references vertices outside "
             "the dense id space; use apply_batch (full rebuild)")
 
@@ -361,7 +378,7 @@ def batch_endpoints_frontier_dense(dense_old, dense_new,
         i = np.searchsorted(ids, vals)
         ok = (i < n) & (ids[np.minimum(i, n - 1)] == vals)
         if not ok.all():
-            raise ValueError(
+            raise DenseIdSpaceError(
                 "batch_endpoints_frontier_dense: batch references vertices "
                 "outside the dense id space")
         return i

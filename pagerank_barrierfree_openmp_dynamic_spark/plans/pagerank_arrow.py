@@ -1603,9 +1603,17 @@ def pagerank_arrow(
     frontier: DataFrame | None = None,
     resident: bool | None = None,
     personalization: DataFrame | None = None,
+    start_iteration: int = 0,
 ) -> PageRankResult:
     """Dense Arrow-kernel PageRank: static (init=None), naive-dynamic
     (init=prev ranks), or dynamic-frontier (frontier=(id,) seed set).
+
+    ``start_iteration`` continues a resumed run's iteration numbering
+    (``resume_arrow`` passes the loaded checkpoint's iteration, exactly
+    like the join-agg path): checkpoint saves keep ascending instead of
+    renumbering from 1 into the same root, so ``CheckpointStore.latest``
+    never points back at a stale pre-resume segment. The result's
+    ``iterations`` counts only the supersteps THIS call ran.
 
     ``resident=None`` auto-selects: graphs above ~500k edges get
     materialized slice files + resident supersteps (no per-superstep edge
@@ -1738,7 +1746,7 @@ def pagerank_arrow(
 
     metrics: list[dict] = []
     err = float("inf")
-    it = 0
+    it = start_iteration
     t0 = time.monotonic()
     # async (Gauss-Seidel / barrier-free) state: the inverse out-degree
     # vector is graph-static — broadcast ONCE per run, not per superstep;
@@ -2109,8 +2117,9 @@ def pagerank_arrow(
     ranks_df = spark.createDataFrame(pd.DataFrame({"id": dg.ids, "rank": r}))
     if own_dense:
         dg.unpersist()
-    return PageRankResult(ranks=ranks_df, iterations=it, err=err,
-                          time_s=time.monotonic() - t0, metrics=metrics)
+    return PageRankResult(ranks=ranks_df, iterations=it - start_iteration,
+                          err=err, time_s=time.monotonic() - t0,
+                          metrics=metrics)
 
 
 def resume_arrow(
@@ -2135,10 +2144,14 @@ def resume_arrow(
     info = store.commit_info(it)
     from dataclasses import replace
 
-    o = replace(opts, run_id=info.get("run_id"),
-                max_iterations=max(0, opts.max_iterations - it))
+    o = replace(opts, run_id=info.get("run_id"))
+    # start_iteration continues the committed numbering: saves keep
+    # ascending in the same root (latest() stays monotone across resume
+    # segments) and the remaining-superstep budget falls out of the
+    # unchanged `while it < max_iterations` guard
     res = pagerank_arrow(graph, o, init=ranks, frontier=frontier, dense=dense,
-                         personalization=store.load_personalization(spark))
+                         personalization=store.load_personalization(spark),
+                         start_iteration=it)
     return res
 
 

@@ -6,15 +6,32 @@ exposes the same loop as a Structured Streaming job: a stream of
 (src, dst, op) batch files drives ``apply_batch_dense`` + dynamic-frontier
 re-rank via ``foreachBatch`` — each micro-batch IS one reference-protocol
 batch. Watermarks/stateful operators are unnecessary (SURVEY.md §2.8:
-the reference has no continuous-time semantics to mirror); exactly-once
-comes from the streaming checkpoint + rank checkpoints per superstep.
+the reference has no continuous-time semantics to mirror).
+
+Recovery contract (precise, because the engine's graph state lives in
+the DRIVER, not in the streaming checkpoint): within one live driver,
+each micro-batch is applied exactly once (the file-source checkpoint
+dedupes redelivery). Across a driver restart the streaming checkpoint
+skips already-committed files, so a NEW engine built from the base
+graph would silently miss them — after a crash, either replay the full
+batch directory into a fresh engine under a FRESH checkpoint_dir, or
+rebuild the engine from its own rank/graph checkpoints
+(``PageRankOptions.checkpoint_dir`` + ``resume_arrow``) before
+reattaching the stream. Reusing a surviving engine object with the OLD
+checkpoint_dir is also safe (its graph already reflects the committed
+batches and the uncommitted one is redelivered).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.batch import apply_batch, apply_batch_dense, batch_endpoints_frontier
+from ..operators.batch import (
+    DenseIdSpaceError,
+    apply_batch,
+    apply_batch_dense,
+    batch_endpoints_frontier,
+)
 from ..operators.graph import LinkGraph
 from ..plans.pagerank import PageRankOptions, PageRankResult
 from ..plans.pagerank_arrow import DenseGraph, pagerank_arrow
@@ -51,11 +68,20 @@ class IncrementalPageRank:
             return self.history[-1]
         try:
             new_graph, new_dense = apply_batch_dense(self.graph, self.dense, batch)
-        except ValueError:
-            # batch introduces new vertices -> full rebuild path
+        except DenseIdSpaceError:
+            # batch introduces new vertices -> full rebuild path. ONLY this
+            # error: a bare ValueError would also swallow the weighted
+            # zero-out-weight-sum validation and reroute corrupt data into
+            # a rebuild that computes NaN ranks silently.
             new_graph = apply_batch(self.graph, batch)
             new_dense = DenseGraph(new_graph).materialize()
-        frontier = batch_endpoints_frontier(self.graph, new_graph, batch)
+        # a grown vertex set changes the teleport term (1-d)/n for EVERY
+        # vertex — frontier pruning would leave that global perturbation
+        # unpropagated, so re-rank naive-dynamic (init=prev, full sweep)
+        frontier = (None
+                    if new_graph.num_vertices != self.graph.num_vertices
+                    else batch_endpoints_frontier(self.graph, new_graph,
+                                                  batch))
         res = pagerank_arrow(
             new_graph, self.opts, init=self.ranks, frontier=frontier,
             dense=new_dense, resident=True,

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ..operators.batch import apply_batch_dense
+from ..operators.batch import (
+    DenseIdSpaceError,
+    apply_batch,
+    apply_batch_dense,
+    batch_endpoints_frontier,
+)
 from ..operators.graph import LinkGraph
 from ..plans.pagerank import PageRankOptions, PageRankResult
 from ..plans.pagerank_arrow import DenseGraph, pagerank_arrow
@@ -113,27 +118,39 @@ class StreamingReRank:
             dict(iterations=res.iterations, err=res.err)]
 
     def handle(self, events: DataFrame, _batch_id: int = -1) -> PageRankResult:
-        if events.isEmpty():
-            return self.last
+        # pin FIRST, probe emptiness on the pinned data: events is a
+        # re-executable plan containing the stateful applyInPandasWithState
+        # pass, and isEmpty() on the raw plan would run that whole pass
+        # once just to probe, then localCheckpoint would run it again
         batch = events.select(
             "src", "dst",
             F.when(F.col("op") > 0, F.lit("ins")).otherwise(F.lit("del"))
             .alias("op"),
         ).localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return self.last
         old_graph = self.graph
-        new_graph, new_dense = apply_batch_dense(old_graph, self.dense, batch)
-        # frontier from the stateful operator's OUTPUT rows: the changed
-        # sources are exactly the keys whose state the tracker updated
-        del_src = batch.filter(F.col("op") == "del").select("src").distinct()
-        ins_src = batch.filter(F.col("op") == "ins").select("src").distinct()
-        frontier = (
-            old_graph.edges.join(F.broadcast(del_src), "src", "left_semi")
-            .select(F.col("dst").alias("id"))
-            .unionByName(
-                new_graph.edges.join(F.broadcast(ins_src), "src", "left_semi")
-                .select(F.col("dst").alias("id")))
-            .distinct()
-        )
+        try:
+            new_graph, new_dense = apply_batch_dense(
+                old_graph, self.dense, batch)
+        except DenseIdSpaceError:
+            # a crawl stream discovering a NEW page is the normal case for
+            # a web graph: fall back to the full rebuild instead of killing
+            # the streaming query (same contract as IncrementalPageRank)
+            new_graph = apply_batch(old_graph, batch)
+            new_dense = DenseGraph(new_graph).materialize()
+        # frontier seed from the changed sources (the keys whose state the
+        # tracker updated): out-neighbors of deletion sources in the OLD
+        # graph, insertion sources in the NEW — the shared helper, not a
+        # second copy of its semantics. A GROWN vertex set invalidates
+        # frontier pruning entirely: the teleport term (1-d)/n changed for
+        # EVERY vertex, so re-rank naive-dynamic (init=prev ranks, full
+        # sweep) instead — batch endpoints alone would leave the global
+        # perturbation unpropagated.
+        frontier = (None
+                    if new_graph.num_vertices != old_graph.num_vertices
+                    else batch_endpoints_frontier(old_graph, new_graph,
+                                                  batch))
         res = pagerank_arrow(
             new_graph, self.opts, init=self.ranks, frontier=frontier,
             dense=new_dense, resident=True,
@@ -160,7 +177,7 @@ def stream_rerank(
 
     cp = os.path.abspath(checkpoint_dir)
     ev = os.path.abspath(event_dir)
-    if cp.startswith(ev + os.sep):
+    if cp == ev or cp.startswith(ev + os.sep):
         raise ValueError(
             "checkpoint_dir must be a sibling of event_dir, not inside it "
             "(the file stream's recursive listing would pick up state files)")

@@ -22,6 +22,15 @@ vertex — O(V) across the cluster, hash-partitioned by Spark's streaming
 state store on the group key, Arrow-batched in and out of Python. No
 per-row Python: each group's micro-batch slice arrives as a pandas
 DataFrame and is reduced with vectorized ops.
+
+Semantics note: ``out_degree`` is the SIGNED EVENT SUM (Σ op), not the
+graph's set-semantics degree — the tracker holds no edge set, so a
+duplicate insertion counts twice (the graph dedupes to one edge) and a
+deletion of an absent edge decrements (the graph treats it as a no-op,
+and the sum can go negative). That is sufficient for its job here —
+"did this source change this micro-batch" seeds the frontier — but do
+not use the emitted value as the graph's out-degree; read
+``operators.degrees`` off the maintained graph for that.
 """
 
 from __future__ import annotations

@@ -286,3 +286,85 @@ def test_label_checkpoint_guards(spark, tmp_path):
         resume_label_propagation_arrow(g, lpa_ckpt, iterations=2)
     g.unpersist()
     g2.unpersist()
+
+
+def test_arrow_resume_continues_iteration_numbering(spark, tiny_graph,
+                                                    tmp_path):
+    """resume_arrow must CONTINUE the committed iteration numbering, not
+    renumber from 1 into the same root: otherwise latest() points back at
+    the stale pre-resume segment and a second resume replays old state."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+        pagerank_arrow,
+        resume_arrow,
+    )
+
+    ckpt = str(tmp_path / "ckpt_renum")
+    pagerank_arrow(
+        tiny_graph,
+        PageRankOptions(tolerance=0.0, max_iterations=4,
+                        checkpoint_dir=ckpt))
+    store = CheckpointStore(ckpt)
+    assert store.latest() == 4
+    resumed = resume_arrow(
+        tiny_graph,
+        PageRankOptions(tolerance=0.0, max_iterations=6,
+                        checkpoint_dir=ckpt))
+    assert resumed.iterations == 2           # ran only the remaining budget
+    assert store.latest() == 6               # numbering continued, not reset
+    assert store.commit_info(6)["iteration"] == 6
+    # and the state at latest() IS the resumed segment's newest state:
+    # equal to an uninterrupted 6-iteration run, not run A's iter<=4
+    golden, _ = pagerank_oracle(10, datagen.tiny_edges(), tol=0.0, max_iter=6)
+    got = (store.load_ranks(spark, 6).toPandas()
+           .sort_values("id")["rank"].to_numpy())
+    assert np.allclose(got, golden, atol=1e-12)
+
+
+def test_checkpoint_save_uncommits_before_overwrite(spark, tiny_graph,
+                                                    tmp_path, monkeypatch):
+    """The write-data-then-commit invariant: overwriting an iteration dir
+    must take the stale _COMMIT down FIRST, so a crash mid-overwrite can
+    never leave a committed marker over partial parquet."""
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+        pagerank,
+    )
+
+    ckpt = str(tmp_path / "ckpt_commit")
+    res = pagerank(tiny_graph,
+                   PageRankOptions(tolerance=0.0, max_iterations=1,
+                                   metrics_level="none"))
+    store = CheckpointStore(ckpt)
+    store.save(1, res.ranks)
+    assert store.latest() == 1
+
+    def boom(df, path):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(store, "_write", boom)
+    with pytest.raises(RuntimeError):
+        store.save(1, res.ranks)
+    # the stale marker came down before the failed write: iter=1 is no
+    # longer advertised as loadable
+    assert store.latest() is None
+
+
+def test_load_metrics_empty_store_returns_schema(spark, tiny_graph, tmp_path):
+    """A store whose run saved no metrics (metrics_level='none') must
+    yield an empty frame with METRICS_SCHEMA, not a reader schema error;
+    uncommitted iterations' metrics are excluded."""
+    from pagerank_barrierfree_openmp_dynamic_spark.checkpoint import (
+        METRICS_SCHEMA,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+        pagerank,
+    )
+
+    ckpt = str(tmp_path / "ckpt_nometrics")
+    res = pagerank(tiny_graph,
+                   PageRankOptions(tolerance=0.0, max_iterations=1,
+                                   metrics_level="none"))
+    store = CheckpointStore(ckpt)
+    store.save(1, res.ranks)  # no metrics dir anywhere
+    mdf = store.load_metrics(spark)
+    assert mdf.schema == METRICS_SCHEMA
+    assert mdf.count() == 0

@@ -531,3 +531,55 @@ def test_interval_attribution_stream_matches_batch(spark, tmp_path):
     crossing = [r for r in expected
                 if ts_of[r[1]] < cut <= ts_of[r[0]]]
     assert crossing, "no boundary-crossing pair — fixture too sparse"
+
+
+def test_stream_rerank_survives_new_vertex_batch(spark, tmp_path):
+    """A crawl stream discovering a NEW page (edge endpoint outside the
+    dense id space) must not kill the streaming query: the engine falls
+    back to the full rebuild, GROWS the vertex set (apply_batch unions
+    insertion endpoints — pre-fix the new edge silently fell out of the
+    id dictionary), and re-ranks naive-dynamic because the changed
+    teleport term (1-d)/n invalidates frontier pruning."""
+    import pandas as pd
+
+    from pagerank_barrierfree_openmp_dynamic_spark import datagen
+    from pagerank_barrierfree_openmp_dynamic_spark.operators.graph import (
+        build_graph,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank import (
+        PageRankOptions,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.plans.pagerank_arrow import (
+        pagerank_arrow,
+    )
+    from pagerank_barrierfree_openmp_dynamic_spark.streaming.pipeline import (
+        StreamingReRank,
+        stream_rerank,
+    )
+
+    n = 30
+    edges_pdf = datagen.synth_edges(n, seed=3)
+    g = build_graph(
+        spark.createDataFrame(edges_pdf, schema=datagen.EDGES_SCHEMA),
+        vertices=spark.range(n).select("id"),
+    )
+    eng = StreamingReRank(
+        g, PageRankOptions(tolerance=1e-10, metrics_level="none"))
+    ev = pd.DataFrame({"src": [0, 5], "dst": [n, n + 1], "op": [1, 1]})
+    ev_dir = str(tmp_path / "events")
+    spark.createDataFrame(
+        ev, schema="src long, dst long, op long"
+    ).coalesce(1).write.parquet(ev_dir)
+    q = stream_rerank(spark, ev_dir, eng, str(tmp_path / "cp"),
+                      available_now=True)
+    q.awaitTermination()
+    assert eng.graph.num_vertices == n + 2
+    stat = pagerank_arrow(
+        eng.graph, PageRankOptions(tolerance=1e-10, metrics_level="none"),
+        dense=eng.dense, resident=True)
+    a = eng.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    b = stat.ranks.toPandas().sort_values("id")["rank"].to_numpy()
+    assert len(a) == n + 2
+    assert float(abs(a - b).max()) <= 1e-6
+    assert abs(a.sum() - 1.0) < 1e-9
+    g.unpersist()
